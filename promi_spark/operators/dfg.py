@@ -1,0 +1,160 @@
+"""Process-discovery aggregations: directly-follows graph, footprint
+matrix, heuristic/alpha-miner relations (reference capability roadmap,
+``src/lib.rs:11-22`` — DFGGenerator/FootprintGenerator/HeuristicMiner/
+AlphaMiner are declared consumers of the Log; no reference code exists,
+so these are Spark-native designs).
+
+Scale notes: the DFG is ONE window pass (shuffle on case_id) + one hash
+aggregation whose output is |activities|^2-bounded — tiny regardless of
+input scale. The footprint/alpha/heuristic layers operate on that tiny
+edge relation, so they broadcast/self-join for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from promi_spark.log import EventLog
+
+# Artificial endpoint activities (standard process-mining convention)
+START = "__START__"
+END = "__END__"
+
+
+def directly_follows(log: EventLog, with_endpoints: bool = False) -> DataFrame:
+    """DFG edge list: (activity, next_activity, n) per adjacent pair
+    within each trace, ordered by ``seq``.
+
+    ``lead`` over the per-case window; with_endpoints adds START->first
+    and last->END edges (needed by alpha/heuristic miners).
+    """
+    w = Window.partitionBy("case_id").orderBy("seq")
+    pairs = (
+        log.trace_events()
+        .withColumn("next_activity", F.lead("activity").over(w))
+    )
+    if with_endpoints:
+        firsts = (
+            log.trace_events()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.lit(START).alias("activity"), F.col("activity").alias("next_activity"))
+        )
+        lasts = pairs.filter(F.col("next_activity").isNull()).select(
+            F.col("activity"), F.lit(END).alias("next_activity")
+        )
+        edges = (
+            pairs.filter(F.col("next_activity").isNotNull())
+            .select("activity", "next_activity")
+            .unionByName(firsts)
+            .unionByName(lasts)
+        )
+    else:
+        edges = pairs.filter(F.col("next_activity").isNotNull()).select(
+            "activity", "next_activity"
+        )
+    return edges.groupBy("activity", "next_activity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def footprint(log: EventLog) -> DataFrame:
+    """Footprint matrix over the activity alphabet: for each (a, b)
+    relation in {'->', '<-', '||', '#'} (van der Aalst footprint):
+    a->b iff a directly-follows b and not b directly-follows a; '||' if
+    both; '#' if neither. Full cross of the alphabet (tiny) left-joined
+    against the DFG edge set.
+    """
+    dfg = directly_follows(log).select("activity", "next_activity")
+    acts = log.trace_events().select("activity").distinct()
+    pairs = acts.select(F.col("activity").alias("a")).crossJoin(
+        acts.select(F.col("activity").alias("b"))
+    )
+    ab = dfg.select(
+        F.col("activity").alias("a"), F.col("next_activity").alias("b"),
+        F.lit(True).alias("ab"),
+    )
+    ba = dfg.select(
+        F.col("next_activity").alias("a"), F.col("activity").alias("b"),
+        F.lit(True).alias("ba"),
+    )
+    m = (
+        pairs.join(F.broadcast(ab), ["a", "b"], "left")
+        .join(F.broadcast(ba), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.when(F.col("ab").isNotNull() & F.col("ba").isNotNull(), "||")
+            .when(F.col("ab").isNotNull(), "->")
+            .when(F.col("ba").isNotNull(), "<-")
+            .otherwise("#")
+            .alias("relation"),
+        )
+    )
+    return m
+
+
+def heuristic_dependency(log: EventLog) -> DataFrame:
+    """Heuristic-miner dependency measure per ordered pair:
+    ``(|a>b| - |b>a|) / (|a>b| + |b>a| + 1)`` (Weijters et al. 2006,
+    public formulation). Computed on the tiny DFG relation via a full
+    outer self-join on the reversed edge."""
+    dfg = directly_follows(log)
+    fwd = dfg.select(
+        F.col("activity").alias("a"), F.col("next_activity").alias("b"),
+        F.col("n").alias("n_ab"),
+    )
+    rev = dfg.select(
+        F.col("next_activity").alias("a"), F.col("activity").alias("b"),
+        F.col("n").alias("n_ba"),
+    )
+    return (
+        fwd.join(rev, ["a", "b"], "full_outer")
+        .select(
+            "a",
+            "b",
+            F.coalesce("n_ab", F.lit(0)).alias("n_ab"),
+            F.coalesce("n_ba", F.lit(0)).alias("n_ba"),
+        )
+        .withColumn(
+            "dependency",
+            (F.col("n_ab") - F.col("n_ba"))
+            / (F.col("n_ab") + F.col("n_ba") + F.lit(1)),
+        )
+    )
+
+
+def activity_stats(log: EventLog) -> DataFrame:
+    """Per-activity frequency profile (the DFG's node weights): count,
+    distinct cases, first/last occurrence."""
+    return (
+        log.df.groupBy("activity")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("case_id").alias("n_cases"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def trace_variants(log: EventLog) -> DataFrame:
+    """Trace variants: the ordered activity sequence per case, grouped
+    and counted — the canonical process-mining 'variant explorer'.
+    ``sort_array`` over (seq, activity) structs keeps collect_list
+    deterministic."""
+    per_case = (
+        log.trace_events()
+        .groupBy("case_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq", "activity"))),
+                    lambda s: s.getField("activity"),
+                ),
+                ",",
+            ).alias("variant")
+        )
+    )
+    return per_case.groupBy("variant").agg(F.count(F.lit(1)).alias("n_cases"))

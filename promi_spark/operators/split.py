@@ -1,0 +1,81 @@
+"""Seeded train/test split + Bernoulli sampling (reference
+``src/stream/split.rs:18-144``).
+
+The reference draws ``coin ~ Open01`` from a seeded PCG-64 *per
+component* — one coin per trace, one per standalone event — and routes
+``coin > ratio`` to the test sink (``split.rs:56-83``). ``Sample`` is a
+split whose test side is discarded (``split.rs:121-144``).
+
+PCG-64 bit-parity is not reproducible inside Spark's expression engine,
+and the reference's own acceptance test is *statistical* (ratio within
+1.5e-2 over seeds, ``split.rs:221-222``), so we adopt a stronger
+property: a **cross-engine deterministic hash coin**. The coin is the
+first 8 hex digits of ``md5(key || ':' || seed)`` compared against
+``floor(ratio * 16^8)`` in hex — identical in any engine with a
+standard md5 (Spark, DuckDB, Python), independent of row order and
+partitioning, and stable under re-execution (crucial at 100 TB where
+retried tasks must route rows identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from promi_spark.log import EventLog
+
+HEX_SPACE = 16**8
+
+
+def hex_threshold(ratio: float) -> str:
+    """ratio in [0,1] -> 8-hex-digit threshold string.
+
+    ratio >= 1 returns "g" (sorts after every hex digit) so the
+    lexicographic compare keeps everything — format(16^8, 'x') would be
+    9 chars and sort *before* "ffffffff".
+    """
+    t = max(int(ratio * HEX_SPACE), 0)
+    if t >= HEX_SPACE:
+        return "g"
+    return format(t, "08x")
+
+
+def coin_hex(key: Column, seed: int) -> Column:
+    """The deterministic 8-hex-digit coin for a component key."""
+    return F.substring(F.md5(F.concat_ws(":", key, F.lit(str(seed)))), 1, 8)
+
+
+def _component_key() -> Column:
+    """One coin per *component*: the trace key for in-trace events (so a
+    whole trace lands on one side), the event itself when standalone —
+    mirroring the reference's per-component draw (Meta goes to both
+    sides, which here is the out-of-band meta object)."""
+    return F.coalesce(
+        F.concat(F.lit("t:"), F.col("case_id")),
+        F.concat(F.lit("e:"), F.col("seq").cast("string"), F.lit("@"),
+                 F.col("ts").cast("string")),
+    )
+
+
+def split(
+    log: EventLog, ratio: float, seed: int = 0, key: Column | None = None
+) -> tuple[EventLog, EventLog]:
+    """(train, test): coin <= ratio -> train, else test.
+
+    Purely narrow (no shuffle): each row computes its own coin. The
+    md5+compare runs in whole-stage codegen.
+    """
+    coin = coin_hex(key if key is not None else _component_key(), seed)
+    thresh = F.lit(hex_threshold(ratio))
+    train = log.with_df(log.df.filter(coin < thresh))
+    test = log.with_df(log.df.filter(coin >= thresh))
+    return train, test
+
+
+def sample(
+    log: EventLog, ratio: float, seed: int = 0, key: Column | None = None
+) -> EventLog:
+    """Bernoulli keep-ratio sampling = split with the test side voided
+    (reference ``split.rs:121-144``)."""
+    train, _ = split(log, ratio, seed=seed, key=key)
+    return train

@@ -1,0 +1,67 @@
+"""Statistics aggregation (reference ``src/stream/stats.rs:64-141``).
+
+The reference's ``StatsCollector`` streams once over the log keeping a
+per-trace event-count vector plus a total event counter, and releases a
+``Statistics`` artifact with ``counts() = [n_traces, n_events_in_traces,
+n_events_total]`` at end-of-stream (standalone events = total − in-trace,
+``stats.rs:104``).
+
+Spark-first: both products are single hash aggregations — partial
+(map-side) + final, one shuffle. The per-trace vector stays distributed
+(a DataFrame keyed by case_id); only the 3-counter summary is collected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from promi_spark.log import EventLog
+
+
+@dataclass
+class Statistics:
+    """The artifact (reference ``stats.rs:24-62``)."""
+
+    n_traces: int
+    n_events_in_traces: int
+    n_events_total: int
+
+    def counts(self) -> list[int]:
+        return [self.n_traces, self.n_events_in_traces, self.n_events_total]
+
+    @property
+    def n_standalone_events(self) -> int:
+        return self.n_events_total - self.n_events_in_traces
+
+
+def stats_df(log: EventLog) -> DataFrame:
+    """The counts as a 1-row DataFrame (keeps the pipeline lazy)."""
+    return log.df.agg(
+        F.count_distinct(F.col("case_id")).alias("n_traces"),
+        F.count(F.col("case_id")).alias("n_events_in_traces"),
+        F.count(F.lit(1)).alias("n_events_total"),
+    )
+
+
+def per_trace_counts(log: EventLog) -> DataFrame:
+    """Per-trace event-count vector (reference keeps Vec<usize>;
+    distributed here)."""
+    return (
+        log.trace_events()
+        .groupBy("case_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def collect_statistics(log: EventLog) -> Statistics:
+    """Run the aggregation (the artifact-release action,
+    reference ``observer.rs:44-47``)."""
+    row = stats_df(log).collect()[0]
+    return Statistics(
+        n_traces=row["n_traces"],
+        n_events_in_traces=row["n_events_in_traces"],
+        n_events_total=row["n_events_total"],
+    )

@@ -1,0 +1,165 @@
+"""P0/P1 core: schema adaptation, stats, filters, split — checked
+against DuckDB on the same parquet (the driver's oracle pattern)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from promi_spark.operators import stats
+from promi_spark.operators.filters import (
+    Concept,
+    TimeFilters,
+    classifier_column,
+    cnf,
+    filter_events,
+    filter_traces,
+)
+from promi_spark.operators.split import hex_threshold, sample, split
+
+
+def test_schema_has_canonical_columns(event_log):
+    for col in ["case_id", "seq", "activity", "ts", "attrs"]:
+        assert col in event_log.df.columns
+
+
+def test_seq_is_dense_per_case(event_log):
+    agg = (
+        event_log.trace_events()
+        .groupBy("case_id")
+        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.count("*").alias("n"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+    )
+    assert agg.count() == 0
+
+
+def test_statistics_matches_duckdb(event_log, duck):
+    s = stats.collect_statistics(event_log)
+    n_traces, n_events = duck.execute(
+        "SELECT count(DISTINCT user_id), count(*) FROM events"
+    ).fetchone()
+    assert s.n_traces == n_traces
+    assert s.n_events_total == n_events
+    assert s.n_standalone_events == 0
+
+
+def test_filter_eq_matches_duckdb(event_log, duck):
+    got = filter_events(event_log, Concept.name_eq("purchase")).df.count()
+    (want,) = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()
+    assert got == want
+
+
+def test_filter_in_and_match(event_log, duck):
+    got = filter_events(event_log, Concept.name_in(["click", "view"])).df.count()
+    (want,) = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type IN ('click','view')"
+    ).fetchone()
+    assert got == want
+    got = filter_events(event_log, Concept.name_match("^(sign|err)")).df.count()
+    (want,) = duck.execute(
+        "SELECT count(*) FROM events WHERE regexp_matches(event_type, '^(sign|err)')"
+    ).fetchone()
+    assert got == want
+
+
+def test_strict_filter_raises_on_missing(event_log):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    log = event_log.with_df(
+        event_log.df.withColumn(
+            "activity", F.when(F.col("seq") > 2, F.col("activity"))
+        )
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, SparkRuntimeException, Exception)):
+        filter_events(log, Concept.name_eq("purchase", lenient=False)).df.count()
+
+
+def test_cnf_and_of_ors(event_log, duck):
+    got = cnf(
+        event_log.df,
+        [
+            [Concept.name_eq("purchase"), Concept.name_eq("click")],
+            [F.col("value") > 50],
+        ],
+    ).count()
+    (want,) = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type IN ('purchase','click') AND value > 50"
+    ).fetchone()
+    assert got == want
+
+
+def test_empty_disjunction_is_false(event_log):
+    assert cnf(event_log.df, [[]]).count() == 0
+
+
+def test_trace_scope_filter_both_strategies_agree(event_log, duck):
+    cond = Concept.name_eq("error")
+    a = filter_traces(event_log, cond, how="window").df.count()
+    b = filter_traces(event_log, cond, how="semijoin").df.count()
+    (want,) = duck.execute(
+        "SELECT count(*) FROM events WHERE user_id IN "
+        "(SELECT user_id FROM events WHERE event_type = 'error')"
+    ).fetchone()
+    assert a == b == want
+
+
+def test_time_filters(event_log, duck):
+    got = filter_events(
+        event_log, TimeFilters.before(F.col("ts"), "2024-01-10 00:00:00")
+    ).df.count()
+    (want,) = duck.execute(
+        "SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'"
+    ).fetchone()
+    assert got == want
+
+
+def test_classifier_column(event_log):
+    df = event_log.df.withColumn(
+        "cls", classifier_column(["activity", "case_id"])
+    )
+    row = df.filter(F.col("case_id").isNotNull()).select("cls").first()
+    assert " " in row["cls"]
+
+
+def test_split_is_partition_and_deterministic(event_log):
+    train, test = split(event_log, 0.8, seed=0)
+    n, tr, te = event_log.df.count(), train.df.count(), test.df.count()
+    assert tr + te == n
+    assert abs(tr / n - 0.8) < 0.25  # only 15 cases at sf0.001; coarse
+    train2, _ = split(event_log, 0.8, seed=0)
+    assert train2.df.count() == tr
+    # whole traces land on one side
+    overlap = train.df.select("case_id").intersect(test.df.select("case_id"))
+    assert overlap.count() == 0
+
+
+def test_split_ratio_statistical(spark):
+    """Reference acceptance: mean ratio within tolerance over seeds
+    (split.rs:221-222) — here at event granularity for resolution."""
+    from promi_spark.log import EventLog
+
+    df = spark.range(20000).select(
+        F.col("id").cast("string").alias("case_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("a").alias("activity"),
+        F.current_timestamp().alias("ts"),
+    )
+    log = EventLog.from_events(df)
+    ratios = []
+    for seed in range(5):
+        tr, _ = split(log, 0.3, seed=seed)
+        ratios.append(tr.df.count() / 20000)
+    mean = sum(ratios) / len(ratios)
+    assert abs(mean - 0.3) / 0.3 < 1.5e-2
+
+
+def test_sample_equals_train_side(event_log):
+    train, _ = split(event_log, 0.5, seed=3)
+    assert sample(event_log, 0.5, seed=3).df.count() == train.df.count()
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) > "ffffffff"  # keep-all sorts after any coin
+    assert hex_threshold(0.5) == "80000000"

@@ -1,0 +1,95 @@
+"""DFG / footprint / heuristic miner / variants vs DuckDB oracles."""
+
+import pyspark.sql.functions as F
+
+from promi_spark.operators.dfg import (
+    END,
+    START,
+    activity_stats,
+    directly_follows,
+    footprint,
+    heuristic_dependency,
+    trace_variants,
+)
+from promi_spark.operators.validate import chronology_violations
+
+DFG_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS activity, nxt AS next_activity, count(*) AS n
+FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def test_dfg_matches_duckdb(event_log, duck):
+    got = {
+        (r["activity"], r["next_activity"]): r["n"]
+        for r in directly_follows(event_log).collect()
+    }
+    want = {(a, b): n for a, b, n in duck.execute(DFG_SQL).fetchall()}
+    assert got == want
+
+
+def test_dfg_endpoints(event_log):
+    dfg = directly_follows(event_log, with_endpoints=True)
+    n_traces = event_log.traces().count()
+    starts = dfg.filter(F.col("activity") == START).agg(F.sum("n")).collect()[0][0]
+    ends = dfg.filter(F.col("next_activity") == END).agg(F.sum("n")).collect()[0][0]
+    assert starts == n_traces and ends == n_traces
+
+
+def test_footprint_complete_and_consistent(event_log):
+    fp = footprint(event_log).collect()
+    acts = {r["a"] for r in fp}
+    assert len(fp) == len(acts) ** 2
+    rel = {(r["a"], r["b"]): r["relation"] for r in fp}
+    for (a, b), r in rel.items():
+        mirror = rel[(b, a)]
+        assert {r, mirror} in ({"->", "<-"}, {"||"}, {"#"})
+
+
+def test_heuristic_dependency_antisymmetric(event_log):
+    rows = heuristic_dependency(event_log).collect()
+    dep = {(r["a"], r["b"]): r["dependency"] for r in rows}
+    for (a, b), d in dep.items():
+        if (b, a) in dep:
+            assert abs(d + dep[(b, a)]) < 1e-12
+
+
+def test_activity_stats(event_log, duck):
+    got = {
+        r["activity"]: (r["n_events"], r["n_cases"])
+        for r in activity_stats(event_log).collect()
+    }
+    for act, n_ev, n_cases in duck.execute(
+        "SELECT event_type, count(*), count(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall():
+        assert got[act] == (n_ev, n_cases)
+
+
+def test_trace_variants_counts(event_log):
+    tv = trace_variants(event_log)
+    assert tv.agg(F.sum("n_cases")).collect()[0][0] == event_log.traces().count()
+
+
+def test_chronology_clean(event_log):
+    # seq was assigned ordered by ts, so no violations by construction
+    assert chronology_violations(event_log).count() == 0
+
+
+def test_chronology_detects_violation(spark):
+    from promi_spark.log import EventLog
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "a", "2024-01-01 10:00:00"),
+            ("c1", 1, "b", "2024-01-01 09:00:00"),  # goes back in time
+        ],
+        "case_id string, seq long, activity string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    log = EventLog.from_events(df)
+    v = chronology_violations(log).collect()
+    assert len(v) == 1 and v[0]["seq"] == 1
