@@ -1,0 +1,89 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query is forced with a count() (no driver-side materialization of
+result rows beyond the aggregate) after a warm-up pass builds the scans'
+file indexes; timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (SURVEY §2) — filters, stats,
+# windows/validation, DFG mining, split, relational joins, dedup, text,
+# similarity.
+HEADLINE = [
+    "stats_counts",
+    "filter_concept_in",
+    "filter_trace_scope",
+    "cnf_filter",
+    "event_gaps",
+    "chronology_violations_injected",
+    "dfg_endpoints",
+    "trace_variants",
+    "heuristic_dependency",
+    "split_train",
+    "tpch_q1",
+    "tpch_q6",
+    "revenue_by_nation",
+    "order_priority_counts",
+    "dedup_exact_docs",
+    "minhash_near_dups",
+    "text_quality",
+    "lang_id_docs",
+    "knn_cosine",
+]
+
+
+def main() -> int:
+    from promi_spark.queries import QUERIES
+    from promi_spark.session import get_spark
+
+    spark = get_spark("promi_spark_bench")
+
+    sf = None
+    try:
+        import re
+
+        m = re.search(r"sf([\d.]+)", SF_DIR)
+        sf = float(m.group(1).rstrip(".")) if m else None
+    except Exception:
+        pass
+
+    # Warm-up: JVM + parquet footer reads, not counted.
+    QUERIES["stats_counts"][0](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,334 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Not in the reference (whose only sampling-ish op is Split,
+``src/stream/split.rs``); these are the training-data-pipeline
+operators this engine adds as first-class citizens.
+
+Scale design: every variant is shuffle-bounded by the *candidate* set,
+never all-pairs. Exact dedup is one hash aggregation. MinHash/LSH
+shuffles once on the doc key (signature build) and once on band-bucket
+keys; only same-bucket pairs are verified. All hashing uses
+``xxhash64`` with fixed seeds — deterministic across runs/retries,
+which matters when a 100 TB job re-executes a lost partition.
+
+Expression-shape note (hard-won): signatures must NOT be built as a
+nested higher-order-function loop over the shingle expression —
+``transform(sequence(0,63), i -> array_min(transform(shingles, ...)))``
+re-evaluates the whole shingle subtree (regex split + slices +
+array_join) per outer iteration on the *interpreted* (CodegenFallback)
+HOF path: observed ~1 s/row at 300 chars/doc. Instead we explode
+shingles to rows and aggregate ``min(xxhash64(shingle, seed_i))`` per
+doc — every expression stays in whole-stage codegen, partial (map-side)
+aggregation collapses each partition to one row per doc before the
+shuffle, and the shuffle payload is just docs × num_hashes longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from promi_spark.operators.text import tokens
+
+
+def _norm(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-key representative per identical (normalized) text.
+
+    One hash aggregation (partial map-side combine, single shuffle on
+    the md5 fingerprint). Returns (fp, keep_id, n_dups).
+    """
+    return df.groupBy(F.md5(_norm(text_col)).alias("fp")).agg(
+        F.min(key_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def shingle_arrays(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(k, sh): distinct word n-gram shingles per document.
+
+    Two-step projection on purpose: ``toks`` is materialized as its own
+    column first and referenced several times by the shingle expression,
+    so CollapseProject keeps the boundary and the regex tokenization
+    runs once per row (not once per shingle).
+    """
+    toks_df = df.select(
+        F.col(key_col).alias("k"), tokens(_norm(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+    )
+    return toks_df.select("k", sh.alias("sh"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(k, sig): MinHash signature per document, element ``i`` =
+    ``min(xxhash64(shingle, i))``.
+
+    explode → hash → groupBy(k) with ``num_hashes`` unrolled MIN
+    aggregates: all codegen, map-side combine, one shuffle keyed on the
+    doc id carrying 64 longs per doc.
+    """
+    rows = shingle_arrays(df, key_col, text_col, shingle_n).select(
+        "k", F.explode("sh").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        rows.groupBy("k")
+        .agg(*aggs)
+        .select("k", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def band_buckets(sig_col: Column, num_hashes: int, bands: int) -> Column:
+    """Array of ``bands`` bucket ids: xxhash64 over (band index, the
+    band's signature slice). Cheap — operates on a materialized
+    64-element array attribute, never on an expression subtree."""
+    rows = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(b, F.slice(sig_col, b * rows + 1, rows)),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash
+    signature. Returns (a, b) with a < b, distinct.
+
+    Plan shape: signature build (one doc-key shuffle) → explode to
+    ``bands`` rows/doc → shuffle on (band, bucket) → within-bucket
+    equi-join. Bucket sizes are the skew risk at scale; the band hash
+    includes the band index so buckets stay spread across partitions,
+    and AQE skew-join splits pathological buckets.
+    """
+    sigs = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "k",
+        F.posexplode(band_buckets(F.col("sig"), num_hashes, bands)).alias(
+            "band", "bucket"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard(a_shingles: Column, b_shingles: Column) -> Column:
+    """Exact Jaccard over shingle arrays (verification step)."""
+    inter = F.size(F.array_intersect(a_shingles, b_shingles))
+    union = F.size(F.array_union(a_shingles, b_shingles))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard
+    >= threshold. Returns (a, b, jaccard_sim). The verify join touches
+    only candidate keys — the full corpus is scanned once for shingles."""
+    cands = minhash_candidates(df, key_col, text_col, num_hashes, bands, shingle_n)
+    sh = shingle_arrays(df, key_col, text_col, shingle_n)
+    return (
+        cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
+        .select(
+            "a",
+            "b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate pair set
+    (a, b) — the verification primitive exposed standalone."""
+    sh = shingle_arrays(df, key_col, text_col, n)
+    return (
+        pairs.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
+        .select(
+            "a",
+            "b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_bits_df(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(k, bits): SimHash bit array per document — bit ``i`` is the sign
+    of the sum over tokens of ±1 votes from token-hash bit ``i``.
+
+    Same explode → groupBy shape as MinHash: 64 unrolled SUM aggregates
+    in codegen with map-side combine; no interpreted HOF loops.
+    """
+    tok_rows = df.select(
+        F.col(key_col).alias("k"), F.explode(tokens(_norm(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    bit_arr = F.array(
+        *[
+            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    return tok_rows.groupBy("k").agg(*aggs).select("k", bit_arr.alias("bits"))
+
+
+def simhash_hex(bits_col: Column, bits: int = 64, chunk: int = 16) -> Column:
+    """Pack the bit array into a hex string, ``chunk`` bits at a time
+    (Horner within each chunk keeps values < 2^16 — no long overflow,
+    safe under ANSI mode). Cheap: runs over a materialized bit-array
+    attribute."""
+    n_chunks = bits // chunk
+    parts = [
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.aggregate(
+                        F.slice(bits_col, c * chunk + 1, chunk),
+                        F.lit(0).cast("long"),
+                        lambda acc, b: acc * 2 + b,
+                    )
+                )
+            ),
+            chunk // 4,
+            "0",
+        )
+        for c in range(n_chunks)
+    ]
+    return F.concat(*parts)
+
+
+def simhash_signatures(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, simhash hex string) per document."""
+    return simhash_bits_df(df, key_col, text_col).select(
+        F.col("k").alias(key_col), simhash_hex(F.col("bits")).alias("simhash")
+    )
+
+
+def hamming(a_bits: Column, b_bits: Column) -> Column:
+    """Hamming distance between two bit arrays."""
+    return F.aggregate(
+        F.zip_with(a_bits, b_bits, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Hamming-near candidate pairs: docs sharing any 16-bit chunk of
+    the signature (full recall for hamming distance < bands). Optional
+    exact hamming verification when ``max_hamming`` is set."""
+    chunk = 64 // bands
+    bits_df = simhash_bits_df(df, key_col, text_col)
+    banded = bits_df.select(
+        "k",
+        "bits",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice(F.col("bits"), b * chunk + 1, chunk)),
+            )
+        ).alias("band", "chunk_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            hamming(F.col("a.bits"), F.col("b.bits")).alias("hamming"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs

@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only string ops are regex match /
+replace, ``src/stream/extension/concept.rs:93-101``,
+``src/stream/repair.rs:27``): language-ID, quality scoring, token
+counting, and document fingerprinting over a ``documents`` table.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` — no
+Python UDFs — so they run in whole-stage codegen and scale linearly:
+one narrow pass, no shuffle, filter/projection pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and deterministic; real deployments
+# would swap in fastText-style models via mapInPandas.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "que", "pour"],
+}
+
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation ranges
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization. ``split`` on ``\\s+`` after trim; empty
+    text yields a single empty token in both Spark and DuckDB, so
+    callers guard with ``length(trim(text)) > 0``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-like proxy count: word pieces of <=4 chars. Splits words
+    longer than 4 chars into ceil(len/4) pieces — a deterministic,
+    vocabulary-free approximation of subword token counts (the real
+    tokenizer is a Pandas-UDF swap-in)."""
+    c = F.col(col) if isinstance(col, str) else col
+    per_word = F.transform(
+        tokens(c), lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+    )
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """ASCII-punctuation chars / total chars (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_RE, ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """Occurrences of any of ``words`` as whole tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(1)))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality profile: char/token counts, mean token
+    length, punctuation ratio, stopword ratio. One narrow projection."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_alpha = F.length(F.regexp_replace(t, r"\s", ""))
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                n_alpha.cast("double") / n_tok
+            ),
+            4,
+        ).alias("mean_token_len"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                stopword_hits(t, STOPWORDS["en"]).cast("double") / n_tok
+            ),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword list hits
+    most tokens wins ('und' = undetermined on all-zero). Deterministic
+    tie-break by language code order. Pure built-ins — the per-language
+    hit counters are independent regexp scans fused in one codegen stage."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        (code, stopword_hits(t, words)) for code, words in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.when(best == 0, F.lit("und"))
+    for code, s in scores:  # first max wins -> deterministic
+        pred = pred.when(s == best, F.lit(code))
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text — the exact-dedup key (a cheap stand-in for a rolling Rabin
+    hash; stable across engines for oracle checks)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,832 @@
+"""The driver-facing query inventory: every SURVEY §2 operator exposed
+as a named (spark_query, oracle_sql) pair.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the paired SQL string computes the same result in DuckDB over the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/aliases match
+exactly; floating-point outputs are rounded identically on both sides;
+timestamps cross the engine boundary as unix microseconds (exact
+integers) to dodge timezone/precision representation drift.
+
+Oracle-less entries (``sql=None``) are the genuinely cross-engine-
+inexpressible ops (xxhash64-based MinHash/SimHash, hyperplane LSH) —
+the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from promi_spark.io import load_event_log, load_table
+from promi_spark.log import EventLog
+from promi_spark.operators import dedup, similarity, text
+from promi_spark.operators.dfg import (
+    activity_stats,
+    directly_follows,
+    footprint,
+    heuristic_dependency,
+    trace_variants,
+)
+from promi_spark.operators.filters import (
+    Concept,
+    classifier_column,
+    cnf,
+    filter_events,
+    filter_traces,
+)
+from promi_spark.operators.split import sample, split
+from promi_spark.operators.stats import stats_df
+from promi_spark.operators.validate import chronology_violations, global_violations
+from promi_spark.schema import Global, Meta
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _log(spark: SparkSession, sf_dir: str) -> EventLog:
+    return load_event_log(spark, sf_dir)
+
+
+# The DuckDB mirror of the event-log lens (io.load_event_log): user_id
+# becomes the case, seq by (ts, event_id) within case.
+EV = """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS case_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS seq,
+         event_type AS activity,
+         ts, event_id, value, props
+  FROM events
+)
+"""
+
+# ---------------------------------------------------------------------------
+# A1/A3/A4 — statistics & aggregation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "stats_counts",
+    """
+    SELECT count(DISTINCT user_id) AS n_traces,
+           count(user_id) AS n_events_in_traces,
+           count(*) AS n_events_total
+    FROM events
+    """,
+)
+def q_stats_counts(spark, sf_dir):
+    return stats_df(_log(spark, sf_dir))
+
+
+@q(
+    "per_trace_counts",
+    EV
+    + "SELECT case_id, count(*) AS n_events FROM ev GROUP BY case_id",
+)
+def q_per_trace_counts(spark, sf_dir):
+    from promi_spark.operators.stats import per_trace_counts
+
+    return per_trace_counts(_log(spark, sf_dir))
+
+
+@q(
+    "trace_intervals",
+    EV
+    + """
+    SELECT case_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+    FROM ev GROUP BY case_id
+    """,
+)
+def q_trace_intervals(spark, sf_dir):
+    return (
+        _log(spark, sf_dir)
+        .trace_events()
+        .groupBy("case_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+    )
+
+
+@q(
+    "classifier_counts",
+    """
+    SELECT event_type || ' ' || CAST(user_id AS VARCHAR) AS cls,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_classifier_counts(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    return (
+        log.df.select(classifier_column(["activity", "case_id"]).alias("cls"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "activity_stats",
+    """
+    SELECT event_type AS activity, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_cases,
+           epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+    FROM events GROUP BY 1
+    """,
+)
+def q_activity_stats(spark, sf_dir):
+    return activity_stats(_log(spark, sf_dir)).select(
+        "activity",
+        "n_events",
+        "n_cases",
+        F.unix_micros("first_ts").alias("first_us"),
+        F.unix_micros("last_ts").alias("last_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1–F7 — filter algebra
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "filter_concept_eq",
+    EV
+    + "SELECT event_id, case_id, seq, activity, value FROM ev WHERE activity = 'purchase'",
+)
+def q_filter_concept_eq(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    return filter_events(log, Concept.name_eq("purchase")).df.select(
+        "event_id", "case_id", "seq", "activity", "value"
+    )
+
+
+@q(
+    "filter_concept_in",
+    EV
+    + "SELECT event_id, activity FROM ev WHERE activity IN ('click', 'view')",
+)
+def q_filter_concept_in(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    return filter_events(log, Concept.name_in(["click", "view"])).df.select(
+        "event_id", "activity"
+    )
+
+
+@q(
+    "filter_concept_match",
+    EV
+    + "SELECT event_id, activity FROM ev WHERE regexp_matches(activity, '^(sign|err)')",
+)
+def q_filter_concept_match(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    return filter_events(log, Concept.name_match("^(sign|err)")).df.select(
+        "event_id", "activity"
+    )
+
+
+@q(
+    "filter_time_contained",
+    """
+    SELECT event_id, event_type AS activity, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q_filter_time_contained(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    cond = (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp")
+    )
+    return filter_events(log, cond).df.select(
+        "event_id", "activity", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@q(
+    "filter_trace_scope",
+    EV
+    + """
+    SELECT event_id, case_id, activity FROM ev
+    WHERE case_id IN (SELECT case_id FROM ev WHERE activity = 'error')
+    """,
+)
+def q_filter_trace_scope(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    return filter_traces(log, Concept.name_eq("error")).df.select(
+        "event_id", "case_id", "activity"
+    )
+
+
+@q(
+    "cnf_filter",
+    EV
+    + """
+    SELECT event_id, activity, value FROM ev
+    WHERE activity IN ('purchase', 'click') AND value > 50
+    """,
+)
+def q_cnf_filter(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    out = cnf(
+        log.df,
+        [
+            [Concept.name_eq("purchase"), Concept.name_eq("click")],
+            [F.col("value") > 50],
+        ],
+    )
+    return out.select("event_id", "activity", "value")
+
+
+# ---------------------------------------------------------------------------
+# W1–W3 / V1 — windows & validation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "event_gaps",
+    EV
+    + """
+    , lagged AS (
+      SELECT activity,
+             lag(activity) OVER (PARTITION BY case_id ORDER BY seq) AS prev_activity,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY case_id ORDER BY seq)) AS gap_us
+      FROM ev
+    )
+    SELECT prev_activity, activity, count(*) AS n,
+           round(avg(gap_us), 2) AS avg_gap_us
+    FROM lagged WHERE prev_activity IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_gaps(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    w = Window.partitionBy("case_id").orderBy("seq")
+    gaps = log.trace_events().select(
+        F.lag("activity").over(w).alias("prev_activity"),
+        F.col("activity"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return (
+        gaps.filter(F.col("prev_activity").isNotNull())
+        .groupBy("prev_activity", "activity")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("gap_us"), 2).alias("avg_gap_us"),
+        )
+    )
+
+
+@q(
+    "chronology_violations",
+    EV
+    + """
+    , lagged AS (
+      SELECT case_id, seq, ts,
+             lag(ts) OVER (PARTITION BY case_id ORDER BY seq) AS prev_ts
+      FROM ev
+    )
+    SELECT case_id, seq FROM lagged
+    WHERE prev_ts IS NOT NULL AND ts < prev_ts
+    """,
+)
+def q_chronology_violations(spark, sf_dir):
+    return chronology_violations(_log(spark, sf_dir)).select("case_id", "seq")
+
+
+@q(
+    "chronology_violations_injected",
+    EV
+    + """
+    , corrupted AS (
+      SELECT case_id, seq,
+             CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 2 DAY ELSE ts END AS ts2
+      FROM ev
+    ), lagged AS (
+      SELECT case_id, seq, ts2,
+             lag(ts2) OVER (PARTITION BY case_id ORDER BY seq) AS prev
+      FROM corrupted
+    )
+    SELECT case_id, seq, epoch_us(ts2) AS ts_us, epoch_us(prev) AS prev_us
+    FROM lagged WHERE prev IS NOT NULL AND ts2 < prev
+    """,
+)
+def q_chronology_injected(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    corrupted = log.df.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 97 == 0, F.col("ts") - F.expr("INTERVAL 2 DAYS")
+        ).otherwise(F.col("ts")),
+    )
+    v = chronology_violations(log.with_df(corrupted))
+    return v.select(
+        "case_id",
+        "seq",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("prev_ts").alias("prev_us"),
+    )
+
+
+@q(
+    "validation_globals",
+    EV
+    + """
+    SELECT case_id, seq,
+           'event-global:concept:instance:missing' AS violation
+    FROM ev
+    """,
+)
+def q_validation_globals(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    meta = Meta(globals=[Global(scope="event", key="concept:instance")])
+    return global_violations(log, meta)
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 + miners — process discovery
+# ---------------------------------------------------------------------------
+
+_DFG_PAIRS = (
+    EV
+    + """
+    , pairs AS (
+      SELECT case_id, activity,
+             lead(activity) OVER (PARTITION BY case_id ORDER BY seq) AS nxt,
+             row_number() OVER (PARTITION BY case_id ORDER BY seq) AS rn
+      FROM ev
+    )
+"""
+)
+
+
+@q(
+    "dfg",
+    _DFG_PAIRS
+    + """
+    SELECT activity, nxt AS next_activity, count(*) AS n
+    FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_dfg(spark, sf_dir):
+    return directly_follows(_log(spark, sf_dir))
+
+
+@q(
+    "dfg_endpoints",
+    _DFG_PAIRS
+    + """
+    SELECT activity, next_activity, count(*) AS n FROM (
+      SELECT activity, nxt AS next_activity FROM pairs WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT '__START__' AS activity, activity AS next_activity FROM pairs WHERE rn = 1
+      UNION ALL
+      SELECT activity, '__END__' AS next_activity FROM pairs WHERE nxt IS NULL
+    ) GROUP BY 1, 2
+    """,
+)
+def q_dfg_endpoints(spark, sf_dir):
+    return directly_follows(_log(spark, sf_dir), with_endpoints=True)
+
+
+@q(
+    "footprint",
+    EV
+    + """
+    , d AS (
+      SELECT DISTINCT activity AS a, nxt AS b FROM (
+        SELECT activity,
+               lead(activity) OVER (PARTITION BY case_id ORDER BY seq) AS nxt
+        FROM ev
+      ) WHERE nxt IS NOT NULL
+    ), acts AS (SELECT DISTINCT activity AS x FROM ev),
+    allpairs AS (SELECT p.x AS a, r.x AS b FROM acts p CROSS JOIN acts r)
+    SELECT allpairs.a, allpairs.b,
+           CASE WHEN ab.a IS NOT NULL AND ba.a IS NOT NULL THEN '||'
+                WHEN ab.a IS NOT NULL THEN '->'
+                WHEN ba.a IS NOT NULL THEN '<-'
+                ELSE '#' END AS relation
+    FROM allpairs
+    LEFT JOIN d ab ON allpairs.a = ab.a AND allpairs.b = ab.b
+    LEFT JOIN d ba ON allpairs.a = ba.b AND allpairs.b = ba.a
+    """,
+)
+def q_footprint(spark, sf_dir):
+    return footprint(_log(spark, sf_dir))
+
+
+@q(
+    "heuristic_dependency",
+    _DFG_PAIRS
+    + """
+    , dfg AS (
+      SELECT activity AS a, nxt AS b, count(*) AS n
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT COALESCE(f.a, r.b) AS a, COALESCE(f.b, r.a) AS b,
+           COALESCE(f.n, 0) AS n_ab, COALESCE(r.n, 0) AS n_ba,
+           round((COALESCE(f.n, 0) - COALESCE(r.n, 0))
+                 / (COALESCE(f.n, 0) + COALESCE(r.n, 0) + 1.0), 6) AS dependency
+    FROM dfg f FULL OUTER JOIN dfg r ON f.a = r.b AND f.b = r.a
+    """,
+)
+def q_heuristic_dependency(spark, sf_dir):
+    out = heuristic_dependency(_log(spark, sf_dir))
+    return out.select("a", "b", "n_ab", "n_ba", F.round("dependency", 6).alias("dependency"))
+
+
+@q(
+    "trace_variants",
+    EV
+    + """
+    , v AS (
+      SELECT case_id, string_agg(activity, ',' ORDER BY seq) AS variant
+      FROM ev GROUP BY case_id
+    )
+    SELECT variant, count(*) AS n_cases FROM v GROUP BY variant
+    """,
+)
+def q_trace_variants(spark, sf_dir):
+    return trace_variants(_log(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — split & sample (cross-engine deterministic md5 coin)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "split_train",
+    EV
+    + """
+    SELECT event_id, case_id FROM ev
+    WHERE substring(md5('t:' || case_id || ':0'), 1, 8) < 'cccccccc'
+    """,
+)
+def q_split_train(spark, sf_dir):
+    train, _ = split(_log(spark, sf_dir), 0.8, seed=0)
+    return train.df.select("event_id", "case_id")
+
+
+@q(
+    "sample_events",
+    EV
+    + """
+    SELECT event_id, case_id FROM ev
+    WHERE substring(md5('t:' || case_id || ':7'), 1, 8) < '40000000'
+    """,
+)
+def q_sample_events(spark, sf_dir):
+    return sample(_log(spark, sf_dir), 0.25, seed=7).df.select(
+        "event_id", "case_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-style (joins, aggregations at scale)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(28,10)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(price_dec).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(
+                F.sum(price_dec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q6",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,10)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_counts(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@q(
+    "part_brand_volume",
+    """
+    SELECT p_brand,
+           round(sum(l_quantity), 2) AS total_qty,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_part_brand_volume(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_docs",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    return dedup.dedup_exact(load_table(spark, "documents", sf_dir))
+
+
+@q(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+@q(
+    "token_counts_docs",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_counts_docs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+@q(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|a|in|is|that|it|for)\b', 1)) AS sw
+      FROM documents
+    )
+    SELECT doc_id, length(text) AS n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_alpha / CAST(n_tokens AS DOUBLE) END, 4) AS mean_token_len,
+           round(CASE WHEN length(text) = 0 THEN 0.0 ELSE n_punct / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+           round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw / CAST(n_tokens AS DOUBLE) END, 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    return text.quality_scores(load_table(spark, "documents", sf_dir))
+
+
+@q(
+    "lang_id_docs",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|mit|den|ist|im)\b', 1)) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b', 1)) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|por|con|los)\b', 1)) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|en|un|du|que|pour)\b', 1)) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id_docs(spark, sf_dir):
+    return text.lang_id(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", F.round(similarity.l2_norm(v), 6).alias("l2")
+    )
+
+
+@q(
+    "knn_cosine",
+    """
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(CAST(embedding AS DOUBLE[]), q)
+                 / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(q, q))), 6) AS cosine_sim
+    FROM embeddings, qv
+    WHERE vec_id <> 0
+      AND round(list_inner_product(CAST(embedding AS DOUBLE[]), q)
+                / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                   * sqrt(list_inner_product(q, q))), 6) >= 0.1
+    """,
+)
+def q_knn_cosine(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    scored = similarity.cosine_scores(emb.filter(F.col("vec_id") != 0), list(qvec))
+    return scored.filter(F.col("cosine_sim") >= 0.1)
+
+
+# Oracle-less (rows-only) entries: xxhash64 / hyperplane ops that DuckDB
+# cannot reproduce. The driver records a weaker rows-only check.
+
+
+@q("minhash_near_dups", None)
+def q_minhash_near_dups(spark, sf_dir):
+    return dedup.minhash_dedup(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )
+
+
+@q("simhash_signatures", None)
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash_signatures(load_table(spark, "documents", sf_dir))
+
+
+@q("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ann_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, bits=6
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
