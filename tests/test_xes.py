@@ -1,0 +1,160 @@
+"""XES reader/writer tests against the reference's own fixture corpus
+(read-only at /root/reference/static/xes/) — golden counts, corpus
+parse classes, and round-trip convergence (reference test strategy:
+stats.rs:177-200, xes.rs:899-1005)."""
+
+import glob
+import os
+
+import pytest
+
+CORPUS = "/root/reference/static/xes"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference corpus not available"
+)
+
+# Golden [traces, in-trace events, total events] triples
+# (reference src/stream/stats.rs:178-186)
+GOLDEN = {
+    "L1.xes": (6, 23, 23),
+    "L2.xes": (13, 80, 80),
+    "L3.xes": (4, 39, 39),
+    "L4.xes": (147, 441, 441),
+    "L5.xes": (14, 92, 92),
+    "bigger-example.xes": (1391, 7539, 7539),
+}
+
+
+@pytest.fixture(scope="module")
+def golden_logs(spark):
+    from promi_spark.io.xes import read_xes
+
+    return {
+        name: read_xes(spark, f"{CORPUS}/book/{name}") for name in GOLDEN
+    }
+
+
+@pytest.mark.parametrize("name", list(GOLDEN))
+def test_golden_counts(golden_logs, name):
+    from promi_spark.io.xes import log_counts
+
+    assert log_counts(golden_logs[name]) == GOLDEN[name]
+
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(f"{CORPUS}/correct/*.xes"))
+)
+def test_correct_corpus_parses(path):
+    from promi_spark.io.xes import parse_xes
+
+    parse_xes(path)  # must not raise
+
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(f"{CORPUS}/recoverable/*.xes"))
+)
+def test_recoverable_corpus_parses(path):
+    from promi_spark.io.xes import parse_xes
+
+    parse_xes(path)  # must not raise (reference xes.rs:899-903)
+
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(f"{CORPUS}/non_parsing/*.xes"))
+)
+def test_non_parsing_corpus_fails(path):
+    from promi_spark.io.xes import XesParseError, parse_xes
+
+    with pytest.raises(XesParseError):
+        parse_xes(path)
+
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(f"{CORPUS}/non_validating/*.xes"))
+)
+def test_non_validating_corpus_parses(path):
+    from promi_spark.io.xes import parse_xes
+
+    parse_xes(path)  # parses fine; only validation rejects these
+
+
+@pytest.mark.parametrize("name", ["L1.xes", "L3.xes", "L5.xes"])
+def test_round_trip_convergence(spark, tmp_path, name, golden_logs):
+    """write(read(f)) then write(read(that)) must be byte-identical
+    (reference xes.rs:966-1005 snapshot convergence)."""
+    from promi_spark.io.xes import log_counts, read_xes, write_xes
+
+    gen1 = str(tmp_path / "gen1.xes")
+    gen2 = str(tmp_path / "gen2.xes")
+    log = golden_logs[name]
+    write_xes(log, gen1)
+    log2 = read_xes(spark, gen1)
+    assert log_counts(log2) == GOLDEN[name]
+    write_xes(log2, gen2)
+    with open(gen1, "rb") as a, open(gen2, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_meta_round_trip(spark, tmp_path, golden_logs):
+    from promi_spark.io.xes import read_xes, write_xes
+
+    log = golden_logs["L1.xes"]
+    assert len(log.meta.extensions) == 5
+    assert len(log.meta.classifiers) == 3
+    assert {g.scope for g in log.meta.globals} == {"trace", "event"}
+    assert log.meta.attributes.get("concept:name") == "L1.mxml"
+    p = str(tmp_path / "meta.xes")
+    write_xes(log, p)
+    meta2 = read_xes(spark, p).meta
+    assert meta2.attributes == log.meta.attributes
+    assert [c.name for c in meta2.classifiers] == [
+        c.name for c in log.meta.classifiers
+    ]
+    assert len(meta2.globals) == len(log.meta.globals)
+
+
+def test_distributed_reader_matches(spark):
+    from promi_spark.io.xes import log_counts, read_xes_distributed
+
+    log = read_xes_distributed(spark, f"{CORPUS}/book/bigger-example.xes")
+    assert log_counts(log) == GOLDEN["bigger-example.xes"]
+
+
+def test_standalone_events_and_empty_trace(spark, tmp_path):
+    from promi_spark.io.xes import log_counts, read_xes, write_xes
+
+    xes = """<?xml version="1.0" encoding="UTF-8"?>
+<log xes.version="1849.2016" xes.features="">
+\t<trace>
+\t\t<string key="concept:name" value="c1"/>
+\t\t<event><string key="concept:name" value="a"/></event>
+\t</trace>
+\t<trace>
+\t\t<string key="concept:name" value="empty"/>
+\t</trace>
+\t<event><string key="concept:name" value="solo"/></event>
+</log>
+"""
+    p = str(tmp_path / "mixed.xes")
+    with open(p, "w") as f:
+        f.write(xes)
+    log = read_xes(spark, p)
+    # 2 traces (one empty), 1 in-trace event, 2 total events
+    assert log_counts(log) == (2, 1, 2)
+    out = str(tmp_path / "out.xes")
+    write_xes(log, out)
+    assert log_counts(read_xes(spark, out)) == (2, 1, 2)
+
+
+def test_list_and_nested_attributes_round_trip(spark, tmp_path):
+    from promi_spark.io.xes import parse_xes, read_xes, write_xes
+
+    meta, rows = parse_xes(f"{CORPUS}/non_validating/list_two_values.xes")
+    assert meta.attributes["list"].startswith("[")  # JSON-encoded list
+    log = read_xes(spark, f"{CORPUS}/non_validating/list_two_values.xes")
+    p1, p2 = str(tmp_path / "g1.xes"), str(tmp_path / "g2.xes")
+    write_xes(log, p1)
+    write_xes(read_xes(spark, p1), p2)
+    with open(p1) as a, open(p2) as b:
+        assert a.read() == b.read()
