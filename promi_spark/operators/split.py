@@ -40,9 +40,17 @@ def hex_threshold(ratio: float) -> str:
     return format(t, "08x")
 
 
-def coin_hex(key: Column, seed: int) -> Column:
-    """The deterministic 8-hex-digit coin for a component key."""
-    return F.substring(F.md5(F.concat_ws(":", key, F.lit(str(seed)))), 1, 8)
+def coin_hex(key: Column, seed: int, salt: str = "") -> Column:
+    """The deterministic 8-hex-digit coin for a component key.
+
+    ``salt`` decorrelates chained operators that share a seed: the
+    reference's sequential PCG draws decorrelate by stream *position*
+    (a Sample followed by a Split with the same seed still draw
+    different values, ``split.rs:56-83``); a position-independent hash
+    coin needs an explicit per-operator namespace instead.
+    """
+    parts = [key, F.lit(str(seed))] + ([F.lit(salt)] if salt else [])
+    return F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8)
 
 
 def _component_key() -> Column:
@@ -58,14 +66,18 @@ def _component_key() -> Column:
 
 
 def split(
-    log: EventLog, ratio: float, seed: int = 0, key: Column | None = None
+    log: EventLog,
+    ratio: float,
+    seed: int = 0,
+    key: Column | None = None,
+    salt: str = "",
 ) -> tuple[EventLog, EventLog]:
     """(train, test): coin <= ratio -> train, else test.
 
     Purely narrow (no shuffle): each row computes its own coin. The
     md5+compare runs in whole-stage codegen.
     """
-    coin = coin_hex(key if key is not None else _component_key(), seed)
+    coin = coin_hex(key if key is not None else _component_key(), seed, salt)
     thresh = F.lit(hex_threshold(ratio))
     train = log.with_df(log.df.filter(coin < thresh))
     test = log.with_df(log.df.filter(coin >= thresh))
@@ -73,9 +85,13 @@ def split(
 
 
 def sample(
-    log: EventLog, ratio: float, seed: int = 0, key: Column | None = None
+    log: EventLog,
+    ratio: float,
+    seed: int = 0,
+    key: Column | None = None,
+    salt: str = "",
 ) -> EventLog:
     """Bernoulli keep-ratio sampling = split with the test side voided
     (reference ``split.rs:121-144``)."""
-    train, _ = split(log, ratio, seed=seed, key=key)
+    train, _ = split(log, ratio, seed=seed, key=key, salt=salt)
     return train

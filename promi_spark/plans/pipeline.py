@@ -1,0 +1,183 @@
+"""Declarative dataflow pipelines (reference flow layer,
+``src/stream/flow/graph.rs:97-225``, ``pipe.rs:17-23``,
+``segment.rs:17-102``; example config ``static/flow/flow.yml``).
+
+A flow is named pipes of segments (source -> streams -> sink) connected
+by named stream/artifact channels. The reference toposorts pipes by
+channel dependencies and runs one thread per pipe; here the DAG
+collapses into ordinary composed DataFrames — channels are shared
+(cached) EventLogs, scheduling is a driver-side toposort, and Spark's
+DAGScheduler does the actual parallel execution. Cycles are rejected
+exactly like the reference's deadlock detection (``util.rs:38-64``).
+
+Config is YAML or JSON. Attribute values accept both plain scalars and
+the reference's typed form (``{String: x}``, ``{Float: 0.1}``,
+``{Int: 0}``, ``{Boolean: true}``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from promi_spark.plans.registry import FlowContext, get
+
+_TYPED_KEYS = {"String", "Float", "Int", "Boolean", "Date", "Id", "List"}
+
+
+@dataclass
+class Segment:
+    name: str
+    attributes: dict[str, Any] = field(default_factory=dict)
+    stream_sender: list[str] = field(default_factory=list)
+    stream_receiver: list[str] = field(default_factory=list)
+    artifact_sender: list[str] = field(default_factory=list)
+    artifact_receiver: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Pipe:
+    name: str
+    source: Segment
+    streams: list[Segment] = field(default_factory=list)
+    sink: Segment | None = None
+
+
+@dataclass
+class Flow:
+    pipes: list[Pipe] = field(default_factory=list)
+
+
+@dataclass
+class FlowResult:
+    artifacts: dict[str, Any] = field(default_factory=dict)
+    streams: dict[str, Any] = field(default_factory=dict)
+
+
+def _attr_value(v: Any) -> Any:
+    if isinstance(v, dict) and len(v) == 1:
+        k = next(iter(v))
+        if k in _TYPED_KEYS:
+            return v[k]
+    return v
+
+
+def _as_list(v) -> list[str]:
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return [v]
+    return list(v)
+
+
+def _segment(d: dict | str) -> Segment:
+    if isinstance(d, str):
+        return Segment(name=d)
+    return Segment(
+        name=d["name"],
+        attributes={k: _attr_value(v) for k, v in (d.get("attributes") or {}).items()},
+        stream_sender=_as_list(d.get("stream_sender")),
+        stream_receiver=_as_list(d.get("stream_receiver")),
+        artifact_sender=_as_list(d.get("artifact_sender")),
+        artifact_receiver=_as_list(d.get("artifact_receiver")),
+    )
+
+
+def load_flow(config: str | dict) -> Flow:
+    """Parse a flow from a YAML/JSON string, a path, or a dict."""
+    if isinstance(config, str):
+        text = config
+        if "\n" not in config and (
+            config.endswith((".yml", ".yaml", ".json"))
+        ):
+            with open(config) as f:
+                text = f.read()
+        try:
+            d = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+
+            d = yaml.safe_load(text)
+    else:
+        d = config
+    pipes = []
+    for p in d.get("pipes", []):
+        pipes.append(
+            Pipe(
+                name=p.get("name", f"pipe{len(pipes)}"),
+                source=_segment(p["source"]),
+                streams=[_segment(s) for s in p.get("streams", [])],
+                sink=_segment(p["sink"]) if p.get("sink") else None,
+            )
+        )
+    return Flow(pipes=pipes)
+
+
+def _toposort(flow: Flow) -> list[Pipe]:
+    """Order pipes so channel senders run before receivers; reject
+    cycles (reference deadlock detection, ``util.rs:38-64``)."""
+    sends: dict[str, str] = {}
+    recvs: dict[str, set[str]] = {p.name: set() for p in flow.pipes}
+    for p in flow.pipes:
+        segs = [p.source, *p.streams] + ([p.sink] if p.sink else [])
+        for s in segs:
+            for ch in s.stream_sender + s.artifact_sender:
+                sends[ch] = p.name
+            for ch in s.stream_receiver + s.artifact_receiver:
+                recvs[p.name].add(ch)
+    deps: dict[str, set[str]] = {p.name: set() for p in flow.pipes}
+    for name, chans in recvs.items():
+        for ch in chans:
+            if ch in sends:
+                deps[name].add(sends[ch])
+    ordered: list[Pipe] = []
+    done: set[str] = set()
+    by_name = {p.name: p for p in flow.pipes}
+    while len(done) < len(flow.pipes):
+        progress = False
+        for p in flow.pipes:
+            if p.name in done or not deps[p.name] <= done:
+                continue
+            ordered.append(p)
+            done.add(p.name)
+            progress = True
+        if not progress:
+            cycle = [n for n in deps if n not in done]
+            raise ValueError(f"flow has a channel cycle (deadlock): {cycle}")
+    return ordered
+
+
+def _run_segment(ctx: FlowContext, seg: Segment, log, kind: str):
+    entry = get(seg.name)
+    if kind not in entry.kinds:
+        raise ValueError(f"{seg.name} cannot be used as a {kind}")
+    attrs = dict(seg.attributes)
+    if seg.stream_sender:
+        attrs["_send"] = seg.stream_sender
+    if seg.stream_receiver:
+        attrs["_recv"] = seg.stream_receiver
+    result = entry(ctx, log, **attrs)
+    artifact = None
+    if isinstance(result, tuple) and len(result) == 2:
+        result, artifact = result
+    if artifact is not None:
+        for ch in seg.artifact_sender or [f"{seg.name}@{id(seg)}"]:
+            ctx.artifacts[ch] = artifact
+    return result
+
+
+def execute(spark, flow: Flow | str | dict, base_dir: str = ".") -> FlowResult:
+    """Run a flow; returns the named artifacts + leftover stream
+    channels (unclaimed senders bind to the result, mirroring the
+    reference's gen-0/MAX graph bindings, ``graph.rs:120-138``)."""
+    if not isinstance(flow, Flow):
+        flow = load_flow(flow)
+    ctx = FlowContext(spark=spark, base_dir=base_dir)
+    for pipe in _toposort(flow):
+        log = _run_segment(ctx, pipe.source, None, "source")
+        for seg in pipe.streams:
+            log = _run_segment(ctx, seg, log, "stream")
+        if pipe.sink is not None:
+            _run_segment(ctx, pipe.sink, log, "sink")
+    return FlowResult(artifacts=ctx.artifacts, streams=ctx.streams)

@@ -1,0 +1,232 @@
+"""Named-operator registry (reference plugin registry,
+``src/stream/plugin.rs:19-371``).
+
+The reference registers factories under names ("XesReader",
+"Statistics", "Split", ...) with declared typed parameters, and the
+flow layer instantiates segments through it. Spark-native analog: an
+entry is a plain function ``f(ctx, log, **attrs)`` — sources take
+``log=None`` and return an :class:`EventLog`, streams transform one,
+sinks consume one (returning None or an artifact). ``ctx`` carries the
+SparkSession, the named stream/artifact channels, and the base dir for
+relative paths.
+
+Pre-loaded entries mirror the reference's
+(``void.rs:33-57``, ``duplicator.rs:70-92``, ``stats.rs:143-163``,
+``validator.rs:35-54``, ``repair.rs:40-59``, ``split.rs:90-147``,
+``channel.rs:78-132``, ``xes.rs:801-856``) plus Spark-native extras
+(ParquetReader/Writer, EventsTable).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from promi_spark.log import EventLog
+from promi_spark.schema import EVENTS_SCHEMA, Meta
+
+
+@dataclass
+class FlowContext:
+    spark: Any
+    base_dir: str = "."
+    streams: dict[str, EventLog] = field(default_factory=dict)
+    artifacts: dict[str, Any] = field(default_factory=dict)
+
+    def path(self, p: str) -> str:
+        import os
+
+        return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
+
+
+@dataclass
+class OpEntry:
+    name: str
+    description: str
+    kinds: frozenset[str]  # subset of {source, stream, sink}
+    fn: Callable
+
+    def __call__(self, ctx, log, **attrs):
+        return self.fn(ctx, log, **attrs)
+
+
+REGISTRY: dict[str, OpEntry] = {}
+
+
+def register(name: str, description: str, kinds: set[str]):
+    def deco(fn):
+        REGISTRY[name] = OpEntry(name, description, frozenset(kinds), fn)
+        return fn
+
+    return deco
+
+
+def get(name: str) -> OpEntry:
+    if name not in REGISTRY:
+        raise KeyError(
+            f"unknown operator {name!r}; registered: {sorted(REGISTRY)}"
+        )
+    return REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity entries
+# ---------------------------------------------------------------------------
+
+
+@register("Void", "empty source / discarding sink (void.rs:9-62)",
+          {"source", "sink"})
+def _void(ctx, log, **attrs):
+    if log is None:  # source
+        return EventLog(
+            df=ctx.spark.createDataFrame([], EVENTS_SCHEMA), meta=Meta()
+        )
+    log.df.write.format("noop").mode("overwrite").save()  # run for effects
+    return None
+
+
+@register("XesReader", "XES file source (xes.rs:562-714)", {"source"})
+def _xes_reader(ctx, log, path: str, distributed: bool = False, **_):
+    from promi_spark.io.xes import read_xes, read_xes_distributed
+
+    fn = read_xes_distributed if distributed else read_xes
+    return fn(ctx.spark, ctx.path(path))
+
+
+@register("XesWriter", "XES file sink (xes.rs:717-796)", {"sink"})
+def _xes_writer(ctx, log, path: str, indent: int = 1, **_):
+    from promi_spark.io.xes import write_xes
+
+    write_xes(log, ctx.path(path))
+
+
+@register("Statistics", "count-statistics artifact (stats.rs:64-141)",
+          {"stream"})
+def _statistics(ctx, log, **_):
+    from promi_spark.operators.stats import collect_statistics
+
+    stats = collect_statistics(log)
+    return log, stats  # pass-through + artifact
+
+
+@register("Validator", "meta/global/chronology validation (validator.rs:19-116)",
+          {"stream"})
+def _validator(ctx, log, strict: bool = False, max_collect: int = 100, **_):
+    from promi_spark.operators.validate import classifier_name_violations, validate
+
+    bad_names = classifier_name_violations(log.meta)
+    if strict and bad_names:
+        raise ValueError(f"invalid classifier names: {bad_names}")
+    sample = validate(log, strict=False).limit(max_collect).collect()
+    artifact = {
+        "classifier_name_violations": bad_names,
+        "row_violations": [tuple(r) for r in sample],
+    }
+    if strict and artifact["row_violations"]:
+        raise ValueError(f"validation failed: {artifact['row_violations'][:3]}")
+    return log, artifact
+
+
+@register("Repair", "classifier-name repair (repair.rs:14-38)", {"stream"})
+def _repair(ctx, log, **_):
+    from promi_spark.operators.repair import repair_meta
+
+    return EventLog(df=log.df, meta=repair_meta(log.meta))
+
+
+@register("Sample", "seeded Bernoulli keep-ratio sample (split.rs:121-144)",
+          {"stream"})
+def _sample(ctx, log, ratio: float, seed: int = 0, **_):
+    from promi_spark.operators.split import sample
+
+    # per-operator salt decorrelates from a same-seed Split downstream
+    return sample(log, float(ratio), seed=int(seed), salt="Sample")
+
+
+@register("Split", "seeded train/test split (split.rs:18-88); test side "
+          "goes to the segment's stream_sender channel", {"stream"})
+def _split(ctx, log, ratio: float, seed: int = 0, _send=None, **_):
+    from promi_spark.operators.split import split
+
+    train, test = split(log, float(ratio), seed=int(seed), salt="Split")
+    if _send:
+        for ch in _send:
+            ctx.streams[ch] = test
+    return train
+
+
+@register("Duplicator", "tee a stream to a channel (duplicator.rs:12-68)",
+          {"stream"})
+def _duplicator(ctx, log, _send=None, **_):
+    dup = log.cache()  # one scan feeds both consumers
+    if _send:
+        for ch in _send:
+            ctx.streams[ch] = dup
+    return dup
+
+
+@register("Sender", "stream-channel sender endpoint (channel.rs:75-159)",
+          {"sink"})
+def _sender(ctx, log, _send=None, **_):
+    for ch in _send or []:
+        ctx.streams[ch] = log
+
+
+@register("Receiver", "stream-channel receiver endpoint (channel.rs:75-159)",
+          {"source"})
+def _receiver(ctx, log, _recv=None, **_):
+    chans = _recv or []
+    if not chans:
+        raise ValueError("Receiver needs a stream_receiver channel")
+    out = ctx.streams[chans[0]]
+    for ch in chans[1:]:  # fan-in = UNION (segment.rs:186-199)
+        out = out.union(ctx.streams[ch])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-native extras
+# ---------------------------------------------------------------------------
+
+
+@register("ParquetReader", "events parquet -> EventLog", {"source"})
+def _parquet_reader(ctx, log, path: str, **_):
+    df = ctx.spark.read.parquet(ctx.path(path))
+    return EventLog.from_events(df)
+
+
+@register("ParquetWriter", "EventLog -> parquet (partitionable)", {"sink"})
+def _parquet_writer(ctx, log, path: str, mode: str = "overwrite",
+                    partition_by: str | None = None, **_):
+    w = log.df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by.split(","))
+    w.parquet(ctx.path(path))
+
+
+@register("EventsTable", "driver synthetic events table -> EventLog",
+          {"source"})
+def _events_table(ctx, log, sf_dir: str, **_):
+    from promi_spark.io import load_event_log
+
+    return load_event_log(ctx.spark, sf_dir)
+
+
+@register("Filter", "CNF filter from config (filter.rs:19-112)", {"stream"})
+def _filter(ctx, log, cnf: list | None = None, scope: str = "event", **_):
+    """``cnf`` is a list of disjunctions; each literal is a SQL boolean
+    expression string evaluated over the flat schema."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.filters import cnf as cnf_op, filter_traces
+
+    clauses = [[F.expr(lit) for lit in disj] for disj in (cnf or [])]
+    if scope == "trace":
+        out = log
+        for disj in clauses:
+            pred = None
+            for c in disj:
+                pred = c if pred is None else (pred | c)
+            out = filter_traces(out, pred)
+        return out
+    return log.with_df(cnf_op(log.df, clauses))

@@ -1,0 +1,192 @@
+"""Flow-pipeline tests: the reference's flow.yml example re-expressed
+for this engine (reference src/stream/flow/mod.rs:12-60 doc-test), plus
+registry/toposort/deadlock behavior."""
+
+import os
+
+import pytest
+
+CORPUS = "/root/reference/static/xes"
+BIGGER = f"{CORPUS}/book/bigger-example.xes"
+
+# The reference flow: parse -> repair -> validate -> stats -> sample(0.1)
+# -> stats -> split(0.8, test side to channel) -> stats -> write; second
+# pipe receives the test side and writes it. Sampling here is the
+# hash-coin (not PCG-64), so counts are asserted statistically (the
+# reference's own split test is statistical too, split.rs:221-222).
+FLOW_YML = """
+pipes:
+  - name: Train
+    source:
+      name: XesReader
+      attributes:
+        path:
+          String: {bigger}
+    streams:
+      - name: Repair
+      - name: Validator
+      - name: Statistics
+        artifact_sender: [raw_stats]
+      - name: Sample
+        attributes:
+          ratio:
+            Float: 0.1
+          seed:
+            Int: 0
+      - name: Statistics
+        artifact_sender: [sample_stats]
+      - name: Split
+        attributes:
+          ratio:
+            Float: 0.8
+          seed:
+            Int: 0
+        stream_sender: [test]
+      - name: Statistics
+        artifact_sender: [train_stats]
+    sink:
+      name: XesWriter
+      attributes:
+        path:
+          String: {out}/train.xes
+  - name: Test
+    source:
+      name: Receiver
+      stream_receiver: [test]
+    streams:
+      - name: Statistics
+        artifact_sender: [test_stats]
+    sink:
+      name: XesWriter
+      attributes:
+        path:
+          String: {out}/test.xes
+"""
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(BIGGER), reason="reference corpus not available"
+)
+
+
+def test_flow_end_to_end(spark, tmp_path):
+    from promi_spark.plans import execute
+
+    res = execute(
+        spark, FLOW_YML.format(bigger=BIGGER, out=tmp_path), base_dir="."
+    )
+    raw = res.artifacts["raw_stats"]
+    assert raw.counts() == [1391, 7539, 7539]
+
+    sample = res.artifacts["sample_stats"]
+    train = res.artifacts["train_stats"]
+    test = res.artifacts["test_stats"]
+    # sample ~10% of 1391 traces; split of that 80/20 (hash-coin, so
+    # statistical tolerance like the reference's own test)
+    assert 0.06 <= sample.n_traces / raw.n_traces <= 0.14
+    assert train.n_traces + test.n_traces == sample.n_traces
+    assert train.n_events_total + test.n_events_total == sample.n_events_total
+    assert 0.65 <= train.n_traces / sample.n_traces <= 0.92
+    # both XES outputs materialized and re-readable
+    from promi_spark.io.xes import log_counts, read_xes
+
+    t = read_xes(spark, str(tmp_path / "train.xes"))
+    assert log_counts(t)[0] == train.n_traces
+
+
+def test_flow_json_equivalent(spark, tmp_path):
+    """YAML and JSON configs produce identical flows
+    (reference examples/flow.rs:57-70)."""
+    import json
+
+    import yaml
+
+    from promi_spark.plans import load_flow
+
+    y = FLOW_YML.format(bigger=BIGGER, out=tmp_path)
+    f1 = load_flow(y)
+    f2 = load_flow(json.dumps(yaml.safe_load(y)))
+    assert f1 == f2
+
+
+def test_deadlock_detection(spark):
+    from promi_spark.plans import execute
+
+    cyclic = {
+        "pipes": [
+            {
+                "name": "A",
+                "source": {"name": "Receiver", "stream_receiver": ["x"]},
+                "sink": {"name": "Sender", "stream_sender": ["y"]},
+            },
+            {
+                "name": "B",
+                "source": {"name": "Receiver", "stream_receiver": ["y"]},
+                "sink": {"name": "Sender", "stream_sender": ["x"]},
+            },
+        ]
+    }
+    with pytest.raises(ValueError, match="deadlock"):
+        execute(spark, cyclic)
+
+
+def test_unknown_operator(spark):
+    from promi_spark.plans import execute
+
+    with pytest.raises(KeyError, match="unknown operator"):
+        execute(
+            spark,
+            {"pipes": [{"name": "P", "source": {"name": "NoSuchOp"}}]},
+        )
+
+
+def test_registry_kinds(spark):
+    from promi_spark.plans import REGISTRY
+
+    assert {"Void", "XesReader", "XesWriter", "Statistics", "Validator",
+            "Repair", "Sample", "Split", "Duplicator", "Sender",
+            "Receiver"} <= set(REGISTRY)
+    assert "source" in REGISTRY["XesReader"].kinds
+    assert "sink" in REGISTRY["XesWriter"].kinds
+
+
+def test_duplicator_fan_out(spark, event_log):
+    from promi_spark.plans import FlowContext, get
+
+    ctx = FlowContext(spark=spark)
+    dup = get("Duplicator")(ctx, event_log, _send=["copy"])
+    assert ctx.streams["copy"] is dup
+    assert dup.df.count() == event_log.df.count()
+
+
+def test_filter_segment(spark, tmp_path, event_log):
+    from promi_spark.plans import execute
+
+    flow = {
+        "pipes": [
+            {
+                "name": "F",
+                "source": {
+                    "name": "EventsTable",
+                    "attributes": {"sf_dir": "/root/testdata/sf0.001"},
+                },
+                "streams": [
+                    {
+                        "name": "Filter",
+                        "attributes": {
+                            "cnf": [["activity = 'purchase'", "activity = 'click'"],
+                                     ["value > 50"]],
+                        },
+                    },
+                    {"name": "Statistics", "artifact_sender": ["s"]},
+                ],
+                "sink": {"name": "Sender", "stream_sender": ["out"]},
+            }
+        ]
+    }
+    res = execute(spark, flow)
+    out = res.streams["out"]
+    n = out.df.count()
+    assert res.artifacts["s"].n_events_total == n
+    from pyspark.sql import functions as F
+
+    assert out.df.filter(~F.col("activity").isin("purchase", "click")).count() == 0
