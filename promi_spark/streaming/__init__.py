@@ -1,0 +1,23 @@
+from promi_spark.streaming.engine import (
+    default_checks,
+    quarantine,
+    read_event_stream,
+    run_to_memory,
+    sessionize,
+    stateful_dfg,
+    streaming_dfg,
+    streaming_stats,
+    write_with_dlq,
+)
+
+__all__ = [
+    "default_checks",
+    "quarantine",
+    "read_event_stream",
+    "run_to_memory",
+    "sessionize",
+    "stateful_dfg",
+    "streaming_dfg",
+    "streaming_stats",
+    "write_with_dlq",
+]

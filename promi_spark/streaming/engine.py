@@ -1,0 +1,269 @@
+"""Structured Streaming variants of the core operators (SURVEY §2.10).
+
+The reference is stream-native by construction — pull iterator, in-band
+errors, bounded channels for backpressure, stateful artifacts released
+at end-of-stream (``src/stream/core/stream.rs:9-45``,
+``component.rs:256``, ``channel.rs:52-73``, ``observer.rs:44-47``).
+Spark equivalents used here:
+
+- unbounded source        -> ``readStream`` (file/Kafka/rate sources)
+- end-of-stream artifact  -> stateful agg + ``outputMode('update')``
+- in-band errors / DLQ    -> quarantine split + ``foreachBatch`` double-write
+- backpressure            -> ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``
+- meta-then-payload order -> ``withWatermark`` + late-data drop
+- implicit case boundary  -> ``session_window`` trace builder (the
+  streaming analog of grouping by ``case_id``; absent in the reference,
+  free in Spark)
+
+Everything is expressed on the same flat events schema, so a batch
+pipeline becomes a streaming one by swapping ``read`` for
+``readStream`` — the DataFrame lineage in between is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from promi_spark.schema import EVENTS_SCHEMA
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """File-based event stream in the canonical flat schema. At scale
+    this is the landing-zone pattern: micro-batches pick up new files;
+    ``maxFilesPerTrigger`` is the backpressure knob (reference bounded
+    channels, ``channel.rs:52-73``)."""
+    reader = spark.readStream.format(fmt).schema(schema or EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def streaming_stats(
+    events: DataFrame, watermark: str = "10 minutes", window: str | None = None
+) -> DataFrame:
+    """Continuously-updated Statistics counts (reference
+    ``StatsCollector`` releasing its artifact at end-of-stream,
+    ``stats.rs:64-141``; a stream has no end, so the artifact becomes a
+    monotone aggregate in update mode).
+
+    With ``window`` set, counts are per tumbling event-time window with
+    late data dropped past the watermark; otherwise global counts
+    (update/complete mode only).
+    """
+    ev = events.withWatermark("ts", watermark)
+    if window:
+        grouped = ev.groupBy(F.window("ts", window).alias("win"))
+    else:
+        grouped = ev.groupBy()
+    return grouped.agg(
+        F.approx_count_distinct("case_id").alias("n_traces"),
+        F.count(F.col("case_id")).alias("n_events_in_traces"),
+        F.count(F.lit(1)).alias("n_events_total"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "resource",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window trace builder: when case boundaries are implicit,
+    a trace is a burst of activity by one ``key_col`` with no silence
+    longer than ``gap``. Returns one row per discovered trace with the
+    interval and event count — the streaming construction of the
+    reference's ``Trace`` (which assumes boundaries are given).
+
+    ``session_window`` state is bounded by the watermark: sessions close
+    once event time passes (end + watermark), so state size tracks the
+    number of *open* sessions, not history.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("session"),
+            F.col(key_col).alias("case_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.collect_list("activity").alias("activities"),
+        )
+        .select(
+            F.concat_ws(
+                "#", "case_key", F.date_format("session.start", "yyyyMMddHHmmss")
+            ).alias("case_id"),
+            "case_key",
+            "n_events",
+            "start_ts",
+            "end_ts",
+            "activities",
+        )
+    )
+
+
+def quarantine(
+    events: DataFrame, checks: dict[str, "F.Column"] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Error-as-data split (reference in-band ``ResOpt`` errors stored
+    by Buffer, ``buffer.rs:53-56``): rows failing any check go to the
+    dead-letter side with an ``_errors`` array naming the failed checks;
+    clean rows flow on. Works identically on batch and streaming frames.
+    """
+    checks = checks or default_checks()
+    err_arr = F.array(
+        *[F.when(~ok, F.lit(name)) for name, ok in checks.items()]
+    )
+    tagged = events.withColumn(
+        "_errors", F.filter(err_arr, lambda x: x.isNotNull())
+    )
+    good = tagged.filter(F.size("_errors") == 0).drop("_errors")
+    bad = tagged.filter(F.size("_errors") > 0)
+    return good, bad
+
+
+def default_checks() -> dict[str, "F.Column"]:
+    """The reference validator's row-level constraints as columns."""
+    return {
+        "activity_present": F.col("activity").isNotNull(),
+        "ts_present": F.col("ts").isNotNull(),
+        "seq_nonnegative": F.col("seq").isNull() | (F.col("seq") >= 0),
+    }
+
+
+def write_with_dlq(
+    events: DataFrame,
+    good_path: str,
+    dlq_path: str,
+    checkpoint: str,
+    checks: dict | None = None,
+):
+    """Streaming sink with a dead-letter queue: one ``foreachBatch``
+    writes both sides atomically per micro-batch (reference sinks that
+    record errors and continue, ``sink.rs:50-53`` / ``buffer.rs:53-56``).
+    Returns the started query (caller awaits/stops)."""
+
+    def _write(batch: DataFrame, batch_id: int):
+        good, bad = quarantine(batch, checks)
+        good.write.mode("append").parquet(good_path)
+        bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(dlq_path)
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_dfg(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Directly-follows edges over a stream: per-trace max-seq state is
+    unbounded in pure SQL, so pair construction uses the (ts-ordered)
+    micro-batch arrival within ``applyInPandasWithState``-free
+    approximation: edges within each micro-batch per case plus
+    windowed aggregation. For exact cross-batch DFG use
+    :func:`stateful_dfg`."""
+    ev = events.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "case_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seq", "activity"))
+            ).alias("evs")
+        )
+        .select(
+            "case_id",
+            F.explode(
+                F.zip_with(
+                    F.col("evs"),
+                    F.slice(F.col("evs"), 2, 2147483646),
+                    lambda a, b: F.struct(
+                        a["activity"].alias("activity"),
+                        b["activity"].alias("next_activity"),
+                    ),
+                )
+            ).alias("edge"),
+        )
+        .select("case_id", "edge.activity", "edge.next_activity")
+        .filter(F.col("next_activity").isNotNull())
+    )
+
+
+def stateful_dfg(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Exact streaming DFG via per-case state
+    (``applyInPandasWithState`` — the analog of the reference's stateful
+    ``Handler``, ``observer.rs:13-55``): state = last (seq, activity)
+    per case; each batch emits edges from the stored last event to the
+    new ones in order.
+
+    ``timeout_minutes`` bounds state for continuous deployments (open
+    cases only — at 100 TB the closed-case state must expire). Leave it
+    None for drain-style (``availableNow``) runs: a processing-time
+    timeout re-arms on every batch, so an availableNow query would spin
+    forever waiting to deliver expirations.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "case_id string, activity string, next_activity string"
+    state_schema = "last_seq long, last_activity string"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["seq"])
+        last_seq, last_act = (
+            state.get if state.exists else (None, None)
+        )
+        edges = []
+        for _, r in rows.iterrows():
+            if last_act is not None:
+                edges.append((key[0], last_act, r["activity"]))
+            last_seq, last_act = r["seq"], r["activity"]
+        state.update((int(last_seq), str(last_act)))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            edges, columns=["case_id", "activity", "next_activity"]
+        )
+
+    return events.groupBy("case_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
+    """Test/debug helper: drain an availableNow stream into an
+    in-memory table and return the finished query."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

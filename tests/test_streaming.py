@@ -1,0 +1,154 @@
+"""Structured Streaming tests: file source -> windowed/stateful ops ->
+memory/DLQ sinks, drained with availableNow triggers (deterministic,
+no long-running queries)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Canonical-schema event files written in two chunks (= two
+    micro-batch generations under maxFilesPerTrigger)."""
+    from promi_spark.io import load_event_log
+
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    log = load_event_log(spark, "/root/testdata/sf0.001")
+    df = log.df.cache()
+    df.filter(F.col("seq") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_streaming_stats_matches_batch(spark, stream_dir, tmp_path):
+    from promi_spark.streaming import read_event_stream, run_to_memory, streaming_stats
+
+    sdf = streaming_stats(read_event_stream(spark, stream_dir))
+    run_to_memory(sdf, "sstats", output_mode="complete")
+    row = spark.table("sstats").first()
+    batch = spark.read.parquet(stream_dir).count()
+    assert row["n_events_total"] == batch
+    assert row["n_events_in_traces"] == batch  # all rows have case_id
+
+
+def test_windowed_stats_late_data_drop(spark, stream_dir):
+    from promi_spark.streaming import read_event_stream, run_to_memory, streaming_stats
+
+    sdf = streaming_stats(
+        read_event_stream(spark, stream_dir), watermark="1 minute", window="1 day"
+    )
+    # complete mode: every window's current state is emitted
+    run_to_memory(sdf, "wstats", output_mode="complete")
+    out = spark.table("wstats")
+    total = out.agg(F.sum("n_events_total")).first()[0]
+    batch = spark.read.parquet(stream_dir)
+    assert total == batch.count()
+    assert out.count() == batch.select(F.window("ts", "1 day")).distinct().count()
+
+    # append mode emits only *closed* windows: the day containing the
+    # max event time stays open past the final watermark -> withheld
+    run_to_memory(sdf, "wstats_append", output_mode="append")
+    appended = spark.table("wstats_append").agg(F.sum("n_events_total")).first()[0]
+    last_day = (
+        batch.groupBy(F.window("ts", "1 day")).count().orderBy(F.desc("window")).first()["count"]
+    )
+    assert appended == batch.count() - last_day
+
+
+def test_sessionize_builds_traces(spark, stream_dir):
+    from promi_spark.streaming import read_event_stream, run_to_memory, sessionize
+
+    sdf = sessionize(
+        read_event_stream(spark, stream_dir),
+        key_col="case_id",
+        gap="1 hour",
+        watermark="1 minute",
+    )
+    run_to_memory(sdf, "sessions", output_mode="append")
+    out = spark.table("sessions")
+    assert out.count() >= out.select("case_key").distinct().count()
+    # every session interval is valid
+    assert out.filter(F.col("end_ts") < F.col("start_ts")).count() == 0
+    # append emits exactly the sessions closed before the final
+    # watermark (max event time - 1 minute); batch session_window with
+    # the same cutoff is the oracle
+    batch = spark.read.parquet(stream_dir)
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    expected = (
+        batch.groupBy(F.session_window("ts", "1 hour"), "case_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("end_ts"))
+        .filter(F.col("end_ts") < F.lit(max_ts) - F.expr("INTERVAL 1 MINUTE"))
+    )
+    assert out.count() == expected.count()
+    assert (
+        out.agg(F.sum("n_events")).first()[0]
+        == expected.agg(F.sum("n")).first()[0]
+    )
+
+
+def test_quarantine_split(spark):
+    from promi_spark.log import EventLog
+    from promi_spark.streaming import quarantine
+
+    rows = [
+        ("c1", 0, "a", "2024-01-01 00:00:00"),
+        ("c1", 1, None, "2024-01-01 00:01:00"),  # missing activity
+        ("c2", -5, "b", None),  # negative seq + missing ts
+    ]
+    df = spark.createDataFrame(
+        rows, "case_id string, seq long, activity string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    log = EventLog.from_events(df)
+    good, bad = quarantine(log.df)
+    assert good.count() == 1
+    bad_rows = {r["case_id"]: r["_errors"] for r in bad.collect()}
+    assert bad_rows["c1"] == ["activity_present"]
+    assert set(bad_rows["c2"]) == {"ts_present", "seq_nonnegative"}
+
+
+def test_write_with_dlq(spark, tmp_path):
+    from promi_spark.streaming import write_with_dlq
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("c1", 0, "a", "2024-01-01 00:00:00"),
+        ("c1", 1, None, "2024-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "case_id string, seq long, activity string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = write_with_dlq(
+        stream,
+        good_path=str(tmp_path / "good"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 1
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == 1
+    assert dlq.first()["_errors"] == ["activity_present"]
+
+
+def test_stateful_dfg_matches_batch(spark, stream_dir):
+    """applyInPandasWithState edge extraction == batch DFG edge multiset
+    when the whole log arrives (single drain)."""
+    from promi_spark.io import load_event_log
+    from promi_spark.operators.dfg import directly_follows
+    from promi_spark.streaming import read_event_stream, run_to_memory, stateful_dfg
+
+    sdf = stateful_dfg(read_event_stream(spark, stream_dir))
+    run_to_memory(sdf, "sdfg", output_mode="append")
+    got = (
+        spark.table("sdfg")
+        .groupBy("activity", "next_activity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = directly_follows(load_event_log(spark, "/root/testdata/sf0.001"))
+    diff = got.exceptAll(want.select("activity", "next_activity", "n"))
+    assert diff.count() == 0
+    assert got.count() == want.count()
