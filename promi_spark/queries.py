@@ -799,8 +799,27 @@ def q_knn_cosine(spark, sf_dir):
     return scored.filter(F.col("cosine_sim") >= 0.1)
 
 
-# Oracle-less (rows-only) entries: xxhash64 / hyperplane ops that DuckDB
-# cannot reproduce. The driver records a weaker rows-only check.
+@q(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       w -> ceil(length(w) / 4.0))) AS BIGINT) END AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_counts(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", text.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+# Oracle-less (rows-only) entries: xxhash64 / hyperplane / mapInPandas
+# ops that DuckDB cannot reproduce. The driver records a weaker
+# rows-only check.
 
 
 @q("minhash_near_dups", None)
@@ -822,6 +841,47 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_topk(
         emb.filter(F.col("vec_id") != 0), list(qvec), k=10, bits=6
     )
+
+
+@q("simhash_near_dups", None)
+def q_simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_candidates(
+        load_table(spark, "documents", sf_dir), max_hamming=10
+    )
+
+
+# Multimodal pipeline (deterministic synthetic media — binary columns +
+# Arrow-batched decode/transform; see operators/multimodal.py)
+
+
+@q("media_decode_stats", None)
+def q_media_decode_stats(spark, sf_dir):
+    from promi_spark.operators import multimodal as mm
+
+    return mm.decode_images(mm.synth_media(spark, 60))
+
+
+@q("media_frame_sample", None)
+def q_media_frame_sample(spark, sf_dir):
+    from promi_spark.operators import multimodal as mm
+
+    return mm.sample_frames(mm.synth_media(spark, 60), every_n=2).select(
+        "media_id", "frame_idx"
+    )
+
+
+@q("media_audio_features", None)
+def q_media_audio_features(spark, sf_dir):
+    from promi_spark.operators import multimodal as mm
+
+    return mm.audio_features(mm.synth_media(spark, 60))
+
+
+@q("media_embeddings", None)
+def q_media_embeddings(spark, sf_dir):
+    from promi_spark.operators import multimodal as mm
+
+    return mm.content_embeddings(mm.synth_media(spark, 60), dim=16)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
