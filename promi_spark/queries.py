@@ -450,6 +450,33 @@ def q_heuristic_dependency(spark, sf_dir):
 
 
 @q(
+    "heuristic_net",
+    _DFG_PAIRS
+    + """
+    , dfg AS (
+      SELECT activity AS a, nxt AS b, count(*) AS n
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), dep AS (
+      SELECT COALESCE(f.a, r.b) AS a, COALESCE(f.b, r.a) AS b,
+             COALESCE(f.n, 0) AS n_ab,
+             (COALESCE(f.n, 0) - COALESCE(r.n, 0))
+               / (COALESCE(f.n, 0) + COALESCE(r.n, 0) + 1.0) AS dependency
+      FROM dfg f FULL OUTER JOIN dfg r ON f.a = r.b AND f.b = r.a
+    )
+    SELECT a, b, n_ab, round(dependency, 6) AS dependency
+    FROM dep WHERE dependency > 0 AND n_ab >= 2
+    """,
+)
+def q_heuristic_net(spark, sf_dir):
+    from promi_spark.operators.mining import heuristic_net
+
+    out = heuristic_net(
+        _log(spark, sf_dir), dependency_threshold=1e-9, frequency_threshold=2
+    )
+    return out.select("a", "b", "n_ab", F.round("dependency", 6).alias("dependency"))
+
+
+@q(
     "trace_variants",
     EV
     + """
@@ -848,6 +875,21 @@ def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_candidates(
         load_table(spark, "documents", sf_dir), max_hamming=10
     )
+
+
+@q("alpha_places", None)
+def q_alpha_places(spark, sf_dir):
+    from promi_spark.operators.mining import alpha_miner_df
+
+    return alpha_miner_df(_log(spark, sf_dir))
+
+
+@q("token_replay_fitness", None)
+def q_token_replay_fitness(spark, sf_dir):
+    from promi_spark.operators.mining import alpha_miner, token_replay
+
+    log = _log(spark, sf_dir)
+    return token_replay(log, alpha_miner(log))
 
 
 # Multimodal pipeline (deterministic synthetic media — binary columns +

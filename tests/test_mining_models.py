@@ -1,0 +1,114 @@
+"""Alpha miner / heuristic net / token replay tests — hand-checkable
+tiny logs plus the reference's L1 book log."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from promi_spark.log import EventLog
+
+
+def _mklog(spark, traces: list[list[str]]) -> EventLog:
+    rows = []
+    for i, acts in enumerate(traces):
+        for s, a in enumerate(acts):
+            rows.append((f"c{i}", s, a, None))
+    df = spark.createDataFrame(
+        rows, "case_id string, seq long, activity string, ts timestamp"
+    )
+    return EventLog.from_events(df)
+
+
+def test_alpha_miner_textbook(spark):
+    """L = {<a,b,d>, <a,c,d>}: alpha finds ({a},{b,c}), ({b,c},{d})
+    plus source/sink."""
+    from promi_spark.operators.mining import alpha_miner
+
+    net = alpha_miner(_mklog(spark, [list("abd"), list("acd")] * 3))
+    got = {(p.ins, p.outs) for p in net.places}
+    assert ((), ("a",)) in got  # source
+    assert (("d",), ()) in got  # sink
+    assert (("a",), ("b", "c")) in got
+    assert (("b", "c"), ("d",)) in got
+    # maximality: the singleton sub-places must NOT appear
+    assert (("a",), ("b",)) not in got
+    assert (("b",), ("d",)) not in got
+    assert net.transitions == ["a", "b", "c", "d"]
+
+
+def test_alpha_miner_parallel(spark):
+    """L = {<a,b,c,d>, <a,c,b,d>}: b || c so no place may contain both
+    on one side."""
+    from promi_spark.operators.mining import alpha_miner
+
+    net = alpha_miner(_mklog(spark, [list("abcd"), list("acbd")] * 2))
+    for p in net.places:
+        assert not {"b", "c"} <= set(p.ins)
+        assert not {"b", "c"} <= set(p.outs)
+    got = {(p.ins, p.outs) for p in net.places}
+    assert (("a",), ("b",)) in got
+    assert (("a",), ("c",)) in got
+    assert (("b",), ("d",)) in got
+    assert (("c",), ("d",)) in got
+
+
+def test_token_replay_perfect_fit(spark):
+    from promi_spark.operators.mining import alpha_miner, fitness_summary, token_replay
+
+    log = _mklog(spark, [list("abd"), list("acd")] * 3)
+    net = alpha_miner(log)
+    rep = token_replay(log, net)
+    rows = rep.collect()
+    assert len(rows) == 6
+    assert all(r["fitness"] == 1.0 for r in rows)
+    assert all(r["missing"] == 0 and r["remaining"] == 0 for r in rows)
+    s = fitness_summary(rep).first()
+    assert s["avg_fitness"] == 1.0 and s["frac_fitting"] == 1.0
+
+
+def test_token_replay_detects_deviation(spark):
+    from promi_spark.operators.mining import alpha_miner, token_replay
+
+    train = _mklog(spark, [list("abd"), list("acd")] * 3)
+    net = alpha_miner(train)
+    # deviant traces: skipped b/c, repeated d, missing d
+    bad = _mklog(spark, [list("ad"), list("abdd"), list("ab")])
+    rows = {r["case_id"]: r for r in token_replay(bad, net).collect()}
+    assert rows["c0"]["fitness"] < 1.0  # skipped activity -> missing tokens
+    assert rows["c1"]["fitness"] < 1.0  # extra d -> missing token for 2nd d
+    assert rows["c2"]["fitness"] < 1.0  # never reached the sink
+
+
+def test_heuristic_net_thresholds(spark):
+    from promi_spark.operators.mining import heuristic_net
+
+    # a->b 10 times strongly, b->a once (noise)
+    traces = [list("ab")] * 10 + [list("ba")]
+    net = heuristic_net(
+        _mklog(spark, traces), dependency_threshold=0.5, frequency_threshold=2
+    )
+    edges = {(r["a"], r["b"]) for r in net.collect()}
+    assert ("a", "b") in edges
+    assert ("b", "a") not in edges
+
+
+def test_alpha_on_book_l1(spark):
+    """Reference L1 book log parses and mines into a workflow net with
+    one source, one sink, and a-initial / d-final structure."""
+    import os
+
+    path = "/root/reference/static/xes/book/L1.xes"
+    if not os.path.isfile(path):
+        pytest.skip("reference corpus unavailable")
+    from promi_spark.io.xes import read_xes
+    from promi_spark.operators.mining import alpha_miner, fitness_summary, token_replay
+
+    log = read_xes(spark, path)
+    net = alpha_miner(log)
+    sources = [p for p in net.places if not p.ins]
+    sinks = [p for p in net.places if not p.outs]
+    assert len(sources) == 1 and len(sinks) == 1
+    assert sources[0].outs == ("a",)
+    assert sinks[0].ins == ("d",)
+    s = fitness_summary(token_replay(log, net)).first()
+    assert s["n_traces"] == 6
+    assert s["avg_fitness"] > 0.9
