@@ -252,6 +252,131 @@ def q_cnf_filter(spark, sf_dir):
     return out.select("event_id", "activity", "value")
 
 
+@q(
+    "filter_time_eq_tol",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE abs(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 12:00:00')) <= 43200000000
+    """,
+)
+def q_filter_time_eq_tol(spark, sf_dir):
+    """F7 eq_tol on the degenerate event interval [ts, ts]: both
+    endpoints within 12 h of the probe instant."""
+    from promi_spark.operators.filters import TimeFilters
+
+    log = _log(spark, sf_dir)
+    cond = TimeFilters.eq_tol(
+        F.col("ts"), F.col("ts"),
+        "2024-01-15 12:00:00", "2024-01-15 12:00:00", tol_seconds=43200,
+    )
+    return filter_events(log, cond).df.select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@q(
+    "trace_time_contained",
+    EV
+    + """
+    SELECT case_id, count(*) AS n_events
+    FROM ev GROUP BY case_id
+    HAVING min(ts) >= TIMESTAMP '2024-01-01 12:00:00'
+       AND max(ts) <= TIMESTAMP '2024-01-30 00:00:00'
+    """,
+)
+def q_trace_time_contained(spark, sf_dir):
+    """F7 contained on the trace interval [min ts, max ts] (W2)."""
+    log = _log(spark, sf_dir)
+    return (
+        log.trace_events()
+        .groupBy("case_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+        )
+        .filter(
+            (F.col("s") >= F.lit("2024-01-01 12:00:00").cast("timestamp"))
+            & (F.col("e") <= F.lit("2024-01-30 00:00:00").cast("timestamp"))
+        )
+        .select("case_id", "n_events")
+    )
+
+
+@q(
+    "top_traces_by_events",
+    EV
+    + """
+    SELECT case_id, n_events FROM (
+      SELECT case_id, count(*) AS n_events FROM ev GROUP BY case_id
+    ) ORDER BY n_events DESC, case_id LIMIT 10
+    """,
+)
+def q_top_traces_by_events(spark, sf_dir):
+    """O4 top-k: TakeOrdered (per-partition heap + driver merge), with a
+    deterministic (n, case_id) tie-break."""
+    from promi_spark.operators.stats import per_trace_counts
+
+    return (
+        per_trace_counts(_log(spark, sf_dir))
+        .orderBy(F.desc("n_events"), F.col("case_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "except_set_op",
+    EV
+    + """
+    SELECT event_id, activity, value FROM ev WHERE activity = 'purchase'
+    EXCEPT ALL
+    SELECT event_id, activity, value FROM ev WHERE activity = 'purchase' AND value > 50
+    """,
+)
+def q_except_set_op(spark, sf_dir):
+    """O5 set difference via exceptAll."""
+    log = _log(spark, sf_dir)
+    purchases = log.df.filter(F.col("activity") == "purchase").select(
+        "event_id", "activity", "value"
+    )
+    big = purchases.filter(F.col("value") > 50)
+    return purchases.exceptAll(big)
+
+
+@q(
+    "knn_join_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id NOT IN (0, 1, 2)
+    )
+    SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_knn_join_topk(spark, sf_dir):
+    """Batch brute-force k-NN: broadcast query set x corpus scan, ranked
+    per query (one shuffle on query_id)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(0, 1, 2))
+    return similarity.knn_join(corpus, queries_df, k=5)
+
+
 # ---------------------------------------------------------------------------
 # W1–W3 / V1 — windows & validation
 # ---------------------------------------------------------------------------
