@@ -41,6 +41,9 @@ HEADLINE = [
     "text_quality",
     "lang_id_docs",
     "knn_cosine",
+    "knn_join_topk",
+    "top_traces_by_events",
+    "token_replay_fitness",
 ]
 
 
