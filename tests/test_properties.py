@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) for the engine's algebraic
+invariants: split partitioning/determinism, dedup bounds, hex-coin
+thresholds, XES round-trip on generated logs."""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Driver-side properties (no Spark) ------------------------------------------
+
+
+@given(st.floats(min_value=0.0, max_value=1.0))
+def test_hex_threshold_monotone(ratio):
+    from promi_spark.operators.split import HEX_SPACE, hex_threshold
+
+    t = hex_threshold(ratio)
+    if ratio >= 1.0:
+        assert t == "g"  # sorts after every hex digit
+    else:
+        assert len(t) == 8
+        assert int(t, 16) == int(ratio * HEX_SPACE)
+
+
+@given(
+    st.floats(min_value=0.0, max_value=0.999),
+    st.floats(min_value=0.0, max_value=0.999),
+)
+def test_hex_threshold_order_preserving(a, b):
+    from promi_spark.operators.split import hex_threshold
+
+    if a <= b:
+        assert hex_threshold(a) <= hex_threshold(b)
+
+
+# xs:Name keys: start with letter/underscore/colon, then name chars
+_KEY = st.builds(
+    lambda h, t: h + t,
+    st.text(string.ascii_letters + "_:", min_size=1, max_size=1),
+    st.text(string.ascii_letters + string.digits + ":_-.", max_size=11),
+)
+_VAL = st.text(
+    st.characters(min_codepoint=32, max_codepoint=0x7E), max_size=20
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(_KEY, _VAL, max_size=6),
+)
+def test_xes_attr_xml_round_trips(attrs):
+    """Any string attribute map survives write -> parse (quoting,
+    escaping, sorted-key determinism)."""
+    import io
+
+    from promi_spark.io.xes import _attr_xml, parse_xes
+
+    body = "".join(
+        _attr_xml(k, "string", v, [], "\t") for k, v in sorted(attrs.items())
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<log xes.version="1849.2016" xes.features="">\n'
+        f"{body}</log>\n"
+    )
+    meta, rows = parse_xes(io.BytesIO(doc.encode()))
+    assert meta.attributes == attrs
+    assert rows == []
+
+
+# Spark-backed properties (session-scoped fixture, smaller example sets) ------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ratio=st.floats(min_value=0.1, max_value=0.9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_split_partitions_exactly(spark, event_log, ratio, seed):
+    """train + test == whole log, disjoint, deterministic, trace-atomic."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.split import split
+
+    train, test = split(event_log, ratio, seed=seed)
+    n, tr, te = event_log.df.count(), train.df.count(), test.df.count()
+    assert tr + te == n
+    # deterministic re-execution
+    train2, _ = split(event_log, ratio, seed=seed)
+    assert train2.df.count() == tr
+    # trace-atomic: no case appears on both sides
+    both = train.df.select("case_id").distinct().join(
+        test.df.select("case_id").distinct(), "case_id", "inner"
+    )
+    assert both.count() == 0
+    _ = F  # quiet linters
+
+
+def test_split_ratio_statistical(spark, event_log):
+    """Mean kept-fraction over seeds approaches the ratio (the
+    reference's own acceptance criterion: rel-tol 1.5e-2 over 5 seeds,
+    split.rs:221-222 — applied to the trace coin)."""
+    from promi_spark.operators.split import sample
+
+    total = event_log.df.select("case_id").distinct().count()
+    ratio = 0.7
+    fracs = []
+    for seed in range(5):
+        kept = (
+            sample(event_log, ratio, seed=seed)
+            .df.select("case_id")
+            .distinct()
+            .count()
+        )
+        fracs.append(kept / total)
+    mean = sum(fracs) / len(fracs)
+    assert abs(mean - ratio) < 0.08  # 15 cases/side at sf0.001 -> loose
+
+
+def test_dedup_partitions_docs(spark):
+    """Exact-dedup groups partition the corpus: sum(n_dups) == rows."""
+    from promi_spark.operators.dedup import dedup_exact
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    groups = dedup_exact(docs)
+    assert groups.agg(F.sum("n_dups")).first()[0] == docs.count()
+
+
+def test_minhash_identical_docs_are_candidates(spark):
+    """Exact duplicates always share every band -> always candidates,
+    with jaccard 1.0."""
+    from promi_spark.operators.dedup import minhash_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different document about spark execution plans"),
+        (4, "total nonsense text with unique words zebra quartz vortex"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r["jaccard_sim"] for r in minhash_dedup(df, threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    from promi_spark.operators.dedup import simhash_signatures
+
+    rows = [(1, "same text body"), (2, "same text body"), (3, "other words entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert all(len(s) == 16 for s in sigs.values())  # 64 bits = 16 hex
+
+
+def test_cosine_bounds_and_self_similarity(spark):
+    from promi_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    top = cosine_topk(emb, qvec, k=5).collect()
+    assert len(top) == 5
+    # self-match ranks first with sim ~1
+    assert top[0]["vec_id"] == 3
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-4
+    assert all(-1.0001 <= r["cosine_sim"] <= 1.0001 for r in top)
