@@ -66,17 +66,32 @@ class EventLog:
         ``(ts, *order_cols)`` — a single shuffle on ``case_id`` that
         every later per-trace operator reuses. Extra columns named in
         ``keep`` are carried through unchanged.
+
+        The cast to string happens BEFORE the window so the window
+        partitions on the exact ``case_id`` expression downstream
+        operators use — partitioning on the raw column would make
+        ``hashpartitioning(user_id)`` unmatchable against
+        ``hashpartitioning(cast(user_id as string))`` and every later
+        per-case window/groupBy would re-shuffle (observed: 2 exchanges
+        per DFG instead of 1).
         """
         order_cols = order_cols or []
-        w = Window.partitionBy(case_col).orderBy(
-            F.col(ts_col), *[F.col(c) for c in order_cols]
-        )
-        out = df.select(
+        extra = list(keep or []) + [c for c in order_cols if c not in (keep or [])]
+        typed = df.select(
             F.col(case_col).cast("string").alias("case_id"),
-            (F.row_number().over(w) - F.lit(1)).cast("long").alias("seq"),
             F.col(activity_col).cast("string").alias("activity"),
             F.col(ts_col).cast("timestamp").alias("ts"),
-            *[F.col(c) for c in (keep or [])],
+            *[F.col(c) for c in extra],
+        )
+        w = Window.partitionBy("case_id").orderBy(
+            F.col("ts"), *[F.col(c) for c in order_cols]
+        )
+        out = typed.select(
+            "case_id",
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("seq"),
+            "activity",
+            "ts",
+            *[c for c in (keep or [])],
         )
         return cls.from_events(out, meta=meta)
 

@@ -57,11 +57,19 @@ def _component_key() -> Column:
     """One coin per *component*: the trace key for in-trace events (so a
     whole trace lands on one side), the event itself when standalone —
     mirroring the reference's per-component draw (Meta goes to both
-    sides, which here is the out-of-band meta object)."""
+    sides, which here is the out-of-band meta object).
+
+    The standalone key deliberately avoids ``seq``: referencing seq
+    would pull the ingest-time row_number window (and its case_id
+    shuffle) into an otherwise fully narrow split. Identity comes from
+    the event's own content columns instead.
+    """
     return F.coalesce(
         F.concat(F.lit("t:"), F.col("case_id")),
-        F.concat(F.lit("e:"), F.col("seq").cast("string"), F.lit("@"),
-                 F.col("ts").cast("string")),
+        F.concat(
+            F.lit("e:"),
+            F.xxhash64("ts", "activity", "instance", "resource").cast("string"),
+        ),
     )
 
 

@@ -1,0 +1,111 @@
+"""Physical-plan shape regression tests: the scale properties (pushdown,
+pruning, broadcasts, shuffle counts, codegen) asserted against
+`.explain("formatted")` output so a refactor that silently degrades the
+plan fails CI."""
+
+import re
+
+import pytest
+
+
+def explain(df) -> str:
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return je.explainString(mode.fromString("formatted"))
+
+
+@pytest.fixture(scope="module")
+def sf():
+    # NOT the conftest sf_dir: the session-scoped cached event_log would
+    # substitute its InMemoryRelation into identical-plan queries and
+    # hide the scan/exchange structure these tests assert on.
+    return "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_and_pruning(spark, sf):
+    """Event filters reach the parquet scan; projection prunes to the
+    referenced columns only (no seq window in the plan when seq is
+    unused)."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["filter_concept_in"][0](spark, sf))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "event_id:bigint", "event_type:string"
+    }
+    assert "Window" not in plan  # seq pruned away entirely
+    assert "Exchange" not in plan  # narrow: scan + filter + project
+
+
+def test_tpchq1_scan_filter_pushed(spark, sf):
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["tpch_q1"][0](spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial (map-side) + final aggregation around exactly one exchange
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf):
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["revenue_by_nation"][0](spark, sf))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_is_narrow(spark, sf):
+    """The hash-coin split adds no shuffle: scan -> filter."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["split_train"][0](spark, sf))
+    assert "Exchange" not in plan
+    assert "md5" in plan
+
+
+def test_dfg_single_case_shuffle(spark, sf):
+    """DFG: one hashpartitioning(case_id) exchange feeds the window; the
+    final edge aggregation adds its own partial+final pair. No more."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["dfg"][0](spark, sf))
+    case_shuffles = re.findall(r"hashpartitioning\(case_id", plan)
+    assert len(case_shuffles) == 1
+    # the seq-assignment window and the lead window share that single
+    # exchange: two Window nodes (local re-sort allowed), ONE shuffle
+    assert 1 <= len(re.findall(r"\(\d+\) Window", plan)) <= 2
+    # exactly 2 exchanges total: the case shuffle + the final edge agg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_minhash_map_side_combine(spark, sf):
+    """Signature build: partial + final HashAggregate around one
+    doc-key exchange — shuffle payload is docs x 64 longs, not shingle
+    rows."""
+    from promi_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = explain(minhash_signatures(docs))
+    aggs = re.findall(r"\(\d+\) HashAggregate", plan)
+    assert len(aggs) == 2  # partial, final
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Generate" in plan  # the shingle explode
+
+
+def test_trace_filter_single_window_shuffle(spark, sf):
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["filter_trace_scope"][0](spark, sf))
+    assert len(re.findall(r"hashpartitioning\(case_id", plan)) == 1
+    assert "SortMergeJoin" not in plan  # window-max, not a join
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf):
+    """Text scoring stays in one codegen stage (no UDFs, no
+    interpreted fallbacks in the hot path)."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["text_quality"][0](spark, sf))
+    assert "codegen id" in plan  # formatted mode's codegen marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
