@@ -129,6 +129,189 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def cosine_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs variant:
+    (a, b, cosine_sim) for a < b with sim >= threshold.
+
+    O(N^2) — the correctness baseline and the right tool below ~100k
+    vectors; above that use :func:`lsh_near_dups` (bucket-bounded).
+    Norms are precomputed once per side so the join condition is a pure
+    dot product.
+    """
+    base = df.select(
+        F.col(id_col).alias("k"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(b, F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("a"), F.col("b.k").alias("b"), sim.alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def lsh_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bounded scale path: vectors
+    sharing any band of their hyperplane sign-bits become candidates;
+    candidates verified by exact cosine. High-cosine pairs agree on most
+    sign bits, so per-band collision probability stays high while the
+    candidate set stays ~linear."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    per_band = bits // bands
+    base = df.select(
+        F.col(id_col).alias("k"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    sign_bits = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in p])) > 0, 1)
+        .otherwise(0)
+        .cast("long")
+        for p in planes
+    ]
+    banded = base.withColumn("bits", F.array(*sign_bits)).select(
+        "k",
+        "v",
+        "nrm",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    bnd, F.slice(F.col("bits"), bnd * per_band + 1, per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("a"), F.col("b.k").alias("b"), sim.alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .groupBy("a", "b")
+        .agg(F.first("cosine_sim").alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path beyond one LSH bucket
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+):
+    """Deterministic k-means centroids from a driver-side sample
+    (numpy; tiny — n_clusters x dim floats, broadcast as literals).
+    At 100 TB: sample via df.sample, or train on MLlib KMeans — the
+    probe/search plan below is identical either way."""
+    import numpy as np
+
+    rows = (
+        df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
+    )
+    X = np.array([r["v"] for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent.tolist()
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||v - c||^2 == argmax_c (2 v.c - ||c||^2), evaluated as
+    an unrolled greatest-index expression over the (small) centroid set."""
+    scores = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = sum(x * x for x in c)
+        scores.append(2.0 * dot(vec, carr) - F.lit(float(c2)))
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, vector, cluster): the build side of an IVF index.
+    At scale this is written out partitioned by ``cluster`` so probes
+    read only their clusters' files (partition pruning)."""
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(v, centroids).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``nprobe``
+    clusters nearest the query. Self-contained (trains inline); at
+    scale the assignment is precomputed + partitioned."""
+    import numpy as np
+
+    cent = ivf_centroids(corpus, n_clusters, seed=seed, vec_col=vec_col)
+    q = np.array(query_vec, dtype=float)
+    d = ((np.array(cent) - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    return (
+        cosine_scores(
+            assigned.filter(F.col("cluster").isin(probe)), query_vec, id_col, vec_col
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     query_vec: list[float],

@@ -115,6 +115,45 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("lang_pred"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, public
+    algorithm): hash all character k-grams, slide a window of ``w``
+    hashes, keep each window's minimum — the selected set is guaranteed
+    to share fingerprints between documents with sufficiently long
+    common substrings (the plagiarism/near-dup primitive).
+
+    Expression shape: the k-gram hash array is materialized as its own
+    column (referenced by ``size`` and the window transform, so
+    CollapseProject keeps the boundary and hashes compute once), then
+    the window minima + distinct run over that attribute. No shuffle,
+    no UDF."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    normed = df.select(F.col(key_col).alias("k"), norm.alias("txt"))
+    hashed = normed.select(
+        "k",
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.length("txt") - k, F.lit(0))
+            ),
+            lambda i: F.xxhash64(F.col("txt").substr(i + 1, F.lit(k))),
+        ).alias("hashes"),
+    )
+    n_windows = F.greatest(F.size("hashes") - w, F.lit(0))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows),
+            lambda j: F.array_min(F.slice(F.col("hashes"), j + 1, w)),
+        )
+    )
+    return hashed.select(F.col("k").alias(key_col), fps.alias("fingerprints"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text — the exact-dedup key (a cheap stand-in for a rolling Rabin

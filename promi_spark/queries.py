@@ -907,6 +907,26 @@ def q_lang_id_docs(spark, sf_dir):
     return text.lang_id(load_table(spark, "documents", sf_dir))
 
 
+@q(
+    "props_json_stats",
+    """
+    SELECT event_type AS activity,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(json_extract(props, '$.k')) AS n_with_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_props_json_stats(spark, sf_dir):
+    """§2.9 JSON scalar functions: parse the props JSON payload column
+    and aggregate an extracted field."""
+    log = _log(spark, sf_dir)
+    kval = F.get_json_object("props", "$.k").cast("long")
+    return log.df.groupBy("activity").agg(
+        F.round(F.avg(kval), 4).alias("avg_k"),
+        F.count(kval).alias("n_with_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -972,6 +992,55 @@ def q_bpe_token_counts(spark, sf_dir):
 # Oracle-less (rows-only) entries: xxhash64 / hyperplane / mapInPandas
 # ops that DuckDB cannot reproduce. The driver records a weaker
 # rows-only check.
+
+
+@q(
+    "cosine_near_dups",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])))),
+                6) >= 0.35
+    """,
+)
+def q_cosine_near_dups(spark, sf_dir):
+    return similarity.cosine_near_dups(
+        load_table(spark, "embeddings", sf_dir), threshold=0.35
+    )
+
+
+@q("lsh_near_dups", None)
+def q_lsh_near_dups(spark, sf_dir):
+    return similarity.lsh_near_dups(
+        load_table(spark, "embeddings", sf_dir), threshold=0.35, bits=9
+    )
+
+
+@q("ivf_topk", None)
+def q_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_clusters=8, nprobe=3
+    )
+
+
+@q("winnow_fingerprints", None)
+def q_winnow_fingerprints(spark, sf_dir):
+    out = text.winnow_fingerprints(load_table(spark, "documents", sf_dir))
+    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
 
 
 @q("minhash_near_dups", None)

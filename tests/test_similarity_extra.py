@@ -1,0 +1,92 @@
+"""IVF ANN, embedding near-dup (exact + LSH), winnowing fingerprints."""
+
+from pyspark.sql import functions as F
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from promi_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(corpus, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(corpus, qvec, k=10, n_clusters=8, nprobe=4).collect()
+    ]
+    # probing half the clusters must recover a majority of the true top-k
+    assert len(set(exact) & set(approx)) >= 5
+    # determinism
+    again = [
+        r["vec_id"]
+        for r in ivf_topk(corpus, qvec, k=10, n_clusters=8, nprobe=4).collect()
+    ]
+    assert approx == again
+
+
+def test_ivf_assign_partitions_corpus(spark, sf_dir):
+    from promi_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = ivf_centroids(emb, n_clusters=8)
+    assigned = ivf_assign(emb, cent)
+    assert assigned.count() == emb.count()
+    clusters = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
+    assert clusters <= set(range(8))
+    assert len(clusters) >= 2  # k-means actually split the space
+
+
+def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
+    """LSH candidates are verified exactly, so every reported pair must
+    appear in the exact all-pairs result with the same similarity."""
+    from promi_spark.operators.similarity import cosine_near_dups, lsh_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in cosine_near_dups(emb, threshold=0.3).collect()
+    }
+    approx = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in lsh_near_dups(emb, threshold=0.3, bits=9).collect()
+    }
+    assert approx  # finds something at this threshold
+    assert set(approx) <= set(exact)
+    assert all(abs(approx[p] - exact[p]) < 1e-9 for p in approx)
+    # high-threshold recall: near-identical vectors agree on sign bits
+    assert len(approx) / len(exact) > 0.3
+
+
+def test_winnow_shared_fingerprints(spark):
+    """Documents sharing a long substring share fingerprints; unrelated
+    documents (different alphabets) share none."""
+    from promi_spark.operators.text import winnow_fingerprints
+
+    common = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, common + " and then some unique tail one"),
+        (2, "prefix text here " + common),
+        (3, "zzz qqq xxx vvv www yyy uuu iii ooo ppp mmm nnn bbb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert fps[1] & fps[2]  # shared substring -> shared fingerprints
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnow_deterministic_and_bounded(spark, sf_dir):
+    from promi_spark.operators.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = winnow_fingerprints(docs)
+    a = {r["doc_id"]: tuple(r["fingerprints"]) for r in out.collect()}
+    b = {r["doc_id"]: tuple(r["fingerprints"]) for r in out.collect()}
+    assert a == b
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+    # winnowing selects ~1/w of positions (upper-bounded by n_windows)
+    for did, fp in a.items():
+        assert 1 <= len(fp) <= max(lens[did], 2)
