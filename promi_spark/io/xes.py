@@ -257,6 +257,13 @@ def parse_xes(source) -> tuple[Meta, list[dict]]:
                 meta.attributes[k] = v
             elif tag == "trace":
                 payload_started = True
+                if standalone_idx > 0:
+                    # Meta < Trace < Event monotonicity: a trace after a
+                    # standalone event parses (superset-lenient) but the
+                    # validator must flag it (reference observer state
+                    # machine, observer.rs:90-100; corpus
+                    # non_validating/misplaced_trace_event.xes)
+                    meta.notes["order"] = "trace-after-standalone-event"
                 trace_idx += 1
                 rows.extend(_trace_rows(elem, trace_idx))
             elif tag == "event":

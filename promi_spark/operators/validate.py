@@ -31,28 +31,65 @@ def _attr_col(key: str) -> Column:
     return F.element_at(F.col("attrs"), key)
 
 
-def _type_ok(key: str, type_tag: str) -> Column:
-    """Type conformance: fixed columns are typed at ingest (always ok);
-    map-borne values must ``try_cast`` cleanly to the declared tag."""
+def _tag_of(key: str, scope_prefix: str = "") -> Column:
+    """The XES type tag recorded at ingest for ``key`` (NULL when the
+    log has no ``attr_types``, e.g. the driver's synthetic tables)."""
+    return F.element_at(F.col("attr_types"), scope_prefix + key)
+
+
+def _presence_and_type(key: str, type_tag: str) -> tuple[Column, Column]:
+    """(present, type_ok) for an event-scope attribute.
+
+    A well-known key is 'present' if its typed column is set OR it
+    arrived in the attrs map under a non-standard tag; in the latter
+    case its type is wrong (mirrors the reference's
+    "Expected X to be of type String but got Int instead",
+    ``component.rs:53-72`` via ``attribute.rs:37-90``).
+    """
+    base = type_tag.removesuffix("+json")
+    in_map = F.element_at(F.col("attrs"), key)
     if key in WELL_KNOWN_KEYS:
-        return F.lit(True)
-    val = F.element_at(F.col("attrs"), key)
-    spark_t = SPARK_TYPE_FOR_TAG.get(type_tag)
-    if spark_t is None or type_tag in ("string", "id", "list"):
-        return F.lit(True)
-    return val.isNull() | val.try_cast(spark_t.simpleString()).isNotNull()
+        col = F.col(WELL_KNOWN_KEYS[key])
+        present = col.isNotNull() | in_map.isNotNull()
+        return present, col.isNotNull() | in_map.isNull()
+    present = in_map.isNotNull()
+    tag = _tag_of(key)
+    tag_ok = tag.isNull() | (tag == base) | (tag == base + "+json")
+    spark_t = SPARK_TYPE_FOR_TAG.get(base)
+    if spark_t is None or base in ("string", "id", "list"):
+        return present, tag_ok
+    cast_ok = (
+        tag.isNotNull()  # tag recorded at parse: trust it
+        | in_map.isNull()
+        | in_map.try_cast(spark_t.simpleString()).isNotNull()
+    )
+    return present, tag_ok & cast_ok
 
 
 def global_violations(log: EventLog, meta: Meta | None = None) -> DataFrame:
-    """Rows violating event-scope globals (presence + type,
-    ``component.rs:53-72``); trace-scope globals are checked on the
-    trace view (any event of the trace carrying the trace attribute)."""
+    """Rows violating globals (presence + type, ``component.rs:53-72``).
+    Event-scope globals check every event row; trace-scope globals
+    check each trace's ``case_attrs`` (one verdict per trace, reported
+    on seq 0)."""
     meta = meta or log.meta
     checks: list[tuple[str, Column]] = []
     for g in meta.globals_for("event"):
-        present = _attr_col(g.key).isNotNull()
+        present, type_ok = _presence_and_type(g.key, g.type)
         checks.append((f"event-global:{g.key}:missing", ~present))
-        checks.append((f"event-global:{g.key}:type", ~_type_ok(g.key, g.type)))
+        checks.append((f"event-global:{g.key}:type", present & ~type_ok))
+    for g in meta.globals_for("trace"):
+        in_case = F.element_at(F.col("case_attrs"), g.key)
+        present = F.col("case_id").isNull() | in_case.isNotNull()
+        tag = _tag_of(g.key, "case:")
+        base = g.type.removesuffix("+json")
+        type_ok = tag.isNull() | (tag == base) | (tag == base + "+json")
+        first_row = F.col("seq").isNull() | (F.col("seq") == 0)
+        checks.append(
+            (f"trace-global:{g.key}:missing", first_row & ~present)
+        )
+        checks.append(
+            (f"trace-global:{g.key}:type", first_row & present & ~type_ok)
+        )
     if not checks:
         return log.df.sparkSession.createDataFrame(
             [], "case_id string, seq long, violation string"
@@ -95,9 +132,12 @@ def validate(log: EventLog, strict: bool = False) -> DataFrame:
         "case_id", "seq", F.lit("time:chronology").alias("violation")
     )
     out = glob.unionByName(chrono)
-    for name in classifier_name_violations(log.meta):
+    meta_level = [
+        f"classifier-ncname:{n}" for n in classifier_name_violations(log.meta)
+    ] + [f"order:{v}" for k, v in log.meta.notes.items() if k == "order"]
+    for violation in meta_level:
         bad = log.df.sparkSession.createDataFrame(
-            [(None, None, f"classifier-ncname:{name}")],
+            [(None, None, violation)],
             "case_id string, seq long, violation string",
         )
         out = out.unionByName(bad)

@@ -109,12 +109,19 @@ class ClassifierDecl:
 
 @dataclass
 class Meta:
-    """Log header: extensions, globals, classifiers, log-level attrs."""
+    """Log header: extensions, globals, classifiers, log-level attrs.
+
+    ``notes`` records parse-time observations that only whole-document
+    scanning can see (e.g. a trace appearing after a standalone event —
+    the reference observer's Meta<Trace<Event state machine rejects
+    that, ``observer.rs:90-100``); the validator surfaces them.
+    """
 
     extensions: list[ExtensionDecl] = field(default_factory=list)
     globals: list[Global] = field(default_factory=list)
     classifiers: list[ClassifierDecl] = field(default_factory=list)
     attributes: dict[str, str] = field(default_factory=dict)
+    notes: dict[str, str] = field(default_factory=dict)
 
     def classifier(self, name: str) -> ClassifierDecl:
         for c in self.classifiers:
@@ -136,6 +143,7 @@ class Meta:
             globals=[Global(**g) for g in d.get("globals", [])],
             classifiers=[ClassifierDecl(**c) for c in d.get("classifiers", [])],
             attributes=d.get("attributes", {}),
+            notes=d.get("notes", {}),
         )
 
 
