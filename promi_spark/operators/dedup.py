@@ -82,6 +82,58 @@ def shingle_arrays(
     return toks_df.select("k", sh.alias("sh"))
 
 
+_MAX = 2147483647
+
+
+def gram_hash_rows(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(k, h) rows: one LONG hash per word-n-gram position,
+    ``xxhash64(tok_i, .., tok_{i+n-1})``. Duplicates retained.
+
+    The whole pipeline stays in whole-stage codegen: n shifted
+    ``slice`` views of the token array are zipped (``arrays_zip`` pads
+    the tail with nulls), exploded by Generate, null-tails filtered,
+    and the n struct fields hashed — no higher-order-function lambdas,
+    which run interpreted at ~1 ms/doc and dominated the old plan.
+    Documents shorter than n tokens contribute one whole-text hash via
+    the union branch. Long-hash shingle identity makes every downstream
+    op (explode, MIN aggregate, array_intersect) operate on longs;
+    collisions (~2^-64/pair) are negligible for dedup.
+    """
+    toks_df = df.select(
+        F.col(key_col).alias("k"), tokens(_norm(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    shifted = toks_df.filter(F.size(toks) >= n).select(
+        "k",
+        *[F.slice(toks, j + 1, _MAX).alias(f"t{j}") for j in range(n)],
+    )
+    grams = (
+        shifted.select(
+            "k", F.explode(F.arrays_zip(*[f"t{j}" for j in range(n)])).alias("g")
+        )
+        .filter(F.col(f"g.t{n-1}").isNotNull())
+        .select("k", F.xxhash64(*[f"g.t{j}" for j in range(n)]).alias("h"))
+    )
+    short = toks_df.filter(F.size(toks) < n).select(
+        "k", F.xxhash64(F.array_join(toks, " ")).alias("h")
+    )
+    return grams.unionByName(short)
+
+
+def shingle_hash_arrays(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(k, sh): the distinct n-gram hash SET per document (for exact
+    Jaccard verification) — collect_set over :func:`gram_hash_rows`."""
+    return (
+        gram_hash_rows(df, key_col, text_col, n)
+        .groupBy("k")
+        .agg(F.collect_set("h").alias("sh"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -90,15 +142,15 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(k, sig): MinHash signature per document, element ``i`` =
-    ``min(xxhash64(shingle, i))``.
+    ``min(xxhash64(shingle_hash, i))``.
 
     explode → hash → groupBy(k) with ``num_hashes`` unrolled MIN
     aggregates: all codegen, map-side combine, one shuffle keyed on the
     doc id carrying 64 longs per doc.
     """
-    rows = shingle_arrays(df, key_col, text_col, shingle_n).select(
-        "k", F.explode("sh").alias("shingle")
-    )
+    rows = gram_hash_rows(df, key_col, text_col, shingle_n).select(
+        "k", F.col("h").alias("shingle")
+    )  # duplicate grams cannot change a MIN, so no distinct pass
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -179,7 +231,7 @@ def minhash_dedup(
     >= threshold. Returns (a, b, jaccard_sim). The verify join touches
     only candidate keys — the full corpus is scanned once for shingles."""
     cands = minhash_candidates(df, key_col, text_col, num_hashes, bands, shingle_n)
-    sh = shingle_arrays(df, key_col, text_col, shingle_n)
+    sh = shingle_hash_arrays(df, key_col, text_col, shingle_n)
     return (
         cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
