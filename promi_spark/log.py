@@ -128,15 +128,21 @@ class EventLog:
 
     def nested_traces(self) -> DataFrame:
         """Traces with their ordered event list materialized as an array
-        of structs — only needed at XES export. ``sort_array`` over a
-        ``(seq, ...)`` struct restores deterministic in-trace order
-        (naked collect_list is unordered)."""
+        of structs — only needed at XES export. A seq-comparator
+        ``array_sort`` restores deterministic in-trace order (naked
+        collect_list is unordered, and plain ``sort_array`` cannot
+        order structs that contain the ``attrs`` map)."""
         ev = F.struct("seq", "ts", "activity", "instance", "resource",
                       "role", "group", "lifecycle", "attrs")
+        by_seq = lambda a, b: (  # noqa: E731
+            F.when(a["seq"] < b["seq"], -1)
+            .when(a["seq"] > b["seq"], 1)
+            .otherwise(0)
+        )
         return (
             self.trace_events()
             .groupBy("case_id")
-            .agg(F.sort_array(F.collect_list(ev)).alias("events"))
+            .agg(F.array_sort(F.collect_list(ev), by_seq).alias("events"))
         )
 
     # -- plumbing ---------------------------------------------------------
