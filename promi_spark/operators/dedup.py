@@ -265,6 +265,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def mllib_minhash_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+    jaccard_distance: float = 0.5,
+    shingle_n: int = 3,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MLlib-native variant of :func:`minhash_candidates`:
+    shingle-hash sets → sparse binary vectors (``num_features`` dims) →
+    ``MinHashLSH.approxSimilarityJoin``. Returns (a, b, jaccard_dist)
+    with a < b.
+
+    Same asymptotics as the hand-rolled LSH (banded signature join);
+    kept as the MLlib-pipeline integration point — drop-in for ML
+    Pipeline stages, model persistence, and transform reuse across
+    corpora. The hand-rolled path stays the default: no vector
+    materialization and exact (not feature-bucketed) Jaccard verify.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    sh = shingle_hash_arrays(df, key_col, text_col, shingle_n)
+
+    @F.udf(VectorUDT())
+    def to_vec(hashes):
+        idx = sorted({int(h) % num_features for h in hashes})
+        return Vectors.sparse(num_features, idx, [1.0] * len(idx))
+
+    vecs = sh.select("k", to_vec("sh").alias("features")).filter(
+        F.size(F.col("sh")) > 0
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="lsh", numHashTables=num_hash_tables, seed=42
+    ).fit(vecs)
+    joined = model.approxSimilarityJoin(
+        vecs, vecs, threshold=jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.k") < F.col("datasetB.k"))
+        .select(
+            F.col("datasetA.k").alias("a"),
+            F.col("datasetB.k").alias("b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1050,6 +1050,13 @@ def q_minhash_near_dups(spark, sf_dir):
     )
 
 
+@q("mllib_minhash_near_dups", None)
+def q_mllib_minhash_near_dups(spark, sf_dir):
+    return dedup.mllib_minhash_candidates(
+        load_table(spark, "documents", sf_dir), jaccard_distance=0.5
+    )
+
+
 @q("simhash_signatures", None)
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(load_table(spark, "documents", sf_dir))

@@ -147,6 +147,27 @@ def test_minhash_identical_docs_are_candidates(spark):
     assert out == {(1, 2): 1.0}
 
 
+def test_mllib_minhash_agrees_on_identicals(spark):
+    """MLlib MinHashLSH variant: exact duplicates at distance 0, near
+    duplicates close, unrelated docs excluded."""
+    from promi_spark.operators.dedup import mllib_minhash_candidates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),
+        (3, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (4, "completely different content about spark execution plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard_dist"]
+        for r in mllib_minhash_candidates(df, jaccard_distance=0.6).collect()
+    }
+    assert got[(1, 2)] == 0.0
+    assert 0 < got[(1, 3)] < 0.5
+    assert not any(4 in pair for pair in got)
+
+
 def test_simhash_hamming_zero_for_identical(spark):
     from promi_spark.operators.dedup import simhash_signatures
 
