@@ -34,6 +34,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Set on the *caller's* session, not just our builder: a vanilla
+    # SparkSession rejects parquet TIMESTAMP(NANOS) columns with
+    # PARQUET_TYPE_ILLEGAL unless this runtime SQL conf is on. The column
+    # then arrives as LongType and _convert_nanos restores timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _convert_nanos(df, f"{sf_dir}/{name}.parquet")
 
