@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_join_topk",
     "top_traces_by_events",
     "token_replay_fitness",
+    "media_decode_stats",
 ]
 
 
@@ -65,13 +66,20 @@ def main() -> int:
     # Warm-up: JVM + parquet footer reads, not counted.
     QUERIES["stats_counts"][0](spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _ = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+    def run_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn, _ = QUERIES[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            out[name] = round(time.time() - t0, 3)
+        return out
+
+    # Pass 1 = cold (fresh JVM; comparable round-over-round). Pass 2 =
+    # warm (code/codegen caches hot) — closer to steady-state cluster
+    # throughput, where JVM startup amortizes away.
+    timings = run_pass()
+    warm = run_pass()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +89,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -255,6 +255,7 @@ def parse_xes(source) -> tuple[Meta, list[dict]]:
                     raise XesParseError("log attribute after payload started")
                 k, t, v = _attr_from_elem(elem)
                 meta.attributes[k] = v
+                meta.attribute_types[k] = t
             elif tag == "trace":
                 payload_started = True
                 if standalone_idx > 0:
@@ -360,17 +361,28 @@ def read_xes_distributed(spark: SparkSession, path: str) -> EventLog:
     raw = (
         txt.select(F.concat(frag, F.lit("</trace>")).alias("_raw"))
         .filter(F.length(frag) > 0)
+        # Unique fallback identity for traces lacking concept:name —
+        # without it every unnamed trace would collapse into one
+        # "trace#-1" case. monotonically_increasing_id is unique across
+        # partitions without any coordination (partition id in the high
+        # bits), so the fallback stays a narrow, shuffle-free expression.
+        .withColumn("_tid", F.monotonically_increasing_id())
     )
 
     def convert(batches):
         for pdf in batches:
             out: list[dict] = []
-            for xml in pdf["_raw"]:
+            for xml, tid in zip(pdf["_raw"], pdf["_tid"]):
                 elem = ET.fromstring(xml)
-                out.extend(_trace_rows(elem, -1))
-            yield pd.DataFrame(
+                out.extend(_trace_rows(elem, int(tid)))
+            res = pd.DataFrame(
                 out, columns=[f.name for f in EVENTS_SCHEMA.fields]
             )
+            # An all-NULL ts column infers as float64 and Arrow refuses
+            # the double->timestamp cast; coerce so timestamp-less
+            # traces survive the Arrow conversion.
+            res["ts"] = pd.to_datetime(res["ts"])
+            yield res
 
     df = raw.mapInPandas(convert, schema=EVENTS_SCHEMA)
     return EventLog(df=df, meta=meta)
@@ -523,6 +535,12 @@ def write_xes(log: EventLog, path: str) -> None:
     for case_id in sorted(traces.keys()):
         out.append("\t<trace>\n")
         cattrs, ctypes = trace_attrs.get(case_id, ({}, {}))
+        if "concept:name" not in cattrs:
+            # Logs built from generic tables carry case identity only in
+            # the case_id column; persist it as the trace's concept:name
+            # (which is exactly what the reader derives case_id from) so
+            # the round-trip preserves case identity.
+            cattrs = {**cattrs, "concept:name": case_id}
         for k in sorted(cattrs.keys()):
             out.append(_attr_xml(k, ctypes.get(k, "string"), cattrs[k], [], "\t\t"))
         for r in sorted(traces[case_id], key=lambda r: r["seq"]):
@@ -536,8 +554,11 @@ def write_xes(log: EventLog, path: str) -> None:
 
 
 def _meta_attr_tag(meta: Meta, key: str) -> str:
-    # Log-level attribute types aren't tracked separately; infer from
-    # the stored canonical form (+json payloads carry their tag inline).
+    # Prefer the recorded type tag (parse_xes stores it); fall back to
+    # inferring from the stored canonical form for Metas built by hand.
+    t = meta.attribute_types.get(key)
+    if t:
+        return t
     v = meta.attributes.get(key, "")
     if v.startswith("{") and '"c"' in v:
         return "string+json"

@@ -25,6 +25,7 @@ shuffle, and the shuffle payload is just docs × num_hashes longs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -272,10 +273,10 @@ def mllib_minhash_candidates(
     num_hash_tables: int = 8,
     jaccard_distance: float = 0.5,
     shingle_n: int = 3,
-    num_features: int = 1 << 18,
+    num_features: int = 1 << 10,
 ) -> DataFrame:
     """MLlib-native variant of :func:`minhash_candidates`:
-    shingle-hash sets → sparse binary vectors (``num_features`` dims) →
+    shingle-hash sets → binary feature vectors (``num_features`` dims) →
     ``MinHashLSH.approxSimilarityJoin``. Returns (a, b, jaccard_dist)
     with a < b.
 
@@ -284,20 +285,25 @@ def mllib_minhash_candidates(
     Pipeline stages, model persistence, and transform reuse across
     corpora. The hand-rolled path stays the default: no vector
     materialization and exact (not feature-bucketed) Jaccard verify.
+
+    Vector construction is ``HashingTF(binary=True)`` over the shingle
+    string arrays: the standard MLlib Pipeline stage for exactly this
+    job — JVM-side, SPARSE vectors (size ∝ shingles per doc, not
+    ``num_features``), no Python in the loop. That keeps
+    ``num_features`` free to be 2^18 for low collision without paying
+    dense-vector memory (a dense formulation at 2^18 costs 2 MB/row and
+    OOMs the LSH join's broadcast; sparse costs ~8 B per shingle).
+    MinHashLSH's reported distance is feature-bucketed Jaccard either
+    way; the exact-verify pass in :func:`mllib_minhash_dedup` makes the
+    final answer bucket-free.
     """
-    from pyspark.ml.feature import MinHashLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = shingle_hash_arrays(df, key_col, text_col, shingle_n)
-
-    @F.udf(VectorUDT())
-    def to_vec(hashes):
-        idx = sorted({int(h) % num_features for h in hashes})
-        return Vectors.sparse(num_features, idx, [1.0] * len(idx))
-
-    vecs = sh.select("k", to_vec("sh").alias("features")).filter(
-        F.size(F.col("sh")) > 0
+    sh = shingle_arrays(df, key_col, text_col, shingle_n)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     )
+    vecs = tf.transform(sh.filter(F.size(F.col("sh")) > 0)).select("k", "features")
     model = MinHashLSH(
         inputCol="features", outputCol="lsh", numHashTables=num_hash_tables, seed=42
     ).fit(vecs)
@@ -314,30 +320,92 @@ def mllib_minhash_candidates(
     )
 
 
+def mllib_minhash_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    shingle_n: int = 3,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MLlib-candidate near-dup pairs verified by EXACT shingle Jaccard:
+    ``MinHashLSH`` generates candidates (any colliding hash table,
+    distance threshold wide open), then the same exact-Jaccard verify as
+    :func:`minhash_dedup` filters to >= ``threshold``. Returns
+    (a, b, jaccard_sim) — the same contract (and oracle) as the
+    hand-rolled path, so the two variants are directly comparable."""
+    cands = mllib_minhash_candidates(
+        df,
+        key_col,
+        text_col,
+        num_hash_tables=num_hash_tables,
+        jaccard_distance=1.0,
+        shingle_n=shingle_n,
+        num_features=num_features,
+    ).select("a", "b")
+    sh = shingle_hash_arrays(df, key_col, text_col, shingle_n)
+    return (
+        cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
+        .select(
+            "a",
+            "b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _md5_bit(md5_col: Column, i: int) -> Column:
+    """Bit ``i`` (0..63) of the 64-bit value encoded by the first 16 hex
+    digits of an md5 string: digit ``i // 4``, bit ``i % 4`` of its
+    value. Engine-portable by construction — any SQL dialect with
+    ``md5``/``substring``/``strpos`` computes the identical bit, which
+    is what makes the md5 hash mode oracle-checkable."""
+    digit = F.substring(md5_col, i // 4 + 1, 1)
+    val = F.conv(digit, 16, 10).cast("int")
+    return F.shiftright(val, i % 4).bitwiseAND(F.lit(1))
+
 
 def simhash_bits_df(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(k, bits): SimHash bit array per document — bit ``i`` is the sign
     of the sum over tokens of ±1 votes from token-hash bit ``i``.
 
     Same explode → groupBy shape as MinHash: 64 unrolled SUM aggregates
     in codegen with map-side combine; no interpreted HOF loops.
+
+    ``hash_mode='md5'`` swaps the token hash for md5 (bits read from the
+    hex digits) — slower than xxhash64 but computable by any SQL engine,
+    so the whole signature is cross-engine checkable. xxhash64 stays the
+    fast default.
     """
     tok_rows = df.select(
         F.col(key_col).alias("k"), F.explode(tokens(_norm(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_mode == "md5":
+        tok_rows = tok_rows.withColumn("m", F.md5("tok"))
+        bit_of = lambda i: _md5_bit(F.col("m"), i)  # noqa: E731
+    else:
+        tok_rows = tok_rows.withColumn("h", F.xxhash64("tok"))
+        bit_of = lambda i: F.shiftrightunsigned(F.col("h"), i).bitwiseAND(  # noqa: E731
+            F.lit(1)
+        )
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
+        F.sum(F.when(bit_of(i) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
         for i in range(bits)
     ]
     bit_arr = F.array(
@@ -375,10 +443,13 @@ def simhash_hex(bits_col: Column, bits: int = 64, chunk: int = 16) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(key, simhash hex string) per document."""
-    return simhash_bits_df(df, key_col, text_col).select(
+    return simhash_bits_df(df, key_col, text_col, hash_mode=hash_mode).select(
         F.col("k").alias(key_col), simhash_hex(F.col("bits")).alias("simhash")
     )
 
@@ -398,19 +469,29 @@ def simhash_candidates(
     text_col: str = "text",
     bands: int = 4,
     max_hamming: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Hamming-near candidate pairs: docs sharing any 16-bit chunk of
     the signature (full recall for hamming distance < bands). Optional
-    exact hamming verification when ``max_hamming`` is set."""
+    exact hamming verification when ``max_hamming`` is set.
+
+    The band key is the chunk's bit pattern read as an integer (Horner)
+    — the chunk is already <= 16 bits, so it needs no hashing, and the
+    integer code keeps the candidate join SQL-replayable for the oracle
+    (paired with ``hash_mode='md5'``)."""
     chunk = 64 // bands
-    bits_df = simhash_bits_df(df, key_col, text_col)
+    bits_df = simhash_bits_df(df, key_col, text_col, hash_mode=hash_mode)
     banded = bits_df.select(
         "k",
         "bits",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(b, F.slice(F.col("bits"), b * chunk + 1, chunk)),
+                lambda b: F.aggregate(
+                    F.slice(F.col("bits"), b * chunk + 1, chunk),
+                    F.lit(0).cast("long"),
+                    lambda acc, bit: acc * 2 + bit,
+                ),
             )
         ).alias("band", "chunk_hash"),
     )

@@ -30,13 +30,14 @@ def directly_follows(log: EventLog, with_endpoints: bool = False) -> DataFrame:
     and last->END edges (needed by alpha/heuristic miners).
     """
     w = Window.partitionBy("case_id").orderBy("seq")
-    pairs = (
-        log.trace_events()
-        .withColumn("next_activity", F.lead("activity").over(w))
-    )
+    # Empty traces are legal XES (log.rs:13-20) and surface as marker
+    # rows with NULL seq/activity; they carry no DFG edges — without
+    # this filter they'd inject (__START__, NULL)/(NULL, __END__) edges.
+    real = log.trace_events().filter(F.col("seq").isNotNull())
+    pairs = real.withColumn("next_activity", F.lead("activity").over(w))
     if with_endpoints:
         firsts = (
-            log.trace_events()
+            real
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.lit(START).alias("activity"), F.col("activity").alias("next_activity"))
@@ -67,7 +68,12 @@ def footprint(log: EventLog) -> DataFrame:
     against the DFG edge set.
     """
     dfg = directly_follows(log).select("activity", "next_activity")
-    acts = log.trace_events().select("activity").distinct()
+    acts = (
+        log.trace_events()
+        .filter(F.col("activity").isNotNull())
+        .select("activity")
+        .distinct()
+    )
     pairs = acts.select(F.col("activity").alias("a")).crossJoin(
         acts.select(F.col("activity").alias("b"))
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from promi_spark.log import EventLog
-from promi_spark.operators.dfg import END, START, directly_follows, footprint
+from promi_spark.operators.dfg import END, START, directly_follows
 
 
 @dataclass(frozen=True)
@@ -53,17 +53,24 @@ def alpha_miner(log: EventLog) -> PetriNet:
     3. keep only maximal pairs;
     4. add source place (-> start activities) and sink (end -> ).
 
-    Runs driver-side on the collected footprint (|alphabet|^2 rows).
+    Runs driver-side on ONE collected endpoint-DFG (|alphabet|^2-bounded):
+    the footprint relations, start set, and end set all derive from the
+    same edge set, so alpha costs a single Spark job instead of the
+    three (footprint + distinct-activities + endpoint DFG) a naive
+    composition would run.
     """
-    fp_rows = footprint(log).collect()
-    rel = {(r["a"], r["b"]): r["relation"] for r in fp_rows}
-    alphabet = sorted({a for a, _ in rel})
+    dfg_rows = directly_follows(log, with_endpoints=True).collect()
+    edges = {(r["activity"], r["next_activity"]) for r in dfg_rows}
+    alphabet = sorted(
+        {a for a, _ in edges if a is not None and a != START}
+        | {b for _, b in edges if b is not None and b != END}
+    )
 
     def causal(a: str, b: str) -> bool:
-        return rel.get((a, b)) == "->"
+        return (a, b) in edges and (b, a) not in edges
 
     def unrelated(a: str, b: str) -> bool:
-        return rel.get((a, b)) == "#"
+        return (a, b) not in edges and (b, a) not in edges
 
     # candidate (A, B) sets — bounded alphabet, so powerset growth is
     # tamed by starting from pairs and expanding greedily
@@ -78,7 +85,7 @@ def alpha_miner(log: EventLog) -> PetriNet:
             all(causal(a, b) for a in A for b in B)
             and all(unrelated(x, y) for x, y in combinations(A, 2))
             and all(unrelated(x, y) for x, y in combinations(B, 2))
-            and all(rel.get((x, x)) == "#" for x in (*A, *B))
+            and all(unrelated(x, x) for x in (*A, *B))
         )
 
     grown = True
@@ -104,11 +111,12 @@ def alpha_miner(log: EventLog) -> PetriNet:
         )
     ]
 
-    dfg = directly_follows(log, with_endpoints=True).collect()
     starts = sorted(
-        r["next_activity"] for r in dfg if r["activity"] == START
+        b for a, b in edges if a == START and b is not None and b != END
     )
-    ends = sorted(r["activity"] for r in dfg if r["next_activity"] == END)
+    ends = sorted(
+        a for a, b in edges if b == END and a is not None and a != START
+    )
     places = [Place(ins=(), outs=tuple(starts))]
     places += [Place(ins=A, outs=B) for A, B in sorted(maximal)]
     places.append(Place(ins=tuple(ends), outs=()))
@@ -143,77 +151,88 @@ def heuristic_net(
     ).select("a", "b", "n_ab", "dependency")
 
 
-def token_replay(log: EventLog, net: PetriNet) -> DataFrame:
+def token_replay(log: EventLog, net: PetriNet, buckets: int = 256) -> DataFrame:
     """Token-based conformance replay (Rozinat & van der Aalst, public
     formulation): replay each trace against the net counting produced/
     consumed/missing/remaining tokens; fitness per trace =
     ``0.5*(1 - m/c) + 0.5*(1 - r/p)``.
 
-    One ``applyInPandas`` over case groups with the (tiny) net broadcast
-    in the closure: a single shuffle on case_id, per-case state only —
-    the 100 TB shape for per-trace folds the reference would write as a
-    stateful Handler (``observer.rs:13-55``).
+    One ``applyInPandas`` over hash buckets of cases with the (tiny) net
+    broadcast in the closure as numpy incidence matrices: a single
+    shuffle, per-case state only — the 100 TB shape for per-trace folds
+    the reference would write as a stateful Handler (``observer.rs:13-55``).
+
+    The replay fold itself is the Lindley-recursion closed form, not a
+    Python loop: a trace's token count in place p after step j under
+    clip-at-zero consumption is ``prefix_j - min(0, min_{i<=j} prefix_i)``
+    of the unclipped ±1 delta prefix sum, so per-place missing tokens are
+    ``max(0, -min_j prefix_j)`` and the whole trace replays as one
+    (2E+1, P) cumsum + column-min in numpy. Hash-bucketing cases
+    (``buckets`` groups, default 256 — size to ≥4× cluster cores) keeps
+    Arrow batches large instead of one tiny group per case.
     """
+    import numpy as np
     import pandas as pd
 
-    places = [(set(p.ins), set(p.outs)) for p in net.places]
+    trans_idx = {t: i for i, t in enumerate(net.transitions)}
+    n_t, n_p = len(net.transitions), len(net.places)
+    # consume[t, p]: place p feeds transition t; produce[t, p]: t feeds p.
+    # Row n_t is all-zero — activities outside the net's alphabet no-op,
+    # matching the set-membership semantics of the scalar formulation.
+    consume = np.zeros((n_t + 1, n_p), dtype=np.int64)
+    produce = np.zeros((n_t + 1, n_p), dtype=np.int64)
+    for p_i, place in enumerate(net.places):
+        for a in place.outs:
+            if a in trans_idx:
+                consume[trans_idx[a], p_i] = 1
+        for a in place.ins:
+            if a in trans_idx:
+                produce[trans_idx[a], p_i] = 1
+    init = np.array([1 if not p.ins else 0 for p in net.places], dtype=np.int64)
+    sink = np.array([1 if not p.outs else 0 for p in net.places], dtype=np.int64)
+    n_source, n_sink = int(init.sum()), int(sink.sum())
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
-        case_id = pdf["case_id"].iloc[0]
-        tokens = {i: 0 for i in range(len(places))}
-        produced = consumed = missing = 0
-        # initial marking: token in the source place
-        for i, (ins, _) in enumerate(places):
-            if not ins:
-                tokens[i] += 1
-                produced += 1
-        for act in pdf["activity"]:
-            for i, (ins, outs) in enumerate(places):
-                if act in outs:  # place feeds this transition
-                    if tokens[i] > 0:
-                        tokens[i] -= 1
-                    else:
-                        missing += 1
-                    consumed += 1
-            for i, (ins, outs) in enumerate(places):
-                if act in ins:  # transition feeds this place
-                    tokens[i] += 1
-                    produced += 1
-        # final marking: consume from the sink place
-        for i, (ins, outs) in enumerate(places):
-            if not outs:
-                if tokens[i] > 0:
-                    tokens[i] -= 1
-                else:
-                    missing += 1
-                consumed += 1
-        remaining = sum(tokens.values())
-        fitness = 0.5 * (1 - missing / consumed if consumed else 1.0) + 0.5 * (
-            1 - remaining / produced if produced else 1.0
+    cols = [
+        "case_id", "n_events", "produced", "consumed",
+        "missing", "remaining", "fitness",
+    ]
+
+    def replay(_key, pdf):
+        pdf = pdf.sort_values(["case_id", "seq"], kind="mergesort")
+        case_ids = pdf["case_id"].to_numpy()
+        codes = np.array(
+            [trans_idx.get(a, n_t) for a in pdf["activity"]], dtype=np.int64
         )
-        return pd.DataFrame(
-            [
-                (
-                    case_id,
-                    int(len(pdf)),
-                    produced,
-                    consumed,
-                    missing,
-                    remaining,
-                    round(fitness, 6),
-                )
-            ],
-            columns=[
-                "case_id", "n_events", "produced", "consumed",
-                "missing", "remaining", "fitness",
-            ],
-        )
+        bounds = np.nonzero(case_ids[1:] != case_ids[:-1])[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(codes)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            c = codes[s:e]
+            n_ev = int(e - s)
+            deltas = np.empty((2 * n_ev + 1, n_p), dtype=np.int64)
+            deltas[0 : 2 * n_ev : 2] = -consume[c]
+            deltas[1 : 2 * n_ev : 2] = produce[c]
+            deltas[-1] = -sink
+            prefix = init + np.cumsum(deltas, axis=0)
+            miss_p = np.maximum(-prefix.min(axis=0), 0)
+            missing = int(miss_p.sum())
+            remaining = int((prefix[-1] + miss_p).sum())
+            consumed = int(consume[c].sum()) + n_sink
+            produced = int(produce[c].sum()) + n_source
+            fitness = 0.5 * (1 - missing / consumed if consumed else 1.0) + 0.5 * (
+                1 - remaining / produced if produced else 1.0
+            )
+            rows.append(
+                (case_ids[s], n_ev, produced, consumed, missing, remaining,
+                 round(fitness, 6))
+            )
+        return pd.DataFrame(rows, columns=cols)
 
     return (
         log.trace_events()
         .select("case_id", "seq", "activity")
-        .groupBy("case_id")
+        .groupBy(F.pmod(F.xxhash64("case_id"), F.lit(buckets)).alias("__bucket"))
         .applyInPandas(
             replay,
             schema=(

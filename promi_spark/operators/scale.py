@@ -29,9 +29,17 @@ from pyspark.sql import functions as F
 def salt(col: Column | str, n_salts: int, *entropy: Column) -> Column:
     """Deterministic salt in [0, n_salts): derived from extra row
     content (``entropy`` columns) so re-executed tasks salt identically
-    (F.rand would break retry determinism at scale)."""
+    (F.rand would break retry determinism at scale).
+
+    Without ``entropy`` the salt hashes (key, partition id): hashing the
+    key alone would give every row of a hot key the SAME salt — zero
+    spread, silently defeating the whole point. Partition id is stable
+    for deterministic inputs (file-split layout), so retries still salt
+    identically; prefer passing real entropy columns (a row id, a
+    timestamp) when the upstream partitioning is itself nondeterministic.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    ent = list(entropy) or [c]
+    ent = list(entropy) or [c, F.spark_partition_id()]
     return F.pmod(F.xxhash64(*ent), F.lit(n_salts))
 
 

@@ -168,13 +168,27 @@ def lsh_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bounded scale path: vectors
     sharing any band of their hyperplane sign-bits become candidates;
     candidates verified by exact cosine. High-cosine pairs agree on most
     sign bits, so per-band collision probability stays high while the
-    candidate set stays ~linear."""
-    dim = len(df.select(vec_col).first()[0])
+    candidate set stays ~linear.
+
+    The band bucket is the bit slice read as a little-endian integer
+    (Horner over 0/1 bits) rather than a hash of the slice: with
+    ``bits/bands`` sign bits per band the code already IS the bucket id,
+    and plain integers keep the whole pipeline reproducible in any
+    SQL engine (the oracle embeds the hyperplanes as literals and
+    replays this exact join). The ``band`` column stays in the join key
+    so the 2^(bits/bands) bucket space is still spread across ``bands``
+    distinct shuffle keys; AQE splits pathological buckets.
+
+    ``dim`` avoids a driver peek when the vector width is known.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
     per_band = bits // bands
     base = df.select(
@@ -193,8 +207,10 @@ def lsh_near_dups(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.xxhash64(
-                    bnd, F.slice(F.col("bits"), bnd * per_band + 1, per_band)
+                lambda bnd: F.aggregate(
+                    F.slice(F.col("bits"), bnd * per_band + 1, per_band),
+                    F.lit(0).cast("long"),
+                    lambda acc, bit: acc * 2 + bit,
                 ),
             )
         ).alias("band", "bucket"),
@@ -231,19 +247,43 @@ def ivf_centroids(
     seed: int = 42,
     sample: int = 4096,
     vec_col: str = "embedding",
+    init: str = "rng_sample",
+    id_col: str = "vec_id",
 ):
     """Deterministic k-means centroids from a driver-side sample
     (numpy; tiny — n_clusters x dim floats, broadcast as literals).
     At 100 TB: sample via df.sample, or train on MLlib KMeans — the
-    probe/search plan below is identical either way."""
+    probe/search plan below is identical either way.
+
+    ``init='lowest_ids'`` seeds from the ``n_clusters`` rows with the
+    smallest ids instead of an rng sample; combined with ``n_iter=0``
+    this is a seeded Voronoi coarse quantizer — fully order-independent
+    and reproducible in plain SQL, which is what the correctness oracle
+    replays (the probe-pruned search plan is identical either way)."""
     import numpy as np
 
-    rows = (
-        df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
-    )
-    X = np.array([r["v"] for r in rows])
-    rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    if init == "lowest_ids":
+        rows = (
+            df.select(_as_double(F.col(vec_col)).alias("v"))
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .collect()
+        )
+        cent = np.array([r["v"] for r in rows])
+    else:
+        rows = (
+            df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
+        )
+        X = np.array([r["v"] for r in rows])
+        rng = np.random.default_rng(seed)
+        cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    if init == "lowest_ids" and n_iter:
+        rows_all = (
+            df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
+        )
+        X = np.array([r["v"] for r in rows_all])
+    elif init == "lowest_ids":
+        X = cent
     for _ in range(n_iter):
         d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
@@ -292,13 +332,23 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "rng_sample",
+    n_iter: int = 10,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the ``nprobe``
     clusters nearest the query. Self-contained (trains inline); at
     scale the assignment is precomputed + partitioned."""
     import numpy as np
 
-    cent = ivf_centroids(corpus, n_clusters, seed=seed, vec_col=vec_col)
+    cent = ivf_centroids(
+        corpus,
+        n_clusters,
+        n_iter=n_iter,
+        seed=seed,
+        vec_col=vec_col,
+        init=init,
+        id_col=id_col,
+    )
     q = np.array(query_vec, dtype=float)
     d = ((np.array(cent) - q[None, :]) ** 2).sum(1)
     probe = [int(i) for i in d.argsort()[:nprobe]]

@@ -126,12 +126,30 @@ def classifier_name_violations(meta: Meta) -> list[str]:
 def validate(log: EventLog, strict: bool = False) -> DataFrame:
     """The full pack: one violations DataFrame
     ``(case_id, seq, violation)``. ``strict`` reproduces the abort-on-
-    first-error behavior of ``Sink::consume`` (``sink.rs:50-53``)."""
+    first-error behavior of ``Sink::consume`` (``sink.rs:50-53``).
+
+    Extensions DECLARED by the log's header and registered in
+    :mod:`promi_spark.extensions` contribute their own checks (type
+    tags, value vocabularies, semantic packs) — the reference builds
+    the same per-extension validators from Meta
+    (``validator.rs:19-116``, ``extension/mod.rs:59-115``). Time's
+    chronology check runs unconditionally (it guards ``seq`` itself,
+    which every per-trace operator relies on)."""
+    from promi_spark import extensions as ext_mod
+
     glob = global_violations(log)
     chrono = chronology_violations(log).select(
         "case_id", "seq", F.lit("time:chronology").alias("violation")
     )
     out = glob.unionByName(chrono)
+    for decl in log.meta.extensions:
+        try:
+            spec = ext_mod.get_extension(decl.prefix)
+        except KeyError:
+            continue
+        if spec.prefix == "time":
+            continue  # chronology already included above
+        out = out.unionByName(ext_mod.extension_violations(log, spec))
     meta_level = [
         f"classifier-ncname:{n}" for n in classifier_name_violations(log.meta)
     ] + [f"order:{v}" for k, v in log.meta.notes.items() if k == "order"]

@@ -1,0 +1,264 @@
+"""Generated DuckDB oracle SQL for the approximate / hash-based operators.
+
+The LSH / IVF / SimHash / winnowing operators are approximate by
+design, so "compare against exact brute force" is only a valid oracle
+when recall happens to be total. Instead these builders REPLAY the
+approximation itself in portable SQL: hyperplanes are embedded as
+float literals, band buckets are the bit slices read as integers (no
+engine-specific hashing), SimHash/winnowing run in an md5 hash mode
+that any SQL engine can evaluate, and IVF uses a seeded-Voronoi
+quantizer whose seeds are data rows. The DuckDB result is then
+pair-for-pair identical to the Spark result — including the pairs the
+approximation legitimately misses.
+
+All builders return self-contained SQL over the driver's pre-registered
+views (``documents``, ``embeddings``). Where a Spark expression folds
+arrays sequentially (``F.aggregate``), the SQL uses the same
+element order so float results agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+# Token / normalized-text fragments shared by the document oracles.
+# Mirrors operators.text.tokens + operators.dedup._norm: lowercase,
+# trim, collapse inner whitespace, split on \s+ (empty text -> ['']).
+_NORM_TXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = rf"string_split_regex(trim({_NORM_TXT}), '\s+')"
+
+
+def _vec(planes_row: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in planes_row) + "]"
+
+
+def _sign_bit(vec_expr: str, plane: list[float]) -> str:
+    return f"(CASE WHEN list_inner_product({vec_expr}, {_vec(plane)}) > 0 THEN 1 ELSE 0 END)"
+
+
+def _horner(bits: list[str]) -> str:
+    """MSB-first integer code of a bit list (matches F.aggregate's
+    ``acc * 2 + bit`` left fold)."""
+    expr = bits[0]
+    for b in bits[1:]:
+        expr = f"(({expr}) * 2 + {b})"
+    return expr
+
+
+def lsh_near_dups_sql(
+    planes: list[list[float]], bands: int, threshold: float
+) -> str:
+    """Replay of similarity.lsh_near_dups: per-band bit-slice bucket
+    codes, OR-of-bands candidate join, exact-cosine verify."""
+    per_band = len(planes) // bands
+    band_cols = []
+    for bnd in range(bands):
+        bits = [
+            _sign_bit("v", planes[bnd * per_band + j]) for j in range(per_band)
+        ]
+        band_cols.append(f"{_horner(bits)} AS b{bnd}")
+    on = " OR ".join(f"x.b{i} = y.b{i}" for i in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (
+      SELECT k, v, sqrt(list_inner_product(v, v)) AS nrm,
+             {', '.join(band_cols)}
+      FROM e
+    )
+    SELECT x.k AS a, y.k AS b,
+           round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine_sim
+    FROM coded x JOIN coded y ON x.k < y.k AND ({on})
+    WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {threshold}
+    """
+
+
+def ann_lsh_topk_sql(planes: list[list[float]], k: int) -> str:
+    """Replay of similarity.ann_topk: little-endian sign-bit bucket of
+    corpus and query vectors, single-bucket probe, exact cosine top-k."""
+    def bucket(vec_expr: str) -> str:
+        terms = [
+            f"{_sign_bit(vec_expr, p)} * {1 << i}" for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE k = 0),
+    qb AS (SELECT {bucket('q')} AS qbucket FROM qv),
+    c AS (SELECT k, v, {bucket('v')} AS bucket FROM e WHERE k <> 0)
+    SELECT k AS vec_id,
+           round(list_inner_product(v, q)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))),
+                 6) AS cosine_sim
+    FROM c, qv, qb
+    WHERE bucket = qbucket
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
+def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
+    """Replay of similarity.ivf_topk with init='lowest_ids', n_iter=0:
+    seeds are the ``n_clusters`` lowest-id corpus vectors; assignment is
+    argmax(2 v.c - c.c) with first-max (lowest seed index) tie-break;
+    probes are the ``nprobe`` seeds nearest the query."""
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE k = 0),
+    corp AS (SELECT k, v FROM e WHERE k <> 0),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c
+      FROM corp ORDER BY k LIMIT {n_clusters}
+    ),
+    scored AS (
+      SELECT corp.k, corp.v, cent.c_idx,
+             row_number() OVER (
+               PARTITION BY corp.k
+               ORDER BY 2 * list_inner_product(corp.v, cent.c)
+                        - list_inner_product(cent.c, cent.c) DESC,
+                        cent.c_idx
+             ) AS rn
+      FROM corp CROSS JOIN cent
+    ),
+    assigned AS (SELECT k, v, c_idx AS cluster FROM scored WHERE rn = 1),
+    probe AS (
+      SELECT c_idx FROM cent CROSS JOIN qv
+      ORDER BY list_inner_product(q, q) - 2 * list_inner_product(q, c)
+               + list_inner_product(c, c),
+               c_idx
+      LIMIT {nprobe}
+    )
+    SELECT k AS vec_id,
+           round(list_inner_product(v, q)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))),
+                 6) AS cosine_sim
+    FROM assigned CROSS JOIN qv
+    WHERE cluster IN (SELECT c_idx FROM probe)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
+def exact_jaccard_pairs_sql(threshold: float, n: int = 3) -> str:
+    """Exact word-n-gram Jaccard pairs >= threshold over ``documents``
+    — the oracle for minhash_dedup / mllib_minhash_dedup, whose banded
+    LSH has (verified) total recall on the high-similarity injected
+    duplicates. Candidates are bounded by a shared-shingle co-occurrence
+    join (full recall for J >= threshold: such pairs share a shingle)."""
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < {n} THEN [list_aggregate(toks, 'string_agg', ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+                                                    i -> {gram}))
+             END AS s
+      FROM t
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) x
+      JOIN (SELECT doc_id, unnest(s) AS g FROM sh) y
+        ON x.g = y.g AND x.doc_id < y.doc_id
+    )
+    SELECT c.a, c.b,
+           round(len(list_intersect(x.s, y.s))::DOUBLE
+                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
+             AS jaccard_sim
+    FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+    WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+                / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
+          >= {threshold}
+    """
+
+
+# --- SimHash (md5 hash mode) -----------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_sig_cte(bits: int = 64) -> str:
+    """CTEs computing per-doc SimHash sign bits t0..t63 under the md5
+    hash mode: token bit i = bit (i%4) of hex digit (i//4) of
+    md5(token); signature bit = sign of the +/-1 vote sum."""
+    digits = ", ".join(
+        f"strpos('{_HEX}', substring(m, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(bits // 4)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_bits = ", ".join(
+        f"CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS t{i}" for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+    d AS (SELECT doc_id, {digits} FROM h),
+    s AS (SELECT doc_id, {sums} FROM d GROUP BY doc_id),
+    g AS (SELECT doc_id, {sig_bits} FROM s)
+    """
+
+
+def simhash_signatures_sql(bits: int = 64, chunk: int = 16) -> str:
+    """Replay of dedup.simhash_signatures(hash_mode='md5'): packed hex
+    signature, ``chunk`` bits per hex group, MSB-first within a group."""
+    parts = []
+    for c in range(bits // chunk):
+        horner = _horner([f"t{c * chunk + t}" for t in range(chunk)])
+        parts.append(f"lpad(lower(hex({horner})), {chunk // 4}, '0')")
+    return (
+        _simhash_sig_cte(bits)
+        + f"SELECT doc_id, {' || '.join(parts)} AS simhash FROM g"
+    )
+
+
+def simhash_near_dups_sql(
+    bands: int = 4, max_hamming: int = 10, bits: int = 64
+) -> str:
+    """Replay of dedup.simhash_candidates(hash_mode='md5'): pairs
+    sharing any ``bits/bands``-bit chunk code, exact Hamming distance."""
+    chunk = bits // bands
+    chunk_cols = ", ".join(
+        f"{_horner([f't{c * chunk + t}' for t in range(chunk)])} AS c{c}"
+        for c in range(bands)
+    )
+    on = " OR ".join(f"x.c{c} = y.c{c}" for c in range(bands))
+    ham = " + ".join(
+        f"(CASE WHEN x.t{i} <> y.t{i} THEN 1 ELSE 0 END)" for i in range(bits)
+    )
+    return (
+        _simhash_sig_cte(bits)
+        + f""",
+    coded AS (SELECT *, {chunk_cols} FROM g)
+    SELECT x.doc_id AS a, y.doc_id AS b, CAST({ham} AS BIGINT) AS hamming
+    FROM coded x JOIN coded y ON x.doc_id < y.doc_id AND ({on})
+    WHERE {ham} <= {max_hamming}
+    """
+    )
+
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 4) -> str:
+    """Replay of text.winnow_fingerprints(hash_mode='md5'): md5 char
+    k-gram hashes, window-of-w minima (lexicographic on hex), distinct
+    selected fingerprints per doc."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_NORM_TXT} AS txt FROM documents),
+    grams AS (
+      SELECT doc_id, i, md5(substring(txt, i, {k})) AS h,
+             greatest(length(txt) - {k}, 0) + 1 AS n_grams
+      FROM t, LATERAL unnest(generate_series(1, greatest(length(txt) - {k}, 0) + 1))
+               AS u(i)
+    ),
+    wmin AS (
+      SELECT doc_id, i, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wm
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, wm AS fingerprint
+    FROM wmin
+    WHERE i <= greatest(n_grams - {w}, 0) + 1
+    """

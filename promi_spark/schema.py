@@ -121,6 +121,9 @@ class Meta:
     globals: list[Global] = field(default_factory=list)
     classifiers: list[ClassifierDecl] = field(default_factory=list)
     attributes: dict[str, str] = field(default_factory=dict)
+    # Type tag per log-level attribute key (e.g. "int", "date") so a
+    # typed <int key=... /> round-trips as <int>, not <string>.
+    attribute_types: dict[str, str] = field(default_factory=dict)
     notes: dict[str, str] = field(default_factory=dict)
 
     def classifier(self, name: str) -> ClassifierDecl:
@@ -143,6 +146,7 @@ class Meta:
             globals=[Global(**g) for g in d.get("globals", [])],
             classifiers=[ClassifierDecl(**c) for c in d.get("classifiers", [])],
             attributes=d.get("attributes", {}),
+            attribute_types=d.get("attribute_types", {}),
             notes=d.get("notes", {}),
         )
 

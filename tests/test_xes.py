@@ -158,3 +158,96 @@ def test_list_and_nested_attributes_round_trip(spark, tmp_path):
     write_xes(read_xes(spark, p1), p2)
     with open(p1) as a, open(p2) as b:
         assert a.read() == b.read()
+
+
+def _xmllint_valid(path: str) -> tuple[bool, str]:
+    import shutil
+    import subprocess
+
+    if shutil.which("xmllint") is None:
+        pytest.skip("xmllint not available")
+    r = subprocess.run(
+        ["xmllint", "--noout", "--schema", f"{CORPUS}/xes-ieee-1849-2016.xsd", path],
+        capture_output=True,
+        text=True,
+    )
+    return r.returncode == 0, r.stderr
+
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(f"{CORPUS}/correct/*.xes"))
+)
+def test_writer_output_is_schema_valid(spark, tmp_path, path):
+    """read(correct corpus file) -> write -> xmllint against the bundled
+    IEEE 1849-2016 XSD: the external oracle the reference applies to its
+    own writer output (xes.rs:918-964, static/xes/validate.sh)."""
+    from promi_spark.io.xes import read_xes, write_xes
+
+    out = str(tmp_path / "rewritten.xes")
+    write_xes(read_xes(spark, path), out)
+    ok, err = _xmllint_valid(out)
+    assert ok, f"writer output fails XSD for {os.path.basename(path)}:\n{err}"
+
+
+@pytest.mark.parametrize("name", ["L1.xes", "L4.xes"])
+def test_writer_output_book_logs_schema_valid(spark, tmp_path, name, golden_logs):
+    from promi_spark.io.xes import write_xes
+
+    out = str(tmp_path / "book.xes")
+    write_xes(golden_logs[name], out)
+    ok, err = _xmllint_valid(out)
+    assert ok, f"writer output fails XSD for {name}:\n{err}"
+
+
+def test_typed_log_attribute_round_trips_typed(spark, tmp_path):
+    """A typed log-level attribute (<int>) must re-serialize as <int>,
+    not <string> (type fidelity vs the reference writer)."""
+    from promi_spark.io.xes import read_xes, write_xes
+
+    xes = """<?xml version="1.0" encoding="UTF-8"?>
+<log xes.version="1849.2016" xes.features="">
+\t<int key="my:count" value="5"/>
+\t<trace>
+\t\t<string key="concept:name" value="c1"/>
+\t\t<event><string key="concept:name" value="a"/></event>
+\t</trace>
+</log>
+"""
+    p = str(tmp_path / "typed.xes")
+    with open(p, "w") as f:
+        f.write(xes)
+    log = read_xes(spark, p)
+    assert log.meta.attribute_types.get("my:count") == "int"
+    out = str(tmp_path / "typed_out.xes")
+    write_xes(log, out)
+    with open(out) as f:
+        body = f.read()
+    assert '<int key="my:count" value="5"/>' in body
+    assert log.meta.attribute_types == read_xes(spark, out).meta.attribute_types
+
+
+def test_distributed_reader_unnamed_traces_and_no_ts(spark, tmp_path):
+    """Traces without concept:name must stay distinct cases, and traces
+    whose events carry no time:timestamp must survive the Arrow
+    conversion (all-NULL ts)."""
+    from promi_spark.io.xes import read_xes_distributed
+
+    xes = """<?xml version="1.0" encoding="UTF-8"?>
+<log xes.version="1849.2016" xes.features="">
+\t<trace>
+\t\t<event><string key="concept:name" value="a"/></event>
+\t\t<event><string key="concept:name" value="b"/></event>
+\t</trace>
+\t<trace>
+\t\t<event><string key="concept:name" value="c"/></event>
+\t</trace>
+</log>
+"""
+    p = str(tmp_path / "unnamed.xes")
+    with open(p, "w") as f:
+        f.write(xes)
+    log = read_xes_distributed(spark, p)
+    rows = log.df.select("case_id", "seq", "activity", "ts").collect()
+    assert len(rows) == 3
+    assert len({r["case_id"] for r in rows}) == 2  # NOT collapsed
+    assert all(r["ts"] is None for r in rows)
