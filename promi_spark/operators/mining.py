@@ -243,6 +243,258 @@ def token_replay(log: EventLog, net: PetriNet, buckets: int = 256) -> DataFrame:
     )
 
 
+@dataclass
+class TreeNode:
+    """Process-tree node: ``op`` in {seq, xor, and, loop, act, tau};
+    leaves carry ``label``."""
+
+    op: str
+    label: str | None = None
+    children: list["TreeNode"] = field(default_factory=list)
+
+
+def inductive_miner(log: EventLog) -> TreeNode:
+    """Inductive Miner over the directly-follows graph (IMd — Leemans,
+    Fahland & van der Aalst, public formulation): recursively detect
+    exclusive-choice, sequence, parallel, and loop cuts on the DFG,
+    projecting the graph (not the log) per branch; fall through to the
+    flower model when no cut applies. Reference roadmap names
+    InductiveMiner as a planned consumer with no code (``src/lib.rs:21``).
+
+    Scale shape matches :func:`alpha_miner`: ONE Spark job collects the
+    |alphabet|^2-bounded endpoint DFG; cut recursion is driver-side set
+    algebra on that tiny graph — the log itself is never re-scanned,
+    which is what makes IMd (vs the log-splitting IM variants) the
+    100 TB-friendly formulation.
+
+    Deterministic output: children of xor/and sort by smallest activity,
+    loop redos likewise; seq children keep causal order.
+    """
+    dfg_rows = directly_follows(log, with_endpoints=True).collect()
+    edge_set = {(r["activity"], r["next_activity"]) for r in dfg_rows}
+    starts = {b for a, b in edge_set if a == START and b is not None and b != END}
+    ends = {a for a, b in edge_set if b == END and a is not None and a != START}
+    edges = {
+        (a, b)
+        for a, b in edge_set
+        if a is not None and b is not None and a != START and b != END
+    }
+    alphabet = {a for e in edges for a in e} | starts | ends
+    return _imd(frozenset(alphabet), edges, starts, ends)
+
+
+def _components(nodes: set[str], pairs: set[tuple[str, str]]) -> list[set[str]]:
+    """Undirected connected components (union-find over sorted nodes)."""
+    parent = {n: n for n in nodes}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in parent and b in parent:
+            parent[find(a)] = find(b)
+    comps: dict[str, set[str]] = {}
+    for n in nodes:
+        comps.setdefault(find(n), set()).add(n)
+    return sorted(comps.values(), key=lambda c: min(c))
+
+
+def _imd(
+    sigma: frozenset[str],
+    edges: set[tuple[str, str]],
+    starts: set[str],
+    ends: set[str],
+) -> TreeNode:
+    if not sigma:
+        return TreeNode("tau")
+    if len(sigma) == 1:
+        (a,) = sigma
+        if (a, a) in edges:  # self-loop: a repeats -> loop(a, tau)
+            return TreeNode("loop", children=[TreeNode("act", a), TreeNode("tau")])
+        return TreeNode("act", a)
+
+    # -- exclusive choice: undirected components of the DFG ------------
+    comps = _components(set(sigma), edges)
+    if len(comps) > 1:
+        kids = [
+            _imd(
+                frozenset(c),
+                {(a, b) for a, b in edges if a in c and b in c},
+                starts & c,
+                ends & c,
+            )
+            for c in comps
+        ]
+        return TreeNode("xor", children=kids)
+
+    # -- sequence: condensation order with unreachable-merge -----------
+    groups = _sequence_groups(sigma, edges)
+    if len(groups) > 1:
+        kids = []
+        for i, g in enumerate(groups):
+            before = set().union(*groups[:i]) if i else set()
+            after = set().union(*groups[i + 1 :]) if i + 1 < len(groups) else set()
+            g_starts = (starts & g) | {b for a, b in edges if a in before and b in g}
+            g_ends = (ends & g) | {a for a, b in edges if a in g and b in after}
+            kids.append(
+                _imd(
+                    frozenset(g),
+                    {(a, b) for a, b in edges if a in g and b in g},
+                    g_starts,
+                    g_ends,
+                )
+            )
+        return TreeNode("seq", children=kids)
+
+    # -- parallel: components of the "not both directions" graph ------
+    non_dual = {
+        (a, b)
+        for a in sigma
+        for b in sigma
+        if a < b and not ((a, b) in edges and (b, a) in edges)
+    }
+    par = _components(set(sigma), non_dual)
+    if len(par) > 1 and all(c & starts and c & ends for c in par):
+        kids = [
+            _imd(
+                frozenset(c),
+                {(a, b) for a, b in edges if a in c and b in c},
+                starts & c,
+                ends & c,
+            )
+            for c in par
+        ]
+        return TreeNode("and", children=kids)
+
+    # -- loop: body holds all starts/ends; redo parts attach only via
+    #    end->redo and redo->start edges ------------------------------
+    boundary = starts | ends
+    inner = set(sigma) - boundary
+    if inner:
+        body = set(boundary)
+        redos: list[set[str]] = []
+        for c in _components(
+            inner, {(a, b) for a, b in edges if a in inner and b in inner}
+        ):
+            into_ok = all(
+                a in ends for a, b in edges if b in c and a not in c and a in sigma
+            )
+            out_ok = all(
+                b in starts for a, b in edges if a in c and b not in c and b in sigma
+            )
+            if into_ok and out_ok:
+                redos.append(c)
+            else:
+                body |= c
+        if redos and not (body & inner):
+            # body must behave like a block: no start->start shortcuts
+            # are checkable from the DFG alone, so accept and recurse.
+            body_tree = _imd(
+                frozenset(body),
+                {(a, b) for a, b in edges if a in body and b in body},
+                starts,
+                ends,
+            )
+            redo_trees = [
+                _imd(
+                    frozenset(c),
+                    {(a, b) for a, b in edges if a in c and b in c},
+                    {b for a, b in edges if a in ends and b in c},
+                    {a for a, b in edges if a in c and b in starts},
+                )
+                for c in redos
+            ]
+            return TreeNode("loop", children=[body_tree, *redo_trees])
+    elif any((e, s) in edges for e in ends for s in starts):
+        # end->start edges with nothing in between: tau-redo loop over
+        # the body, whose structure is mined with the back-edges removed
+        # (strictly fewer edges, so the recursion terminates).
+        back = {(a, b) for a, b in edges if a in ends and b in starts}
+        body_tree = _imd(frozenset(sigma), edges - back, starts, ends)
+        return TreeNode("loop", children=[body_tree, TreeNode("tau")])
+
+    # -- fallthrough: flower = loop(tau, a1..an) -----------------------
+    return TreeNode(
+        "loop",
+        children=[TreeNode("tau")] + [TreeNode("act", a) for a in sorted(sigma)],
+    )
+
+
+def _sequence_groups(
+    sigma: frozenset[str], edges: set[tuple[str, str]]
+) -> list[set[str]]:
+    """Sequence-cut groups: SCC condensation, pairwise-unreachable SCCs
+    merged (they can only be ordered if something orders them), result
+    topologically sorted. |alphabet|-sized graph -> plain Floyd-Warshall
+    reachability is fine."""
+    acts = sorted(sigma)
+    idx = {a: i for i, a in enumerate(acts)}
+    n = len(acts)
+    reach = [[False] * n for _ in range(n)]
+    for a, b in edges:
+        if a in idx and b in idx:
+            reach[idx[a]][idx[b]] = True
+    for k in range(n):
+        rk = reach[k]
+        for i in range(n):
+            if reach[i][k]:
+                ri = reach[i]
+                for j in range(n):
+                    if rk[j]:
+                        ri[j] = True
+    # group id per node: same SCC (mutual reach) or mutually unreachable
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            mutual = reach[i][j] and reach[j][i]
+            neither = not reach[i][j] and not reach[j][i]
+            if mutual or neither:
+                parent[find(i)] = find(j)
+    groups: dict[int, set[str]] = {}
+    for i, a in enumerate(acts):
+        groups.setdefault(find(i), set()).add(a)
+    # order groups by reachability (condensation DAG is a chain here)
+    def key(g: set[str]):
+        i = idx[min(g)]
+        return sum(1 for j in range(n) if reach[j][i] and find(j) != find(i))
+
+    return sorted(groups.values(), key=key)
+
+
+def tree_rows(tree: TreeNode) -> list[tuple[int, int | None, str, str | None]]:
+    """Flatten a process tree DFS-preorder into
+    (node_id, parent_id, op, label) rows — the DataFrame surface."""
+    rows: list[tuple[int, int | None, str, str | None]] = []
+
+    def walk(node: TreeNode, parent: int | None) -> None:
+        nid = len(rows)
+        rows.append((nid, parent, node.op, node.label))
+        for c in node.children:
+            walk(c, nid)
+
+    walk(tree, None)
+    return rows
+
+
+def inductive_miner_df(log: EventLog) -> DataFrame:
+    """Inductive-miner process tree as a DataFrame — the driver-facing
+    query surface."""
+    rows = tree_rows(inductive_miner(log))
+    return log.df.sparkSession.createDataFrame(
+        rows, "node_id int, parent_id int, op string, label string"
+    )
+
+
 def fitness_summary(replayed: DataFrame) -> DataFrame:
     """Log-level conformance: trace-weighted average fitness + share of
     perfectly fitting traces."""

@@ -1293,12 +1293,28 @@ def q_alpha_places(spark, sf_dir):
     return alpha_miner_df(_log(spark, sf_dir))
 
 
+@q("inductive_tree", None)
+def q_inductive_tree(spark, sf_dir):
+    """IMd process tree over the events log (driver-side cut recursion
+    on one collected DFG; graph recursion is not SQL-expressible, so
+    rows-only like alpha_places)."""
+    from promi_spark.operators.mining import inductive_miner_df
+
+    return inductive_miner_df(_log(spark, sf_dir))
+
+
 @q("token_replay_fitness", None)
 def q_token_replay_fitness(spark, sf_dir):
     from promi_spark.operators.mining import alpha_miner, token_replay
 
-    log = _log(spark, sf_dir).cache()
-    return token_replay(log, alpha_miner(log))
+    from promi_spark.log import EventLog
+
+    # Cache only the 3 columns both consumers read — materializing the
+    # full event row (props JSON and all) would triple the cache build.
+    slim = EventLog.from_events(
+        _log(spark, sf_dir).df.select("case_id", "seq", "activity")
+    ).cache()
+    return token_replay(slim, alpha_miner(slim))
 
 
 # Multimodal pipeline (deterministic synthetic media — binary columns +
@@ -1413,6 +1429,7 @@ _ORDER = [
     "chronology_violations",
     # genuinely oracle-less (iterative / mapInPandas media)
     "alpha_places",
+    "inductive_tree",
     "token_replay_fitness",
     "media_decode_stats",
     "media_frame_sample",

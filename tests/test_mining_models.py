@@ -112,3 +112,86 @@ def test_alpha_on_book_l1(spark):
     s = fitness_summary(token_replay(log, net)).first()
     assert s["n_traces"] == 6
     assert s["avg_fitness"] > 0.9
+
+
+# ---------------------------------------------------------------------------
+# Inductive miner (IMd)
+# ---------------------------------------------------------------------------
+
+
+def _sexpr(t):
+    """Canonical s-expression of a TreeNode for compact assertions."""
+    if t.op == "act":
+        return t.label
+    if t.op == "tau":
+        return "tau"
+    return f"{t.op}({','.join(_sexpr(c) for c in t.children)})"
+
+
+def test_inductive_seq_xor(spark):
+    """L = {<a,b,d>, <a,c,d>} -> seq(a, xor(b,c), d)."""
+    from promi_spark.operators.mining import inductive_miner
+
+    t = inductive_miner(_mklog(spark, [list("abd"), list("acd")] * 3))
+    assert _sexpr(t) == "seq(a,xor(b,c),d)"
+
+
+def test_inductive_parallel(spark):
+    """L = {<a,b,c,d>, <a,c,b,d>} -> seq(a, and(b,c), d)."""
+    from promi_spark.operators.mining import inductive_miner
+
+    t = inductive_miner(_mklog(spark, [list("abcd"), list("acbd")] * 2))
+    assert _sexpr(t) == "seq(a,and(b,c),d)"
+
+
+def test_inductive_loop(spark):
+    """L = {<a>, <a,b,a>, <a,b,a,b,a>} -> loop(a, b)."""
+    from promi_spark.operators.mining import inductive_miner
+
+    t = inductive_miner(_mklog(spark, [["a"], list("aba"), list("ababa")]))
+    assert _sexpr(t) == "loop(a,b)"
+
+
+def test_inductive_tau_loop(spark):
+    """L = {<a,b>, <a,b,a,b>}: direct end->start edge -> loop(seq(a,b), tau)."""
+    from promi_spark.operators.mining import inductive_miner
+
+    t = inductive_miner(_mklog(spark, [list("ab"), list("abab")]))
+    assert _sexpr(t) == "loop(seq(a,b),tau)"
+
+
+def test_inductive_self_loop_leaf(spark):
+    """L = {<a,a,b>}: self-loop on a single activity."""
+    from promi_spark.operators.mining import inductive_miner
+
+    t = inductive_miner(_mklog(spark, [list("aab")]))
+    assert _sexpr(t) == "seq(loop(a,tau),b)"
+
+
+def test_inductive_on_book_l1(spark):
+    """Reference L1 book log -> the textbook tree seq(a, xor(and(b,c), e), d)."""
+    import os
+
+    path = "/root/reference/static/xes/book/L1.xes"
+    if not os.path.isfile(path):
+        pytest.skip("reference corpus unavailable")
+    from promi_spark.io.xes import read_xes
+    from promi_spark.operators.mining import inductive_miner
+
+    t = inductive_miner(read_xes(spark, path))
+    assert _sexpr(t) == "seq(a,xor(and(b,c),e),d)"
+
+
+def test_inductive_df_surface(spark):
+    """tree_rows/DataFrame surface: ids DFS-preorder, parents consistent."""
+    from promi_spark.operators.mining import inductive_miner_df
+
+    rows = inductive_miner_df(
+        _mklog(spark, [list("abd"), list("acd")])
+    ).collect()
+    assert [r["node_id"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["parent_id"] is None and rows[0]["op"] == "seq"
+    for r in rows[1:]:
+        assert 0 <= r["parent_id"] < r["node_id"]
+    labels = {r["label"] for r in rows if r["op"] == "act"}
+    assert labels == {"a", "b", "c", "d"}
