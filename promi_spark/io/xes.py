@@ -457,36 +457,12 @@ def _row_attr_items(attrs, attr_types, skip_prefix: str | None = None):
         yield k, tag, attrs[k]
 
 
-def write_xes(log: EventLog, path: str) -> None:
-    """Serialize an EventLog to XES-XML (driver-side; traces ordered by
-    case_id, events by seq — deterministic, convergent round-trip).
-
-    Lexical validation on write mirrors the reference (xes.rs writer +
-    xml_util.rs): extension prefix / classifier name are xs:NCName,
-    extension name xs:Name, URIs xs:anyURI, attribute keys xs:Name,
-    classifier keys xs:token.
-    """
-    meta = log.meta
-    rows = log.df.collect()
-
-    traces: dict[str, list] = {}
-    trace_attrs: dict[str, tuple] = {}
-    standalone: list = []
-    for r in rows:
-        if r["case_id"] is None:
-            standalone.append(r)
-        else:
-            traces.setdefault(r["case_id"], [])
-            if r["seq"] is not None:
-                traces[r["case_id"]].append(r)
-            if r["case_id"] not in trace_attrs:
-                ct = {
-                    k.removeprefix("case:"): v
-                    for k, v in (r["attr_types"] or {}).items()
-                    if k.startswith("case:")
-                }
-                trace_attrs[r["case_id"]] = (r["case_attrs"] or {}, ct)
-
+def _render_header(meta: Meta) -> str:
+    """Document header: decl, log open tag, extensions, globals,
+    classifiers, log-level attributes — with the reference's lexical
+    validation (xes.rs writer + xml_util.rs): extension prefix /
+    classifier name are xs:NCName, extension name xs:Name, URIs
+    xs:anyURI, attribute keys xs:Name, classifier keys xs:token."""
     out = ["<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"]
     out.append(
         '<log xes.version="1849.2016" xes.features="nested-attributes">\n'
@@ -516,41 +492,184 @@ def write_xes(log: EventLog, path: str) -> None:
         # meta.attributes stores canonical lexical values; type defaults
         # to string unless the value was stored with a typed tag
         out.append(_attr_xml(k, _meta_attr_tag(meta, k), tag_v, [], "\t"))
+    return "".join(out)
 
-    def event_xml(r, ind: str) -> str:
-        parts = [f"{ind}<event>\n"]
-        merged: list[tuple[str, str, str]] = []
-        for key, col in _COL_FOR_KEY.items():
-            v = r[col]
-            if v is not None:
-                tag = "date" if col == "ts" else "string"
-                merged.append((key, tag, _fmt_ts(v) if col == "ts" else v))
-        for k, tag, v in _row_attr_items(r["attrs"], r["attr_types"]):
-            merged.append((k, tag, v))
-        for k, tag, v in sorted(merged):
-            parts.append(_attr_xml(k, tag, v, [], ind + "\t"))
-        parts.append(f"{ind}</event>\n")
-        return "".join(parts)
 
+def _event_xml(r, ind: str) -> str:
+    """One <event> element from a row-mapping (Spark Row or plain dict
+    with the EVENTS_SCHEMA column names)."""
+    parts = [f"{ind}<event>\n"]
+    merged: list[tuple[str, str, str]] = []
+    for key, col in _COL_FOR_KEY.items():
+        v = r[col]
+        if v is not None:
+            tag = "date" if col == "ts" else "string"
+            merged.append((key, tag, _fmt_ts(v) if col == "ts" else v))
+    for k, tag, v in _row_attr_items(r["attrs"], r["attr_types"]):
+        merged.append((k, tag, v))
+    for k, tag, v in sorted(merged):
+        parts.append(_attr_xml(k, tag, v, [], ind + "\t"))
+    parts.append(f"{ind}</event>\n")
+    return "".join(parts)
+
+
+def _trace_xml(case_id: str, cattrs: dict, ctypes: dict, rows) -> str:
+    """One <trace> element; ``rows`` already ordered by seq."""
+    out = ["\t<trace>\n"]
+    if "concept:name" not in cattrs:
+        # Logs built from generic tables carry case identity only in
+        # the case_id column; persist it as the trace's concept:name
+        # (which is exactly what the reader derives case_id from) so
+        # the round-trip preserves case identity.
+        cattrs = {**cattrs, "concept:name": case_id}
+    for k in sorted(cattrs.keys()):
+        out.append(_attr_xml(k, ctypes.get(k, "string"), cattrs[k], [], "\t\t"))
+    for r in rows:
+        out.append(_event_xml(r, "\t\t"))
+    out.append("\t</trace>\n")
+    return "".join(out)
+
+
+def _case_types(attr_types: dict | None) -> dict:
+    return {
+        k.removeprefix("case:"): v
+        for k, v in (attr_types or {}).items()
+        if k.startswith("case:")
+    }
+
+
+def write_xes(log: EventLog, path: str) -> None:
+    """Serialize an EventLog to XES-XML (driver-side; traces ordered by
+    case_id, events by seq — deterministic, convergent round-trip).
+    For logs too large to collect, use :func:`write_xes_distributed`.
+    """
+    meta = log.meta
+    rows = log.df.collect()
+
+    traces: dict[str, list] = {}
+    trace_attrs: dict[str, tuple] = {}
+    standalone: list = []
+    for r in rows:
+        if r["case_id"] is None:
+            standalone.append(r)
+        else:
+            traces.setdefault(r["case_id"], [])
+            if r["seq"] is not None:
+                traces[r["case_id"]].append(r)
+            if r["case_id"] not in trace_attrs:
+                trace_attrs[r["case_id"]] = (
+                    r["case_attrs"] or {},
+                    _case_types(r["attr_types"]),
+                )
+
+    out = [_render_header(meta)]
     for case_id in sorted(traces.keys()):
-        out.append("\t<trace>\n")
         cattrs, ctypes = trace_attrs.get(case_id, ({}, {}))
-        if "concept:name" not in cattrs:
-            # Logs built from generic tables carry case identity only in
-            # the case_id column; persist it as the trace's concept:name
-            # (which is exactly what the reader derives case_id from) so
-            # the round-trip preserves case identity.
-            cattrs = {**cattrs, "concept:name": case_id}
-        for k in sorted(cattrs.keys()):
-            out.append(_attr_xml(k, ctypes.get(k, "string"), cattrs[k], [], "\t\t"))
-        for r in sorted(traces[case_id], key=lambda r: r["seq"]):
-            out.append(event_xml(r, "\t\t"))
-        out.append("\t</trace>\n")
+        out.append(
+            _trace_xml(
+                case_id,
+                cattrs,
+                ctypes,
+                sorted(traces[case_id], key=lambda r: r["seq"]),
+            )
+        )
     for r in standalone:
-        out.append(event_xml(r, "\t"))
+        out.append(_event_xml(r, "\t"))
     out.append("</log>\n")
     with open(path, "w", encoding="utf-8") as f:
         f.write("".join(out))
+
+
+def write_xes_distributed(log: EventLog, path: str) -> None:
+    """XES export that never collects the log: traces are rendered to
+    XML fragments in parallel (range-partitioned on ``case_id`` and
+    sorted, so each task owns whole traces in output order), then the
+    driver streams partition results to the file with
+    ``toLocalIterator`` — one partition resident at a time, bounded
+    driver memory regardless of log size. This is the 100 TB shape of
+    single-document export: distributed render, sequential merge
+    (reference writer is inherently sequential, ``xes.rs:717-796``).
+
+    Output is byte-identical to :func:`write_xes` for the same log.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    meta = log.meta
+    df = log.df
+
+    def render(batches):
+        # Batches arrive range-partitioned+sorted; a trace may straddle
+        # Arrow batch boundaries but never partition boundaries, so a
+        # carry buffer across batches per partition is enough.
+        cur_id = None
+        cur_rows: list[dict] = []
+        cur_attrs: tuple = ({}, {})
+        pend: list[str] = []
+
+        def flush():
+            if cur_id is not None:
+                pend.append(
+                    _trace_xml(cur_id, cur_attrs[0], cur_attrs[1], cur_rows)
+                )
+
+        def norm(k, v):
+            # Arrow->pandas turns MapType into a list of (k, v) tuples
+            # and NULL scalars into NaN/NaT; normalize back to the
+            # dict/None shapes the shared renderers expect.
+            if k in ("attrs", "attr_types", "case_attrs"):
+                if v is None:
+                    return None
+                if isinstance(v, dict):
+                    return v
+                try:
+                    return dict(v)
+                except (TypeError, ValueError):
+                    return None
+            if v is None:
+                return None
+            try:
+                if pd.isna(v):
+                    return None
+            except (TypeError, ValueError):
+                pass
+            return v
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                r = {k: norm(k, v) for k, v in rec.items()}
+                cid = r["case_id"]
+                if cid != cur_id:
+                    flush()
+                    cur_id, cur_rows = cid, []
+                    cur_attrs = (
+                        r["case_attrs"] or {},
+                        _case_types(r["attr_types"]),
+                    )
+                if r["seq"] is not None:
+                    cur_rows.append(r)
+            if pend:
+                yield pd.DataFrame({"xml": pend})
+                pend = []
+        flush()
+        if pend:
+            yield pd.DataFrame({"xml": pend})
+
+    traced = (
+        df.filter(F.col("case_id").isNotNull())
+        .repartitionByRange("case_id")
+        .sortWithinPartitions("case_id", "seq")
+    )
+    fragments = traced.mapInPandas(render, schema="xml string")
+
+    standalone = df.filter(F.col("case_id").isNull()).collect()
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_render_header(meta))
+        for row in fragments.toLocalIterator():
+            f.write(row["xml"])
+        for r in standalone:
+            f.write(_event_xml(r, "\t"))
+        f.write("</log>\n")
 
 
 def _meta_attr_tag(meta: Meta, key: str) -> str:

@@ -251,3 +251,32 @@ def test_distributed_reader_unnamed_traces_and_no_ts(spark, tmp_path):
     assert len(rows) == 3
     assert len({r["case_id"] for r in rows}) == 2  # NOT collapsed
     assert all(r["ts"] is None for r in rows)
+
+
+def test_distributed_writer_matches_driver_writer(spark, tmp_path):
+    """write_xes_distributed streams partition-rendered fragments; its
+    output must be byte-identical to the driver-side writer for the
+    same log (corpus file with traces, nested attrs, and meta)."""
+    from promi_spark.io.xes import read_xes, write_xes, write_xes_distributed
+
+    src = f"{CORPUS}/correct/event_correct_attributes.xes"
+    log = read_xes(spark, src)
+    p1, p2 = str(tmp_path / "driver.xes"), str(tmp_path / "dist.xes")
+    write_xes(log, p1)
+    write_xes_distributed(log, p2)
+    with open(p1) as a, open(p2) as b:
+        assert a.read() == b.read()
+
+
+def test_distributed_writer_on_parquet_log(spark, tmp_path):
+    """Generic-table logs (no case_attrs) export identically through
+    both writers, including standalone (NULL-case) events."""
+    from promi_spark.io import load_event_log
+    from promi_spark.io.xes import write_xes, write_xes_distributed
+
+    log = load_event_log(spark, "/root/testdata/sf0.001")
+    p1, p2 = str(tmp_path / "driver.xes"), str(tmp_path / "dist.xes")
+    write_xes(log, p1)
+    write_xes_distributed(log, p2)
+    with open(p1) as a, open(p2) as b:
+        assert a.read() == b.read()
