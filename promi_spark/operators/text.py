@@ -99,6 +99,143 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    formulation) over word n-grams: per document, the duplicate-2/3-gram
+    fractions (1 - distinct/total) and the token share of the single
+    most frequent 2-gram. High values mark boilerplate/spam that
+    training-data filters drop.
+
+    Shapes: the duplicate fractions are pure array expressions (narrow,
+    codegen). The top-gram share genuinely needs a per-(doc, gram)
+    count, so it is the canonical two-phase aggregation — explode ->
+    map-side-combined count on (doc, gram) -> max per doc — and joins
+    back to the narrow stats on the doc key. At 100 TB the explode is
+    the unavoidable cost of an exact mode; swap in a per-partition
+    count-min sketch when approximate top-grams suffice."""
+    toks = tokens(F.col(text_col))
+
+    def grams(n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.when(F.size(toks) < n, F.array()).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.size(toks).alias("n_tokens"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+    stats = base.select(
+        "k",
+        "n_tokens",
+        F.size("g2").alias("n_g2"),
+        F.round(
+            F.when(F.size("g2") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("g2")) / F.size("g2")
+            ),
+            4,
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.when(F.size("g3") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("g3")) / F.size("g3")
+            ),
+            4,
+        ).alias("dup_3gram_frac"),
+    )
+    top = (
+        base.select("k", "n_tokens", F.explode("g2").alias("g"))
+        .groupBy("k", "g")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("n_tokens").alias("n_tokens"))
+        .groupBy("k")
+        .agg(
+            F.max("c").alias("top_2gram_count"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "k",
+            "top_2gram_count",
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.col("top_2gram_count") * 2.0 / F.col("n_tokens")
+                ),
+                4,
+            ).alias("top_2gram_token_frac"),
+        )
+    )
+    return (
+        stats.join(top, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            "n_tokens",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
+            F.coalesce("top_2gram_token_frac", F.lit(0.0)).alias(
+                "top_2gram_token_frac"
+            ),
+        )
+    )
+
+
+def ngram_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    ``n``-grams with a benchmark corpus (the standard train/test-overlap
+    filter in LLM data pipelines; n=8..13 in production, lower for the
+    short synthetic docs).
+
+    Shape for 100 TB: the benchmark side is tiny relative to the
+    corpus, so its distinct gram set is BROADCAST — the corpus-side
+    explode never shuffles; the only exchange is the per-doc count
+    aggregation, which map-side-combines. Returns every train doc with
+    its gram counts, shared-gram count, containment ratio, and the
+    ``contaminated`` verdict (>= ``min_shared`` shared grams).
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gr = F.when(F.size(toks) < n, F.array()).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+    )
+    tg = train.select(F.col(key_col).alias("k"), gr.alias("grams"))
+    bench_grams = (
+        bench.select(F.explode(gr).alias("g")).distinct()
+    )
+    shared = (
+        tg.select("k", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        tg.select("k", F.size("grams").alias("n_grams"))
+        .join(shared, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_shared", F.lit(0)) / F.col("n_grams")
+                ),
+                4,
+            ).alias("containment"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: the language whose stopword list hits
     most tokens wins ('und' = undetermined on all-zero). Deterministic

@@ -262,3 +262,78 @@ def winnow_fingerprints_sql(k: int = 8, w: int = 4) -> str:
     FROM wmin
     WHERE i <= greatest(n_grams - {w}, 0) + 1
     """
+
+
+# Raw whitespace tokens (no case-folding) — operators.text.tokens.
+_RAW_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _gram_list(n: int, toks: str = "toks", distinct: bool = False) -> str:
+    """DuckDB word-n-gram list over a token-list column; empty list when
+    the document is shorter than ``n`` tokens."""
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    inner = f"list_transform(range(1, len({toks}) - {n - 2}), i -> {gram})"
+    if distinct:
+        inner = f"list_distinct({inner})"
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN []::VARCHAR[] ELSE {inner} END"
+    )
+
+
+def repetition_stats_sql() -> str:
+    """Oracle for operators.text.repetition_stats: duplicate-2/3-gram
+    fractions as pure list expressions; top-2-gram share via
+    unnest+group."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             {_gram_list(2)} AS g2,
+             {_gram_list(3)} AS g3
+      FROM t
+    ),
+    top AS (
+      SELECT doc_id, max(c) AS top_c FROM (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+        GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_tokens,
+           round(CASE WHEN len(g2) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(g2)) / len(g2) END, 4)
+             AS dup_2gram_frac,
+           round(CASE WHEN len(g3) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(g3)) / len(g3) END, 4)
+             AS dup_3gram_frac,
+           coalesce(top.top_c, 0) AS top_2gram_count,
+           round(CASE WHEN g.n_tokens = 0 THEN 0.0
+                      ELSE coalesce(top.top_c, 0) * 2.0 / g.n_tokens END, 4)
+             AS top_2gram_token_frac
+    FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+    """
+
+
+def ngram_overlap_sql(n: int = 5, min_shared: int = 1, modulus: int = 10) -> str:
+    """Oracle for operators.text.ngram_overlap with the benchmark being
+    every ``doc_id % modulus == 0`` document (the query uses the same
+    deterministic split)."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, {_gram_list(n, distinct=True)} AS grams FROM t),
+    train AS (SELECT * FROM g WHERE doc_id % {modulus} <> 0),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+           WHERE doc_id % {modulus} = 0),
+    shared AS (
+      SELECT tr.doc_id, count(*) AS n_shared
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tr
+      JOIN bg USING (gram) GROUP BY tr.doc_id
+    )
+    SELECT train.doc_id, len(train.grams) AS n_grams,
+           coalesce(s.n_shared, 0) AS n_shared,
+           round(CASE WHEN len(train.grams) = 0 THEN 0.0
+                      ELSE coalesce(s.n_shared, 0) / len(train.grams) END, 4)
+             AS containment,
+           coalesce(s.n_shared, 0) >= {min_shared} AS contaminated
+    FROM train LEFT JOIN shared s ON train.doc_id = s.doc_id
+    """

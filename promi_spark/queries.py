@@ -1078,6 +1078,29 @@ def q_lang_id_docs(spark, sf_dir):
     return text.lang_id(load_table(spark, "documents", sf_dir))
 
 
+@q("repetition_stats", oracles.repetition_stats_sql())
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-n-gram
+    fractions + top-2-gram token share) — the boilerplate/spam filter
+    of a training-data pipeline."""
+    return text.repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+@q("decontaminate", oracles.ngram_overlap_sql(n=5, min_shared=1, modulus=10))
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-5-gram overlap of the training
+    split (doc_id % 10 != 0) against the benchmark split (doc_id % 10
+    == 0); benchmark gram set broadcast so the corpus side never
+    shuffles for the probe."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.ngram_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=5,
+        min_shared=1,
+    )
+
+
 @q(
     "props_json_stats",
     """
@@ -1396,7 +1419,6 @@ _ORDER = [
     # F1-F7 filters
     "filter_concept_eq",
     "filter_concept_in",
-    "filter_concept_match",
     "filter_org_eq",
     "filter_org_match",
     "filter_time_contained",
@@ -1434,10 +1456,11 @@ _ORDER = [
     "token_counts_docs",
     "text_quality",
     "lang_id_docs",
+    "repetition_stats",
+    "decontaminate",
     "props_json_stats",
     # embeddings / similarity
     "embedding_norms",
-    "knn_cosine",
     "knn_join_topk",
     "cosine_near_dups_exact",
     "lsh_near_dups",
@@ -1450,7 +1473,10 @@ _ORDER = [
     "winnow_fingerprints",
     # redundant-but-kept variants (operators already covered above by a
     # sibling query: dfg ⊂ dfg_endpoints, hamming candidates share the
-    # SimHash signature path, the extra TPC-H joins duplicate J4)
+    # SimHash signature path, the extra TPC-H joins duplicate J4,
+    # concept_match/knn_cosine siblings keep their family green above)
+    "filter_concept_match",
+    "knn_cosine",
     "simhash_near_dups",
     "dfg",
     "tpch_q6",

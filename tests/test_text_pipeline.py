@@ -1,0 +1,64 @@
+"""Repetition quality signals + benchmark decontamination
+(training-data pipeline operators beyond the reference surface)."""
+
+from pyspark.sql import functions as F
+
+from promi_spark.operators.text import ngram_overlap, repetition_stats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_flags_repeated_text(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            _docs(
+                spark,
+                [
+                    "spam spam spam spam spam spam",   # all one 2-gram
+                    "one two three four five six",      # no repetition
+                    "",                                 # empty
+                ],
+            )
+        ).collect()
+    }
+    assert rows[0]["dup_2gram_frac"] > 0.7
+    assert rows[0]["top_2gram_token_frac"] > 0.9
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[1]["top_2gram_count"] == 1
+    assert rows[2]["top_2gram_count"] == 0
+
+
+def test_overlap_flags_contaminated_docs(spark):
+    bench = _docs(spark, ["the quick brown fox jumps over the lazy dog"])
+    train = spark.createDataFrame(
+        [
+            (10, "copied text the quick brown fox jumps over it all"),
+            (11, "completely unrelated words with no shared grams here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_overlap(train, bench, n=5, min_shared=1).collect()
+    }
+    assert got[10]["contaminated"] and got[10]["n_shared"] >= 1
+    assert not got[11]["contaminated"] and got[11]["n_shared"] == 0
+
+
+def test_overlap_benchmark_side_is_broadcast(spark):
+    """The benchmark gram set must broadcast — the corpus side of the
+    probe join never shuffles."""
+    bench = _docs(spark, ["a b c d e f g h"])
+    train = _docs(spark, ["a b c d e x y z"])
+    df = ngram_overlap(train, bench, n=5)
+    je = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in je
