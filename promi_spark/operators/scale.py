@@ -105,6 +105,37 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def shard_id(key: Column | str, n_shards: int, seed: int = 0) -> Column:
+    """Deterministic, engine-portable shard assignment: the first 8 hex
+    digits of ``md5(key ':' seed)`` read as an integer, mod
+    ``n_shards``. Stable across retries, sessions, engines (DuckDB
+    computes the identical value — see oracles.shard_assignment_sql) and
+    cluster sizes, which is what a training-data export needs: re-runs
+    land every row in the same shard file."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.md5(F.concat_ws(":", c, F.lit(str(seed)))), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n_shards))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 256,
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Fixed-shard training-data export: assign every row its stable shard,
+    repartition ON THE SHARD COLUMN (one shuffle, each task owns whole
+    shards -> exactly one file per shard), write partitioned by shard.
+    Downstream loaders address shards by directory; re-runs are
+    byte-stable modulo row order within a shard."""
+    out = df.withColumn("shard", shard_id(key, n_shards, seed))
+    out.repartition(n_shards, "shard").write.mode(mode).partitionBy(
+        "shard"
+    ).parquet(path)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
 ) -> DataFrame:

@@ -337,3 +337,14 @@ def ngram_overlap_sql(n: int = 5, min_shared: int = 1, modulus: int = 10) -> str
            coalesce(s.n_shared, 0) >= {min_shared} AS contaminated
     FROM train LEFT JOIN shared s ON train.doc_id = s.doc_id
     """
+
+
+def shard_assignment_sql(n_shards: int, seed: int = 0) -> str:
+    """Oracle for operators.scale.shard_id over ``documents``: identical
+    md5-prefix integer mod ``n_shards`` in DuckDB."""
+    return f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id || ':{seed}'), 1, 8))::BIGINT
+             % {n_shards} AS shard
+    FROM documents
+    """

@@ -1316,6 +1316,19 @@ def q_alpha_places(spark, sf_dir):
     return alpha_miner_df(_log(spark, sf_dir))
 
 
+@q("shard_assignment", oracles.shard_assignment_sql(n_shards=16, seed=0))
+def q_shard_assignment(spark, sf_dir):
+    """Deterministic training-data shard assignment: stable md5-prefix
+    shard ids per document, identical across engines/retries/cluster
+    sizes (scale.write_shards materializes these as one file per shard)."""
+    from promi_spark.operators.scale import shard_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", shard_id(F.col("doc_id").cast("string"), 16, seed=0).alias("shard")
+    )
+
+
 @q(
     "arrow_roundtrip",
     """
@@ -1484,8 +1497,10 @@ _ORDER = [
     "part_brand_volume",
     "bpe_token_counts",
     "chronology_violations",
-    # genuinely oracle-less (iterative / mapInPandas media)
+    # oracled but outside the 50-query driver window (locally checked)
+    "shard_assignment",
     "arrow_roundtrip",
+    # genuinely oracle-less (iterative / mapInPandas media)
     "alpha_places",
     "inductive_tree",
     "token_replay_fitness",

@@ -110,6 +110,28 @@ def sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Exact streaming deduplication — the streaming face of
+    ``operators.dedup.exact_dedup``. With ``within_watermark`` (the
+    scale default, Spark 3.5+), per-key state is EVICTED once event
+    time passes the watermark, so state size tracks the dedup window,
+    not stream history; duplicates arriving inside the window are
+    dropped, later re-occurrences pass (the training-ingest contract:
+    a landing-zone feed re-delivering recent batches). Set it False for
+    global exact dedup with unbounded state (small keyspaces only).
+    """
+    keys = key_cols or ["case_id", "seq", "activity"]
+    ev = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return ev.dropDuplicatesWithinWatermark(keys)
+    return ev.dropDuplicates(keys)
+
+
 def quarantine(
     events: DataFrame, checks: dict[str, "F.Column"] | None = None
 ) -> tuple[DataFrame, DataFrame]:

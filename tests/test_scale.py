@@ -108,3 +108,28 @@ def test_bucketed_agg_elides_exchange(spark, bucketed_tables):
     agg = spark.table(lt).groupBy("okey").agg(F.sum("l_quantity").alias("q"))
     plan = explain(agg)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_write_shards_one_file_per_shard(spark, tmp_path):
+    """Every row lands in its stable shard; repartition-on-shard means
+    one parquet file per shard directory."""
+    import glob as g
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.scale import shard_id, write_shards
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    p = str(tmp_path / "shards")
+    write_shards(docs, p, key="doc_id", n_shards=8)
+    back = spark.read.parquet(p)
+    assert back.count() == docs.count()
+    # stability: re-derived assignment matches the persisted one
+    from pyspark.sql import functions as F
+
+    rederived = docs.select(
+        "doc_id", shard_id(F.col("doc_id"), 8).alias("expect")
+    )
+    joined = back.join(rederived, "doc_id")
+    assert joined.filter(F.col("shard") != F.col("expect")).count() == 0
+    for d in g.glob(f"{p}/shard=*"):
+        assert len(g.glob(f"{d}/*.parquet")) == 1

@@ -152,3 +152,27 @@ def test_stateful_dfg_matches_batch(spark, stream_dir):
     diff = got.exceptAll(want.select("activity", "next_activity", "n"))
     assert diff.count() == 0
     assert got.count() == want.count()
+
+
+def test_streaming_dedup_drops_redelivered_batch(spark, stream_dir, tmp_path):
+    """A re-delivered file (duplicate rows inside the watermark) dedups
+    to the batch-exact distinct count; state evicts past the watermark."""
+    import glob as g
+    import shutil
+
+    from promi_spark.streaming import read_event_stream, run_to_memory
+    from promi_spark.streaming.engine import streaming_dedup
+
+    d = str(tmp_path / "dup_src")
+    shutil.copytree(stream_dir, d)
+    # redeliver the first chunk verbatim
+    src = sorted(g.glob(f"{stream_dir}/*.parquet"))[0]
+    shutil.copy(src, f"{d}/redelivered.parquet")
+
+    sdf = streaming_dedup(
+        read_event_stream(spark, d), key_cols=["case_id", "seq"], watermark="365 days"
+    )
+    run_to_memory(sdf, "sdedup", output_mode="append")
+    got = spark.table("sdedup").count()
+    expect = spark.read.parquet(stream_dir).dropDuplicates(["case_id", "seq"]).count()
+    assert got == expect
