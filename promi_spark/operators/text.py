@@ -208,31 +208,39 @@ def ngram_overlap(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
         )
     )
-    tg = train.select(F.col(key_col).alias("k"), gr.alias("grams"))
     bench_grams = (
-        bench.select(F.explode(gr).alias("g")).distinct()
+        bench.select(F.explode(gr).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    shared = (
-        tg.select("k", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
+    # Single corpus scan: explode_outer keeps gram-less docs, the LEFT
+    # broadcast join marks hits, one map-side-combined aggregation
+    # rebuilds the per-doc verdict. The only exchange is the final
+    # groupBy on the doc key.
+    ex = train.select(
+        F.col(key_col).alias("k"),
+        F.size(gr).alias("n_grams"),
+        F.explode_outer(gr).alias("g"),
+    )
+    agg = (
+        ex.join(F.broadcast(bench_grams), "g", "left")
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return (
-        tg.select("k", F.size("grams").alias("n_grams"))
-        .join(shared, "k", "left")
-        .select(
-            F.col("k").alias(key_col),
-            "n_grams",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.round(
-                F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
-                    F.coalesce("n_shared", F.lit(0)) / F.col("n_grams")
-                ),
-                4,
-            ).alias("containment"),
-            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"),
         )
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_grams",
+        "n_shared",
+        F.round(
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.col("n_shared") / F.col("n_grams")
+            ),
+            4,
+        ).alias("containment"),
+        (F.col("n_shared") >= min_shared).alias("contaminated"),
     )
 
 
