@@ -109,3 +109,37 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf):
     plan = explain(QUERIES["text_quality"][0](spark, sf))
     assert "codegen id" in plan  # formatted mode's codegen marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_single_exchange_broadcast(spark, sf):
+    """The decontamination probe: benchmark side broadcast, corpus side
+    exploded once. Exactly two hash exchanges total — the (small)
+    benchmark distinct and the per-doc aggregation; a regression that
+    rescans the corpus adds a third."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["decontaminate"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 2, shuffles
+
+
+def test_shard_assignment_is_narrow(spark, sf):
+    """Shard ids compute per-row — no exchange anywhere in the plan."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["shard_assignment"][0](spark, sf))
+    assert "Exchange" not in plan
+
+
+def test_repetition_top_gram_two_phase(spark, sf):
+    """The top-2-gram path is two two-phase aggs ((doc,gram) count,
+    then per-doc max) and the tiny top-gram result BROADCASTS back to
+    the narrow stats side — 2 hash exchanges, no corpus-side shuffle
+    for the join."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["repetition_stats"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 2, shuffles
