@@ -65,3 +65,27 @@ def collect_statistics(log: EventLog) -> Statistics:
         n_events_in_traces=row["n_events_in_traces"],
         n_events_total=row["n_events_total"],
     )
+
+
+def activity_dow_cube(log: EventLog) -> DataFrame:
+    """CUBE aggregation over (activity, day-of-week): counts + distinct
+    cases at every grouping-set level (per cell, per activity, per dow,
+    grand total). The reference has no grouping-sets surface (SURVEY
+    §2.4 note) — Spark's ``cube`` gives it for free, with partial
+    aggregation per grouping set map-side, one exchange.
+
+    NULL dims mark rolled-up levels (both engines use the same
+    convention); input rows with NULL activity/ts are excluded so a
+    NULL dim is unambiguously a subtotal marker.
+    """
+    ev = log.trace_events().filter(
+        F.col("activity").isNotNull() & F.col("ts").isNotNull()
+    )
+    return (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .cube("activity", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("case_id").alias("n_cases"),
+        )
+    )

@@ -1316,6 +1316,24 @@ def q_alpha_places(spark, sf_dir):
     return alpha_miner_df(_log(spark, sf_dir))
 
 
+@q(
+    "activity_dow_cube",
+    EV
+    + """
+    SELECT activity, dayofweek(ts) + 1 AS dow,
+           count(*) AS n_events, count(DISTINCT case_id) AS n_cases
+    FROM ev WHERE activity IS NOT NULL AND ts IS NOT NULL
+    GROUP BY CUBE (activity, dayofweek(ts) + 1)
+    """,
+)
+def q_activity_dow_cube(spark, sf_dir):
+    """Grouping-sets surface (SURVEY §2.4 note: free in Spark): CUBE
+    over (activity, day-of-week) — every subtotal level in one pass."""
+    from promi_spark.operators.stats import activity_dow_cube
+
+    return activity_dow_cube(_log(spark, sf_dir))
+
+
 @q("shard_assignment", oracles.shard_assignment_sql(n_shards=16, seed=0))
 def q_shard_assignment(spark, sf_dir):
     """Deterministic training-data shard assignment: stable md5-prefix
@@ -1498,6 +1516,7 @@ _ORDER = [
     "bpe_token_counts",
     "chronology_violations",
     # oracled but outside the 50-query driver window (locally checked)
+    "activity_dow_cube",
     "shard_assignment",
     "arrow_roundtrip",
     # genuinely oracle-less (iterative / mapInPandas media)

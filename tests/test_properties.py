@@ -191,3 +191,56 @@ def test_cosine_bounds_and_self_similarity(spark):
     assert top[0]["vec_id"] == 3
     assert abs(top[0]["cosine_sim"] - 1.0) < 1e-4
     assert all(-1.0001 <= r["cosine_sim"] <= 1.0001 for r in top)
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=30, unique=True),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=25, deadline=None)
+def test_shard_id_bounds_and_determinism(keys, n_shards, seed):
+    """Pure-Python mirror of the shard hash: ids land in [0, n_shards)
+    and are a function of (key, seed) only."""
+    import hashlib
+
+    def py_shard(k: str) -> int:
+        h = int(hashlib.md5(f"{k}:{seed}".encode()).hexdigest()[:8], 16)
+        return h % n_shards
+
+    for k in keys:
+        s = py_shard(k)
+        assert 0 <= s < n_shards
+        assert s == py_shard(k)
+
+
+def test_shard_id_spark_matches_python_mirror(spark):
+    """The Spark column computes the same md5-prefix shard id as the
+    Python mirror (and therefore the same value as the DuckDB oracle)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.scale import shard_id
+
+    keys = [f"doc{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["s"]
+        for r in df.select("k", shard_id("k", 16, seed=7).alias("s")).collect()
+    }
+    for k in keys:
+        h = int(hashlib.md5(f"{k}:7".encode()).hexdigest()[:8], 16)
+        assert got[k] == h % 16
+
+
+def test_inductive_miner_deterministic(spark):
+    """Same log -> identical tree rows across repeated runs (sorted
+    recursion, no iteration-order leakage)."""
+    from promi_spark.io import load_event_log
+    from promi_spark.operators.mining import inductive_miner, tree_rows
+
+    log = load_event_log(spark, "/root/testdata/sf0.001")
+    a = tree_rows(inductive_miner(log))
+    b = tree_rows(inductive_miner(log))
+    assert a == b

@@ -280,3 +280,21 @@ def test_distributed_writer_on_parquet_log(spark, tmp_path):
     write_xes_distributed(log, p2)
     with open(p1) as a, open(p2) as b:
         assert a.read() == b.read()
+
+
+@pytest.mark.parametrize(
+    "name", ["L1.xes", "L2.xes", "L3.xes", "L4.xes", "L5.xes", "L11.xes"]
+)
+def test_distributed_reader_content_parity(spark, name):
+    """read_xes_distributed must agree with the strict driver-side
+    reader row-for-row (events, order, payload columns) on the book
+    corpus — not just on counts."""
+    from promi_spark.io.xes import read_xes, read_xes_distributed
+
+    path = f"{CORPUS}/book/{name}"
+    a = read_xes(spark, path).df
+    b = read_xes_distributed(spark, path).df
+    cols = ["case_id", "seq", "activity", "ts", "resource", "lifecycle"]
+    ra = sorted(tuple(r) for r in a.select(cols).collect())
+    rb = sorted(tuple(r) for r in b.select(cols).collect())
+    assert ra == rb
