@@ -324,3 +324,24 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     hash; stable across engines for oracle checks)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group length-distribution profile — the statistic behind
+    every corpus length filter (thresholds are picked off these
+    quantiles). Exact interpolated percentiles (``percentile``, the
+    quantile_cont semantics) so the result is engine-portable; at
+    100 TB swap ``percentile_approx`` in for a single-pass sketch when
+    exactness stops mattering."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(F.col(group_col)).agg(*aggs)

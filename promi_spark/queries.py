@@ -1317,6 +1317,25 @@ def q_alpha_places(spark, sf_dir):
 
 
 @q(
+    "doc_length_quantiles",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.95), 4) AS p95
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-language corpus length profile (exact interpolated
+    percentiles — the statistic length filters are thresholded on)."""
+    from promi_spark.operators.text import length_quantiles
+
+    return length_quantiles(load_table(spark, "documents", sf_dir))
+
+
+@q(
     "activity_dow_cube",
     EV
     + """
@@ -1516,6 +1535,7 @@ _ORDER = [
     "bpe_token_counts",
     "chronology_violations",
     # oracled but outside the 50-query driver window (locally checked)
+    "doc_length_quantiles",
     "activity_dow_cube",
     "shard_assignment",
     "arrow_roundtrip",

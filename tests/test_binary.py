@@ -52,3 +52,31 @@ def test_avro_gated(spark):
         out.count()
     except NotImplementedError:
         pytest.skip("spark-avro not available (expected in this container)")
+
+
+def test_frames_stream_kafka_shape(spark, tmp_path):
+    """The Kafka integration shape without Kafka: frames land as files,
+    a stream reads the binary payloads, foreachBatch decodes them with
+    from_arrow_frames and appends typed rows — counts match the source."""
+    from promi_spark.io.binary import from_arrow_frames, write_arrow_frames
+
+    df = load_table(spark, "events", SF)
+    frames_dir = str(tmp_path / "frames")
+    out_dir = str(tmp_path / "decoded")
+    ckpt = str(tmp_path / "ckpt")
+    write_arrow_frames(df, frames_dir)
+
+    frames_schema = spark.read.parquet(frames_dir).schema
+    stream = spark.readStream.schema(frames_schema).parquet(frames_dir)
+
+    def decode(batch, _bid):
+        from_arrow_frames(batch, df.schema).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(decode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == df.count()
