@@ -294,6 +294,31 @@ def ivf_centroids(
     return cent.tolist()
 
 
+def ivf_centroids_mllib(
+    df: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 20,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The 100 TB IVF index build: distributed MLlib KMeans over the
+    whole corpus — no driver-side collect anywhere; the JVM trains on
+    `array_to_vector` columns and only the (n_clusters x dim) centroid
+    matrix comes back. Returns the same plain-list centroid shape as
+    :func:`ivf_centroids`, so `ivf_assign`/`ivf_topk` work unchanged
+    with either trainer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(
+        k=n_clusters, maxIter=n_iter, seed=seed, featuresCol="features"
+    ).fit(vecs)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin_c ||v - c||^2 == argmax_c (2 v.c - ||c||^2), evaluated as
     an unrolled greatest-index expression over the (small) centroid set."""

@@ -90,3 +90,34 @@ def test_winnow_deterministic_and_bounded(spark, sf_dir):
     # winnowing selects ~1/w of positions (upper-bounded by n_windows)
     for did, fp in a.items():
         assert 1 <= len(fp) <= max(lens[did], 2)
+
+
+def test_mllib_ivf_centroids_drop_in(spark):
+    """MLlib-KMeans centroids slot into the same probe plan; the probed
+    top-k overlaps heavily with exact brute-force top-k."""
+    from promi_spark.io import load_table
+    from promi_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cent = sim.ivf_centroids_mllib(emb, n_clusters=8, seed=42)
+    assert len(cent) == 8 and len(cent[0]) == len(qvec)
+
+    assigned = sim.ivf_assign(emb, cent)
+    import numpy as np
+
+    d = ((np.array(cent) - np.array(qvec)[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in d.argsort()[:4]]
+    approx = (
+        sim.cosine_scores(assigned.filter(F.col("cluster").isin(probe)), list(qvec))
+        .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+        .limit(10)
+    )
+    exact = (
+        sim.cosine_scores(emb, list(qvec))
+        .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+        .limit(10)
+    )
+    a = {r["vec_id"] for r in approx.collect()}
+    e = {r["vec_id"] for r in exact.collect()}
+    assert len(a & e) >= 5  # nprobe=4 of 8 clusters: recall well above chance
