@@ -345,3 +345,31 @@ def length_quantiles(
         for q in quantiles
     ]
     return df.groupBy(F.col(group_col)).agg(*aggs)
+
+
+# PII patterns deliberately restricted to syntax both Java regex and
+# RE2 (DuckDB) compile identically — no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass: replace
+    emails / IPv4s / phone-shaped numbers with typed placeholders and
+    report per-document redaction counts. Pure regexp built-ins, one
+    narrow codegen pass, no shuffle; patterns are engine-portable so
+    the oracle replays the identical scrub in DuckDB."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(F.col(key_col), *counts, scrubbed.alias("scrubbed"))

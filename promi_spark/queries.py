@@ -1317,6 +1317,53 @@ def q_alpha_places(spark, sf_dir):
 
 
 @q(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com at 10.0.'
+                  || (doc_id % 256) || '.1 or +1 555-000-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+               '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub differential test: both engines append deterministic
+    synthetic PII (email, IP, phone) to every document, redact with the
+    identical patterns, and compare counts + an md5 of the scrubbed
+    text — a byte-level cross-engine check of the regex semantics."""
+    from promi_spark.operators.text import scrub_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(aug).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
+@q(
     "doc_length_quantiles",
     """
     SELECT lang, count(*) AS n_docs,
@@ -1535,6 +1582,7 @@ _ORDER = [
     "bpe_token_counts",
     "chronology_violations",
     # oracled but outside the 50-query driver window (locally checked)
+    "pii_scrub",
     "doc_length_quantiles",
     "activity_dow_cube",
     "shard_assignment",
