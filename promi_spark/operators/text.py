@@ -373,3 +373,58 @@ def scrub_pii(
     for name, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return df.select(F.col(key_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def pack_index(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Sequence-packing index (GPT-style concat-and-chunk): documents
+    are concatenated in deterministic order within each shard and cut
+    into fixed ``budget``-token training windows; a document crossing a
+    window boundary appears in every window it spans. Emits one row per
+    (shard, chunk, doc) span — the index a pretraining loader uses to
+    assemble packed batches without materializing the concatenation.
+
+    Scale shape: the token cumsum is a window over ``shard`` (one
+    exchange, parallel across shards — never a global single-partition
+    window); chunk ids explode from a tiny per-doc sequence. Shard
+    assignment reuses the engine-portable md5 hash, so the whole index
+    is reproducible anywhere, including the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    from promi_spark.operators.scale import shard_id
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(key_col),
+        shard_id(F.col(key_col).cast("string"), n_shards, seed).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    spans = base.select(
+        key_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+        (F.sum("n_tokens").over(w) - 1).alias("end_tok"),
+    )
+    return spans.select(
+        "shard",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_tok") / budget),
+                F.floor(F.col("end_tok") / budget),
+            )
+        ).alias("chunk"),
+        key_col,
+        "n_tokens",
+    )

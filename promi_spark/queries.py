@@ -1317,6 +1317,42 @@ def q_alpha_places(spark, sf_dir):
 
 
 @q(
+    "pack_index",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id || ':0'), 1, 8))::BIGINT % 8 AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+      WHERE len(trim(text)) > 0
+    ),
+    spans AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS end_tok
+      FROM base
+    )
+    SELECT shard,
+           unnest(range((start_tok // 512)::BIGINT,
+                        (end_tok // 512 + 1)::BIGINT)) AS chunk,
+           doc_id, n_tokens
+    FROM spans
+    """,
+)
+def q_pack_index(spark, sf_dir):
+    """Sequence-packing index: concat-and-chunk spans per (shard,
+    512-token window) — the packed-batch index of a pretraining
+    loader, reproduced exactly by the oracle's window cumsum."""
+    from promi_spark.operators.text import pack_index
+
+    return pack_index(
+        load_table(spark, "documents", sf_dir), budget=512, n_shards=8
+    )
+
+
+@q(
     "pii_scrub",
     r"""
     WITH aug AS (
@@ -1582,6 +1618,7 @@ _ORDER = [
     "bpe_token_counts",
     "chronology_violations",
     # oracled but outside the 50-query driver window (locally checked)
+    "pack_index",
     "pii_scrub",
     "doc_length_quantiles",
     "activity_dow_cube",

@@ -62,3 +62,26 @@ def test_overlap_benchmark_side_is_broadcast(spark):
         )
     )
     assert "BroadcastHashJoin" in je
+
+
+def test_pack_index_boundary_spans(spark):
+    """A doc crossing the window boundary appears in every chunk it
+    spans; chunk token loads never exceed budget except via the
+    crossing doc itself."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.text import pack_index
+
+    # 4 docs x 6 tokens, budget 10, one shard -> doc at tokens [6,12)
+    # must appear in chunks 0 and 1
+    docs = _docs(spark, ["a b c d e f"] * 4)
+    out = pack_index(docs, budget=10, n_shards=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    spanning = [d for d, cs in by_doc.items() if len(cs) > 1]
+    assert spanning, "expected at least one boundary-crossing doc"
+    for cs in by_doc.values():
+        assert cs == sorted(cs) and cs == list(range(cs[0], cs[-1] + 1))
+    # total token mass conserved: sum over docs (not chunk copies)
+    assert sum(6 for _ in by_doc) == 24
