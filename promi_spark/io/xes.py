@@ -548,6 +548,7 @@ def write_xes(log: EventLog, path: str) -> None:
 
     traces: dict[str, list] = {}
     trace_attrs: dict[str, tuple] = {}
+    attr_src_seq: dict[str, float] = {}
     standalone: list = []
     for r in rows:
         if r["case_id"] is None:
@@ -556,7 +557,13 @@ def write_xes(log: EventLog, path: str) -> None:
             traces.setdefault(r["case_id"], [])
             if r["seq"] is not None:
                 traces[r["case_id"]].append(r)
-            if r["case_id"] not in trace_attrs:
+            # Take case_attrs/attr_types from the seq-min row (not the
+            # arbitrary collect order) so output matches
+            # write_xes_distributed byte-for-byte even when rows of a
+            # case disagree on case-level attributes.
+            seq = float("inf") if r["seq"] is None else r["seq"]
+            if r["case_id"] not in trace_attrs or seq < attr_src_seq[r["case_id"]]:
+                attr_src_seq[r["case_id"]] = seq
                 trace_attrs[r["case_id"]] = (
                     r["case_attrs"] or {},
                     _case_types(r["attr_types"]),

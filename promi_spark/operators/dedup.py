@@ -25,7 +25,6 @@ shuffle, and the shuffle payload is just docs × num_hashes longs.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -273,7 +272,7 @@ def mllib_minhash_candidates(
     num_hash_tables: int = 8,
     jaccard_distance: float = 0.5,
     shingle_n: int = 3,
-    num_features: int = 1 << 10,
+    num_features: int = 1 << 18,
 ) -> DataFrame:
     """MLlib-native variant of :func:`minhash_candidates`:
     shingle-hash sets → binary feature vectors (``num_features`` dims) →

@@ -363,14 +363,21 @@ def scrub_pii(
     emails / IPv4s / phone-shaped numbers with typed placeholders and
     report per-document redaction counts. Pure regexp built-ins, one
     narrow codegen pass, no shuffle; patterns are engine-portable so
-    the oracle replays the identical scrub in DuckDB."""
-    t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
-    ]
-    scrubbed = t
+    the oracle replays the identical scrub in DuckDB.
+
+    Each pattern is counted on the *progressively scrubbed* text (after
+    the previous patterns' replacements), so ``n_<name>`` equals the
+    number of ``<NAME>`` placeholders actually present in ``scrubbed``
+    even when matches overlap across patterns (e.g. ``user@1.2.3.4``
+    is one email, not an email plus an IPv4)."""
+    counts = []
+    scrubbed = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return df.select(F.col(key_col), *counts, scrubbed.alias("scrubbed"))
 

@@ -1362,15 +1362,21 @@ def q_pack_index(spark, sf_dir):
                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
       FROM documents
     )
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-           len(regexp_extract_all(text, '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
-               '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
-    FROM aug
+    , s1 AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           len(regexp_extract_all(t2, '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+           md5(regexp_replace(t2, '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+    FROM s2
     """,
 )
 def q_pii_scrub(spark, sf_dir):
@@ -1634,9 +1640,11 @@ _ORDER = [
     "media_embeddings",
 ]
 
-assert set(_ORDER) == set(QUERIES), (
-    sorted(set(_ORDER) ^ set(QUERIES))
-)
+if set(_ORDER) != set(QUERIES):
+    raise RuntimeError(
+        "queries.py _ORDER out of sync with registered queries: "
+        f"{sorted(set(_ORDER) ^ set(QUERIES))}"
+    )
 QUERIES = {name: QUERIES[name] for name in _ORDER}
 
 
