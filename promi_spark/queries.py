@@ -186,6 +186,24 @@ def q_filter_concept_eq(spark, sf_dir):
 
 
 @q(
+    "filter_concept_eq_strict",
+    EV
+    + "SELECT event_id, case_id, activity FROM ev WHERE activity = 'purchase'",
+)
+def q_filter_concept_eq_strict(spark, sf_dir):
+    """F1 strict-missing semantics witness (reference errors on a missing
+    attribute, ``concept.rs:75-79``): the same concept-eq filter through
+    ``lenient=False``, i.e. the :func:`promi_spark.operators.filters.strict`
+    ``assert_true`` path. ``activity`` is NULL-free in the events lens, so
+    the filter passes cleanly and hash-matches the lenient oracle; the
+    raising branch is covered by tests/test_core.py's strict-filter test."""
+    log = _log(spark, sf_dir)
+    return filter_events(
+        log, Concept.name_eq("purchase", lenient=False)
+    ).df.select("event_id", "case_id", "activity")
+
+
+@q(
     "filter_concept_in",
     EV
     + "SELECT event_id, activity FROM ev WHERE activity IN ('click', 'view')",
@@ -1544,35 +1562,39 @@ def q_media_embeddings(spark, sf_dir):
     return mm.content_embeddings(mm.synth_media(spark, 60), dim=16)
 
 
-# Deliberate registration order: every oracled query first (one per §2
-# operator family before redundant variants), oracle-less iterative /
-# media ops last — so a driver that checks a bounded prefix of the
-# inventory sees only hash-comparable entries.
+# Deliberate registration order: the driver checks a bounded 50-slot
+# prefix of this inventory, so the first 50 are one-per-operator-family
+# oracled queries — every §2 family plus every flagship LLM-pipeline op
+# gets a driver-recorded verdict. Redundant family siblings (still
+# oracled, re-checked by tools/check_oracle.py locally) follow, and the
+# genuinely oracle-less iterative / media ops sit last. Rotated in
+# round 4 so pack_index / pii_scrub / doc_length_quantiles /
+# activity_dow_cube / shard_assignment / arrow_roundtrip and the new
+# strict-filter witness are in-window (round-3 verdict task #1).
 _ORDER = [
-    # A1-A4 statistics
+    # A1-A4 statistics + grouping sets
     "stats_counts",
     "per_trace_counts",
     "trace_intervals",
     "classifier_counts",
     "activity_stats",
-    # F1-F7 filters
+    "activity_dow_cube",
+    # F1-F7 filters (one witness per family: eq + strict(F1) + org eq/
+    # match + time containment + trace scope + CNF)
     "filter_concept_eq",
-    "filter_concept_in",
+    "filter_concept_eq_strict",
     "filter_org_eq",
     "filter_org_match",
     "filter_time_contained",
-    "filter_time_before_after",
-    "filter_time_eq_tol",
     "trace_starts_ends_in",
-    "trace_time_contained",
     "filter_trace_scope",
     "cnf_filter",
     # O4/O5 ordering + set ops
     "top_traces_by_events",
     "except_set_op",
-    "intersect_set_op",
-    # S1/S2 XES round-trip
+    # S1/S2 XES round-trip, S8 Arrow-IPC binary frames
     "xes_roundtrip",
+    "arrow_roundtrip",
     # W1-W3, J2/A3 validation
     "event_gaps",
     "chronology_violations_injected",
@@ -1598,23 +1620,30 @@ _ORDER = [
     "repetition_stats",
     "decontaminate",
     "props_json_stats",
+    "pii_scrub",
+    "pack_index",
+    "doc_length_quantiles",
+    "shard_assignment",
     # embeddings / similarity
     "embedding_norms",
     "knn_join_topk",
     "cosine_near_dups_exact",
     "lsh_near_dups",
-    "ann_lsh_topk",
     "ivf_topk",
     # hash-based dedup in oracle mode
     "minhash_near_dups",
-    "mllib_minhash_near_dups",
     "simhash_signatures",
     "winnow_fingerprints",
-    # redundant-but-kept variants (operators already covered above by a
-    # sibling query: dfg ⊂ dfg_endpoints, hamming candidates share the
-    # SimHash signature path, the extra TPC-H joins duplicate J4,
-    # concept_match/knn_cosine siblings keep their family green above)
-    "filter_concept_match",
+    # ---- out of the 50-slot window from here: oracled redundant
+    # family siblings (in-window coverage noted), locally re-checked
+    "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
+    "filter_concept_match",  # F5 rlike sibling
+    "filter_time_before_after",  # F7 ⊂ filter_time_contained
+    "filter_time_eq_tol",  # F7 tolerance sibling
+    "trace_time_contained",  # F7 trace-scope sibling
+    "intersect_set_op",  # O5 ⊂ except_set_op
+    "ann_lsh_topk",  # similarity ⊂ lsh_near_dups/ivf_topk
+    "mllib_minhash_near_dups",  # dedup ⊂ minhash_near_dups
     "knn_cosine",
     "simhash_near_dups",
     "dfg",
@@ -1623,13 +1652,6 @@ _ORDER = [
     "part_brand_volume",
     "bpe_token_counts",
     "chronology_violations",
-    # oracled but outside the 50-query driver window (locally checked)
-    "pack_index",
-    "pii_scrub",
-    "doc_length_quantiles",
-    "activity_dow_cube",
-    "shard_assignment",
-    "arrow_roundtrip",
     # genuinely oracle-less (iterative / mapInPandas media)
     "alpha_places",
     "inductive_tree",
