@@ -91,35 +91,52 @@ def gram_hash_rows(
     """(k, h) rows: one LONG hash per word-n-gram position,
     ``xxhash64(tok_i, .., tok_{i+n-1})``. Duplicates retained.
 
-    The whole pipeline stays in whole-stage codegen: n shifted
-    ``slice`` views of the token array are zipped (``arrays_zip`` pads
-    the tail with nulls), exploded by Generate, null-tails filtered,
-    and the n struct fields hashed — no higher-order-function lambdas,
-    which run interpreted at ~1 ms/doc and dominated the old plan.
-    Documents shorter than n tokens contribute one whole-text hash via
-    the union branch. Long-hash shingle identity makes every downstream
-    op (explode, MIN aggregate, array_intersect) operate on longs;
-    collisions (~2^-64/pair) are negligible for dedup.
+    The whole pipeline stays in whole-stage codegen AND scans the input
+    exactly once: n shifted ``slice`` views of the token array are
+    zipped, the zip is trimmed to ``size - n + 1`` entries (no null
+    tails to filter), exploded by Generate, and the n struct fields
+    hashed — no higher-order-function lambdas, which run interpreted at
+    ~1 ms/doc and dominated the old plan. Documents shorter than n
+    tokens take the ``otherwise`` branch of the same expression: one
+    struct ``(whole_text, NULL, ...)``, which hashes identically to
+    ``xxhash64(whole_text)`` because Spark's hash functions skip null
+    inputs — so no second scan/union for the short-doc case (the
+    previous two-branch union tokenized the corpus twice). Long-hash
+    shingle identity makes every downstream op (explode, MIN aggregate,
+    array_intersect) operate on longs; collisions (~2^-64/pair) are
+    negligible for dedup.
     """
     toks_df = df.select(
         F.col(key_col).alias("k"), tokens(_norm(text_col)).alias("toks")
     )
     toks = F.col("toks")
-    shifted = toks_df.filter(F.size(toks) >= n).select(
+    shifted = toks_df.select(
         "k",
+        F.size(toks).alias("n_toks"),
         *[F.slice(toks, j + 1, _MAX).alias(f"t{j}") for j in range(n)],
+        F.array_join(toks, " ").alias("whole"),
     )
-    grams = (
-        shifted.select(
-            "k", F.explode(F.arrays_zip(*[f"t{j}" for j in range(n)])).alias("g")
+    zipped = F.when(
+        F.col("n_toks") >= n,
+        F.slice(
+            F.arrays_zip(*[f"t{j}" for j in range(n)]),
+            1,
+            F.col("n_toks") - (n - 1),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("whole").alias("t0"),
+                *[
+                    F.lit(None).cast("string").alias(f"t{j}")
+                    for j in range(1, n)
+                ],
+            )
         )
-        .filter(F.col(f"g.t{n-1}").isNotNull())
-        .select("k", F.xxhash64(*[f"g.t{j}" for j in range(n)]).alias("h"))
     )
-    short = toks_df.filter(F.size(toks) < n).select(
-        "k", F.xxhash64(F.array_join(toks, " ")).alias("h")
+    return shifted.select("k", F.explode(zipped).alias("g")).select(
+        "k", F.xxhash64(*[f"g.t{j}" for j in range(n)]).alias("h")
     )
-    return grams.unionByName(short)
 
 
 def shingle_hash_arrays(
@@ -134,6 +151,13 @@ def shingle_hash_arrays(
     )
 
 
+def _min_aggs(num_hashes: int) -> list[Column]:
+    return [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -146,20 +170,17 @@ def minhash_signatures(
 
     explode → hash → groupBy(k) with ``num_hashes`` unrolled MIN
     aggregates: all codegen, map-side combine, one shuffle keyed on the
-    doc id carrying 64 longs per doc.
+    doc id carrying 64 longs per doc. Duplicate grams cannot change a
+    MIN, so no distinct pass.
     """
-    rows = gram_hash_rows(df, key_col, text_col, shingle_n).select(
-        "k", F.col("h").alias("shingle")
-    )  # duplicate grams cannot change a MIN, so no distinct pass
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    rows = gram_hash_rows(df, key_col, text_col, shingle_n)
     return (
         rows.groupBy("k")
-        .agg(*aggs)
+        .agg(*_min_aggs(num_hashes))
         .select("k", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )
+
+
 
 
 def band_buckets(sig_col: Column, num_hashes: int, bands: int) -> Column:
@@ -191,6 +212,12 @@ def minhash_candidates(
     and AQE skew-join splits pathological buckets.
     """
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
+    return _banded_pairs(sigs, num_hashes, bands)
+
+
+def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(a, b) distinct candidate pairs from a (k, sig, ...) relation:
+    explode to band buckets, within-bucket self-equi-join."""
     banded = sigs.select(
         "k",
         F.posexplode(band_buckets(F.col("sig"), num_hashes, bands)).alias(
@@ -228,10 +255,36 @@ def minhash_dedup(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
-    >= threshold. Returns (a, b, jaccard_sim). The verify join touches
-    only candidate keys — the full corpus is scanned once for shingles."""
-    cands = minhash_candidates(df, key_col, text_col, num_hashes, bands, shingle_n)
-    sh = shingle_hash_arrays(df, key_col, text_col, shingle_n)
+    >= threshold. Returns (a, b, jaccard_sim).
+
+    Single-scan by construction: the (k, gram-hash) row relation — the
+    output of the dominant tokenize→explode stage — is persisted
+    (memory, disk-spill) and feeds BOTH aggregations: the 64-way MIN
+    signature build (codegen HashAggregate) and the ``collect_set``
+    verify side (ObjectHashAggregate). The two are deliberately NOT one
+    combined groupBy: a single ``collect_set`` aggregate would drag the
+    64 MIN updates onto the non-codegen object-hash path (measured 5x
+    slower cold). The two doc-level aggregates are each referenced
+    twice (banding / verify self-join sides) and deliberately NOT
+    persisted themselves: both re-aggregate from the gram-row cache,
+    which measures faster than stacking nested InMemoryRelations (the
+    aggs are cheap once tokenization is paid), and the self-join form —
+    rather than a collect_list-per-bucket pair generator — keeps
+    pathological LSH buckets splittable by AQE skew-join at scale.
+    Cached gram rows are ~(corpus tokens × 16 B)
+    — at 100 TB that spills to executor disk, which still beats paying
+    the tokenize+explode stage twice; a production pipeline would
+    persist it as the dedup index anyway. The verify join itself touches
+    only candidate keys.
+    """
+    rows = gram_hash_rows(df, key_col, text_col, shingle_n).persist()
+    sigs = (
+        rows.groupBy("k")
+        .agg(*_min_aggs(num_hashes))
+        .select("k", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    cands = _banded_pairs(sigs, num_hashes, bands)
+    sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
     return (
         cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
@@ -273,6 +326,7 @@ def mllib_minhash_candidates(
     jaccard_distance: float = 0.5,
     shingle_n: int = 3,
     num_features: int = 1 << 18,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MLlib-native variant of :func:`minhash_candidates`:
     shingle-hash sets → binary feature vectors (``num_features`` dims) →
@@ -298,7 +352,9 @@ def mllib_minhash_candidates(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = shingle_arrays(df, key_col, text_col, shingle_n)
+    if shingles is None:
+        shingles = shingle_arrays(df, key_col, text_col, shingle_n)
+    sh = shingles
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     )
@@ -333,7 +389,15 @@ def mllib_minhash_dedup(
     distance threshold wide open), then the same exact-Jaccard verify as
     :func:`minhash_dedup` filters to >= ``threshold``. Returns
     (a, b, jaccard_sim) — the same contract (and oracle) as the
-    hand-rolled path, so the two variants are directly comparable."""
+    hand-rolled path, so the two variants are directly comparable.
+
+    Single-scan: one persisted :func:`shingle_arrays` relation feeds
+    both the ``HashingTF`` vectorization and the verify join, and the
+    verify Jaccard runs directly over the distinct string shingle
+    arrays — set cardinalities (hence Jaccard) are identical to the
+    hashed-gram formulation, without a second tokenize pass.
+    """
+    sh = shingle_arrays(df, key_col, text_col, shingle_n).persist()
     cands = mllib_minhash_candidates(
         df,
         key_col,
@@ -342,8 +406,8 @@ def mllib_minhash_dedup(
         jaccard_distance=1.0,
         shingle_n=shingle_n,
         num_features=num_features,
+        shingles=sh,
     ).select("a", "b")
-    sh = shingle_hash_arrays(df, key_col, text_col, shingle_n)
     return (
         cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")

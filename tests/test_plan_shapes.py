@@ -93,6 +93,26 @@ def test_minhash_map_side_combine(spark, sf):
     assert "Generate" in plan  # the shingle explode
 
 
+def test_minhash_dedup_single_gram_subtree(spark, sf):
+    """minhash_dedup tokenizes/explodes the corpus exactly once: the
+    gram-row relation is persisted and every consumer (signature build,
+    banding self-join, both verify sides) reads the cache. Formatted
+    explain prints the cached subtree once — exactly one arrays_zip
+    (the gram zip-explode) and one scan of documents.parquet must
+    appear, and all four doc-level readers must be InMemoryTableScans."""
+    from promi_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = minhash_dedup(docs, threshold=0.5)
+    try:
+        plan = explain(out)
+        assert plan.count("arrays_zip") == 1
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 4
+    finally:
+        out.sparkSession.catalog.clearCache()
+
+
 def test_trace_filter_single_window_shuffle(spark, sf):
     from promi_spark.queries import QUERIES
 
