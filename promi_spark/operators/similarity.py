@@ -163,8 +163,8 @@ def cosine_near_dups(
 def lsh_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
-    bits: int = 12,
-    bands: int = 3,
+    bits: int = 64,
+    bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -175,6 +175,19 @@ def lsh_near_dups(
     candidates verified by exact cosine. High-cosine pairs agree on most
     sign bits, so per-band collision probability stays high while the
     candidate set stays ~linear.
+
+    Default geometry is sized for scale: 64 bits / 4 bands = 16 sign
+    bits per band = 2^16 buckets per band. Expected bucket occupancy is
+    ~N/65536 (uniform case): at 10^9 vectors that is ~15k rows/bucket →
+    ~10^8 within-bucket comparisons per band worst-case uniform, and in
+    practice sign-bit buckets on real embeddings are far smaller than
+    uniform near the mass of the distribution while near-dup pairs
+    still collide (a 0.95-cosine pair flips any given sign bit with
+    probability acos(0.95)/π ≈ 0.10, so a 16-bit band matches with
+    p ≈ 0.9^16 ≈ 0.19, and 4 bands give ~57% recall per pair — raise
+    ``bands`` for recall, ``bits/bands`` for precision). Fewer than ~12
+    bits per band (e.g. the old 12/3 default = 16 buckets/band) makes
+    the self-join quadratic at any real N — never ship that shape.
 
     The band bucket is the bit slice read as a little-endian integer
     (Horner over 0/1 bits) rather than a hash of the slice: with

@@ -1245,8 +1245,16 @@ def q_cosine_near_dups_exact(spark, sf_dir):
 
 @q("lsh_near_dups", oracles.lsh_near_dups_sql(_PLANES_LSH9, bands=3, threshold=0.35))
 def q_lsh_near_dups(spark, sf_dir):
+    """Oracle-checkable geometry pinned explicitly (bits=9, bands=3 —
+    3 sign bits/band so the sf0.01 corpus still produces collisions and
+    the DuckDB oracle replays the literal hyperplanes); the operator's
+    own default is the scale-sane 64/4."""
     return similarity.lsh_near_dups(
-        load_table(spark, "embeddings", sf_dir), threshold=0.35, bits=9, dim=64
+        load_table(spark, "embeddings", sf_dir),
+        threshold=0.35,
+        bits=9,
+        bands=3,
+        dim=64,
     )
 
 

@@ -48,7 +48,7 @@ def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
     }
     approx = {
         (r["a"], r["b"]): r["cosine_sim"]
-        for r in lsh_near_dups(emb, threshold=0.3, bits=9).collect()
+        for r in lsh_near_dups(emb, threshold=0.3, bits=9, bands=3).collect()
     }
     assert approx  # finds something at this threshold
     assert set(approx) <= set(exact)
