@@ -70,25 +70,66 @@ def encode_psv(nframes: int, h: int, w: int, seed: int) -> bytes:
     return _PSV_MAGIC + struct.pack("<HHH", nframes, h, w) + frames.tobytes()
 
 
-def synth_media(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
-    """Deterministic media table: n rows cycling image/audio/video."""
+def synth_media(
+    spark: SparkSession, n: int = 60, seed: int = 42, scale: int = 1
+) -> DataFrame:
+    """Deterministic media table: n rows cycling image/audio/video.
+    ``scale`` multiplies image/video dimensions (and audio length) so a
+    fixture can be made decode-heavy without changing the row mix."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            h, w, c = 8 + (i % 5) * 4, 8 + (i % 7) * 4, 3
+            h = (8 + (i % 5) * 4) * scale
+            w = (8 + (i % 7) * 4) * scale
+            c = 3
             content, fmt = encode_psi(h, w, c, seed + i), "psi"
             meta = {"height": str(h), "width": str(w), "channels": str(c)}
         elif kind == "audio":
-            rate, ns = 16000, 1600 + (i % 4) * 400
+            rate, ns = 16000, (1600 + (i % 4) * 400) * scale
             content, fmt = encode_psa(rate, ns, seed + i), "psa"
             meta = {"sample_rate": str(rate), "n_samples": str(ns)}
         else:
-            nf, h, w = 4 + (i % 3) * 2, 16, 16
+            nf, h, w = 4 + (i % 3) * 2, 16 * scale, 16 * scale
             content, fmt = encode_psv(nf, h, w, seed + i), "psv"
             meta = {"n_frames": str(nf), "height": str(h), "width": str(w)}
         rows.append((i, kind, fmt, content, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_fixture(
+    spark: SparkSession,
+    n: int = 1500,
+    seed: int = 42,
+    scale: int = 8,
+    path: str | None = None,
+    n_files: int = 16,
+) -> DataFrame:
+    """Synthetic media corpus persisted to parquet ONCE, then read back
+    — so a decode benchmark times scan + Arrow transfer + decode (the
+    shape of a real pipeline reading a 100 TB blob store), not
+    driver-side row construction and distribution. At scale=8 images
+    run up to 288x256x3 (~220 KB), so the image decode work dominates
+    the fixed mapInPandas overhead.
+
+    The write repartitions to ``n_files`` files: blob tables must track
+    *bytes* per partition, not rows (module docstring). The fixture
+    lands next to the package (gitignored) keyed by (n, seed, scale)
+    and is reused when its _SUCCESS marker exists.
+    """
+    import os
+
+    if path is None:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".media_fixture",
+        )
+        path = os.path.join(root, f"media_n{n}_s{seed}_x{scale}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_media(spark, n, seed, scale).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------

@@ -1542,9 +1542,13 @@ def q_token_replay_fitness(spark, sf_dir):
 
 @q("media_decode_stats", None)
 def q_media_decode_stats(spark, sf_dir):
+    """Decode throughput over a parquet-persisted blob corpus: the
+    fixture is written once (driver-side generation excluded from every
+    run after the first), so the measured time is scan + Arrow batch
+    transfer + per-image decode — the real pipeline shape."""
     from promi_spark.operators import multimodal as mm
 
-    return mm.decode_images(mm.synth_media(spark, 60))
+    return mm.decode_images(mm.media_fixture(spark))
 
 
 @q("media_frame_sample", None)
