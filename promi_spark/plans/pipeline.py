@@ -21,7 +21,7 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-from promi_spark.plans.registry import FlowContext, get
+from promi_spark.plans.registry import FlowConfigError, FlowContext, get
 
 _TYPED_KEYS = {"String", "Float", "Int", "Boolean", "Date", "Id", "List"}
 
@@ -111,7 +111,35 @@ def load_flow(config: str | dict) -> Flow:
                 sink=_segment(p["sink"]) if p.get("sink") else None,
             )
         )
-    return Flow(pipes=pipes)
+    flow = Flow(pipes=pipes)
+    validate_flow(flow)
+    return flow
+
+
+def validate_flow(flow: Flow) -> None:
+    """Check every segment against its registry entry's typed parameter
+    declarations (reference ``Declaration``, ``plugin.rs:19-371``):
+    unknown operator names, unknown/mistyped attributes, and missing
+    required parameters raise :class:`FlowConfigError` naming the pipe,
+    segment, and parameter — before anything executes."""
+    for pipe in flow.pipes:
+        segs = [("source", pipe.source)]
+        segs += [("stream", s) for s in pipe.streams]
+        if pipe.sink is not None:
+            segs.append(("sink", pipe.sink))
+        for kind, seg in segs:
+            try:
+                entry = get(seg.name)
+            except KeyError as e:
+                raise FlowConfigError(
+                    f"pipe {pipe.name!r}: {e.args[0]}"
+                ) from None
+            if kind not in entry.kinds:
+                raise FlowConfigError(
+                    f"pipe {pipe.name!r}: segment {seg.name!r} cannot be "
+                    f"used as a {kind} (kinds: {sorted(entry.kinds)})"
+                )
+            entry.validate(seg.attributes, f"{pipe.name}/{seg.name}")
 
 
 def _toposort(flow: Flow) -> list[Pipe]:
@@ -172,7 +200,9 @@ def execute(spark, flow: Flow | str | dict, base_dir: str = ".") -> FlowResult:
     channels (unclaimed senders bind to the result, mirroring the
     reference's gen-0/MAX graph bindings, ``graph.rs:120-138``)."""
     if not isinstance(flow, Flow):
-        flow = load_flow(flow)
+        flow = load_flow(flow)  # load_flow validates
+    else:
+        validate_flow(flow)  # dict/dataclass-built flows validate too
     ctx = FlowContext(spark=spark, base_dir=base_dir)
     for pipe in _toposort(flow):
         log = _run_segment(ctx, pipe.source, None, "source")

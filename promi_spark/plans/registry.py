@@ -39,23 +39,96 @@ class FlowContext:
         return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
 
 
+class FlowConfigError(ValueError):
+    """A declarative flow-config error: raised at flow-LOAD time, naming
+    the segment and parameter, before anything executes (reference
+    surfaces these from ``Declaration`` checks, ``plugin.rs:19-371``)."""
+
+
+_REQUIRED = object()
+
+_TYPE_NAMES = {str: "String", float: "Float", int: "Int", bool: "Boolean",
+               list: "List"}
+
+
+@dataclass(frozen=True)
+class Param:
+    """Typed parameter declaration (reference ``Declaration`` attribute
+    specs with defaults, ``plugin.rs:19-371``; registration e.g.
+    ``split.rs:90-147``). ``default=_REQUIRED`` marks a mandatory
+    attribute; ``type`` is the expected Python scalar type (``float``
+    accepts ints; ``bool`` is NOT accepted for ``int``/``float``)."""
+
+    name: str
+    type: type
+    default: Any = _REQUIRED
+    description: str = ""
+
+    @property
+    def required(self) -> bool:
+        return self.default is _REQUIRED
+
+    def check(self, value: Any, where: str) -> None:
+        ok = (
+            isinstance(value, self.type)
+            and not (self.type is not bool and isinstance(value, bool))
+        ) or (self.type is float and isinstance(value, int)
+              and not isinstance(value, bool))
+        if value is not None and not ok:
+            raise FlowConfigError(
+                f"{where}: parameter {self.name!r} expects "
+                f"{_TYPE_NAMES.get(self.type, self.type.__name__)}, got "
+                f"{_TYPE_NAMES.get(type(value), type(value).__name__)} "
+                f"({value!r})"
+            )
+
+
 @dataclass
 class OpEntry:
     name: str
     description: str
     kinds: frozenset[str]  # subset of {source, stream, sink}
     fn: Callable
+    params: tuple[Param, ...] = ()
 
     def __call__(self, ctx, log, **attrs):
         return self.fn(ctx, log, **attrs)
+
+    def validate(self, attrs: dict[str, Any], segment: str) -> None:
+        """Declarative attribute check: unknown names, missing required
+        parameters, and type mismatches all raise :class:`FlowConfigError`
+        naming the segment and the parameter — at flow-load time, not as
+        a TypeError deep inside the operator call."""
+        declared = {p.name: p for p in self.params}
+        where = f"segment {segment!r} ({self.name})"
+        for k in attrs:
+            if k.startswith("_"):
+                continue
+            if k not in declared:
+                raise FlowConfigError(
+                    f"{where}: unknown parameter {k!r}; declared: "
+                    f"{sorted(declared) or '(none)'}"
+                )
+        for p in self.params:
+            if p.name in attrs:
+                p.check(attrs[p.name], where)
+            elif p.required:
+                raise FlowConfigError(
+                    f"{where}: missing required parameter {p.name!r} "
+                    f"({_TYPE_NAMES.get(p.type, p.type.__name__)}"
+                    f"{' — ' + p.description if p.description else ''})"
+                )
 
 
 REGISTRY: dict[str, OpEntry] = {}
 
 
-def register(name: str, description: str, kinds: set[str]):
+def register(name: str, description: str, kinds: set[str],
+             params: list[Param] | None = None):
     def deco(fn):
-        REGISTRY[name] = OpEntry(name, description, frozenset(kinds), fn)
+        REGISTRY[name] = OpEntry(
+            name, description, frozenset(kinds), fn, tuple(params or ())
+        )
         return fn
 
     return deco
@@ -85,7 +158,9 @@ def _void(ctx, log, **attrs):
     return None
 
 
-@register("XesReader", "XES file source (xes.rs:562-714)", {"source"})
+@register("XesReader", "XES file source (xes.rs:562-714)", {"source"},
+          params=[Param("path", str, description="XES file path"),
+                  Param("distributed", bool, False)])
 def _xes_reader(ctx, log, path: str, distributed: bool = False, **_):
     from promi_spark.io.xes import read_xes, read_xes_distributed
 
@@ -93,7 +168,9 @@ def _xes_reader(ctx, log, path: str, distributed: bool = False, **_):
     return fn(ctx.spark, ctx.path(path))
 
 
-@register("XesWriter", "XES file sink (xes.rs:717-796)", {"sink"})
+@register("XesWriter", "XES file sink (xes.rs:717-796)", {"sink"},
+          params=[Param("path", str, description="output XES path"),
+                  Param("indent", int, 1)])
 def _xes_writer(ctx, log, path: str, indent: int = 1, **_):
     from promi_spark.io.xes import write_xes
 
@@ -110,7 +187,9 @@ def _statistics(ctx, log, **_):
 
 
 @register("Validator", "meta/global/chronology validation (validator.rs:19-116)",
-          {"stream"})
+          {"stream"},
+          params=[Param("strict", bool, False),
+                  Param("max_collect", int, 100)])
 def _validator(ctx, log, strict: bool = False, max_collect: int = 100, **_):
     from promi_spark.operators.validate import classifier_name_violations, validate
 
@@ -135,7 +214,9 @@ def _repair(ctx, log, **_):
 
 
 @register("Sample", "seeded Bernoulli keep-ratio sample (split.rs:121-144)",
-          {"stream"})
+          {"stream"},
+          params=[Param("ratio", float, description="keep probability in [0,1]"),
+                  Param("seed", int, 0)])
 def _sample(ctx, log, ratio: float, seed: int = 0, **_):
     from promi_spark.operators.split import sample
 
@@ -144,7 +225,9 @@ def _sample(ctx, log, ratio: float, seed: int = 0, **_):
 
 
 @register("Split", "seeded train/test split (split.rs:18-88); test side "
-          "goes to the segment's stream_sender channel", {"stream"})
+          "goes to the segment's stream_sender channel", {"stream"},
+          params=[Param("ratio", float, description="train fraction in [0,1]"),
+                  Param("seed", int, 0)])
 def _split(ctx, log, ratio: float, seed: int = 0, _send=None, **_):
     from promi_spark.operators.split import split
 
@@ -189,13 +272,17 @@ def _receiver(ctx, log, _recv=None, **_):
 # ---------------------------------------------------------------------------
 
 
-@register("ParquetReader", "events parquet -> EventLog", {"source"})
+@register("ParquetReader", "events parquet -> EventLog", {"source"},
+          params=[Param("path", str, description="parquet path")])
 def _parquet_reader(ctx, log, path: str, **_):
     df = ctx.spark.read.parquet(ctx.path(path))
     return EventLog.from_events(df)
 
 
-@register("ParquetWriter", "EventLog -> parquet (partitionable)", {"sink"})
+@register("ParquetWriter", "EventLog -> parquet (partitionable)", {"sink"},
+          params=[Param("path", str, description="parquet output path"),
+                  Param("mode", str, "overwrite"),
+                  Param("partition_by", str, None)])
 def _parquet_writer(ctx, log, path: str, mode: str = "overwrite",
                     partition_by: str | None = None, **_):
     w = log.df.write.mode(mode)
@@ -205,14 +292,18 @@ def _parquet_writer(ctx, log, path: str, mode: str = "overwrite",
 
 
 @register("EventsTable", "driver synthetic events table -> EventLog",
-          {"source"})
+          {"source"},
+          params=[Param("sf_dir", str, description="testdata sf directory")])
 def _events_table(ctx, log, sf_dir: str, **_):
     from promi_spark.io import load_event_log
 
     return load_event_log(ctx.spark, sf_dir)
 
 
-@register("Filter", "CNF filter from config (filter.rs:19-112)", {"stream"})
+@register("Filter", "CNF filter from config (filter.rs:19-112)", {"stream"},
+          params=[Param("cnf", list, None,
+                        "list of disjunctions of SQL boolean strings"),
+                  Param("scope", str, "event", "event|trace")])
 def _filter(ctx, log, cnf: list | None = None, scope: str = "event", **_):
     """``cnf`` is a list of disjunctions; each literal is a SQL boolean
     expression string evaluated over the flat schema."""

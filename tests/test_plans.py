@@ -131,12 +131,78 @@ def test_deadlock_detection(spark):
 
 def test_unknown_operator(spark):
     from promi_spark.plans import execute
+    from promi_spark.plans.registry import FlowConfigError
 
-    with pytest.raises(KeyError, match="unknown operator"):
+    with pytest.raises(FlowConfigError, match="unknown operator"):
         execute(
             spark,
             {"pipes": [{"name": "P", "source": {"name": "NoSuchOp"}}]},
         )
+
+
+def test_declared_params_reject_mistyped_attribute(spark):
+    """A mistyped flow attribute is a declarative config error naming
+    pipe/segment and parameter at flow-LOAD time (reference Declaration
+    attribute specs, plugin.rs:19-371) — not a TypeError deep in the
+    operator call."""
+    from promi_spark.plans import load_flow
+    from promi_spark.plans.registry import FlowConfigError
+
+    bad_type = {
+        "pipes": [{
+            "name": "P",
+            "source": {"name": "EventsTable",
+                       "attributes": {"sf_dir": "/root/testdata/sf0.001"}},
+            "streams": [{"name": "Sample",
+                         "attributes": {"ratio": "lots"}}],
+        }]
+    }
+    with pytest.raises(FlowConfigError, match=r"P/Sample.*'ratio'.*Float"):
+        load_flow(bad_type)
+
+
+def test_declared_params_reject_unknown_and_missing(spark):
+    from promi_spark.plans import load_flow
+    from promi_spark.plans.registry import FlowConfigError
+
+    unknown = {
+        "pipes": [{
+            "name": "P",
+            "source": {"name": "XesReader",
+                       "attributes": {"path": "x.xes", "chunk_sz": 4}},
+        }]
+    }
+    with pytest.raises(FlowConfigError, match=r"P/XesReader.*'chunk_sz'"):
+        load_flow(unknown)
+
+    missing = {
+        "pipes": [{
+            "name": "P",
+            "source": {"name": "XesReader"},
+        }]
+    }
+    with pytest.raises(
+        FlowConfigError, match=r"P/XesReader.*required.*'path'"
+    ):
+        load_flow(missing)
+
+
+def test_declared_params_accept_typed_form(spark):
+    """The reference's typed attribute form ({Float: 0.1}) round-trips
+    through declaration checks (ints accepted where Float is declared)."""
+    from promi_spark.plans import load_flow
+
+    ok = {
+        "pipes": [{
+            "name": "P",
+            "source": {"name": "EventsTable",
+                       "attributes": {"sf_dir": {"String": "/tmp/x"}}},
+            "streams": [{"name": "Sample",
+                         "attributes": {"ratio": {"Float": 1},
+                                        "seed": {"Int": 7}}}],
+        }]
+    }
+    load_flow(ok)  # must not raise
 
 
 def test_registry_kinds(spark):
