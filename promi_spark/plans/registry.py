@@ -300,6 +300,61 @@ def _events_table(ctx, log, sf_dir: str, **_):
     return load_event_log(ctx.spark, sf_dir)
 
 
+@register("FailingSource",
+          "events source with deterministic corrupt-row injection "
+          "(reference FailingStream, dev_util.rs:81-135)", {"source"},
+          params=[Param("sf_dir", str, description="testdata sf directory"),
+                  Param("corrupt_every", int, 10,
+                        "null out activity/ts on every k-th event"),
+                  Param("seed", int, 0)])
+def _failing_source(ctx, log, sf_dir: str, corrupt_every: int = 10,
+                    seed: int = 0, **_):
+    """Failure-injection source: loads the events table, then corrupts a
+    deterministic subset of rows (NULL ``activity`` on every k-th event
+    id, NULL ``ts`` on every 2k-th) — the batch analog of the
+    reference's ``FailingStream`` that errors mid-stream so channel
+    error propagation can be tested end-to-end. Narrow (no shuffle):
+    the corruption is a per-row conditional projection."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_event_log
+
+    ev = load_event_log(ctx.spark, sf_dir)
+    k = F.lit(int(corrupt_every))
+    hit = F.pmod(F.col("event_id") + seed, k) == 0
+    hit2 = F.pmod(F.col("event_id") + seed, 2 * k) == 0
+    df = ev.df.withColumn(
+        "activity", F.when(hit, F.lit(None)).otherwise(F.col("activity"))
+    ).withColumn("ts", F.when(hit2, F.lit(None)).otherwise(F.col("ts")))
+    return ev.with_df(df)
+
+
+@register("Quarantine",
+          "error-channel split: clean rows flow on, rows failing "
+          "validator checks go to the segment's stream_sender channel "
+          "as the dead-letter side; strict mode aborts the flow "
+          "(reference Buffer error storage buffer.rs:53-56 + strict "
+          "channel abort channel.rs:373-466)", {"stream"},
+          params=[Param("strict", bool, False,
+                        "abort the flow if any row fails")])
+def _quarantine(ctx, log, strict: bool = False, _send=None, **_):
+    from promi_spark.streaming.engine import quarantine
+
+    good, bad = quarantine(log.df)
+    if strict:
+        n_bad = bad.count()
+        if n_bad:
+            sample = [tuple(r) for r in bad.select(
+                "event_id", "_errors").limit(3).collect()]
+            raise RuntimeError(
+                f"Quarantine strict mode: {n_bad} rows failed checks; "
+                f"first: {sample}"
+            )
+    for ch in _send or []:
+        ctx.streams[ch] = log.with_df(bad)
+    return log.with_df(good)
+
+
 @register("Filter", "CNF filter from config (filter.rs:19-112)", {"stream"},
           params=[Param("cnf", list, None,
                         "list of disjunctions of SQL boolean strings"),

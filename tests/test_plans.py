@@ -256,3 +256,62 @@ def test_filter_segment(spark, tmp_path, event_log):
     from pyspark.sql import functions as F
 
     assert out.df.filter(~F.col("activity").isin("purchase", "click")).count() == 0
+
+
+def test_failure_injection_dlq_channel(spark):
+    """A corrupt-row source driven through a registry pipeline: the
+    Quarantine segment routes rows failing validator checks to its
+    stream_sender channel (the error/DLQ side, reference Buffer error
+    storage buffer.rs:53-56) and only clean rows reach the sink."""
+    from promi_spark.plans import execute
+    from pyspark.sql import functions as F
+
+    flow = {
+        "pipes": [{
+            "name": "Ingest",
+            "source": {"name": "FailingSource",
+                       "attributes": {"sf_dir": "/root/testdata/sf0.001",
+                                       "corrupt_every": 10}},
+            "streams": [{"name": "Quarantine", "stream_sender": ["dlq"]},
+                         {"name": "Statistics", "artifact_sender": ["s"]}],
+            "sink": {"name": "Sender", "stream_sender": ["out"]},
+        }]
+    }
+    res = execute(spark, flow)
+    out, dlq = res.streams["out"], res.streams["dlq"]
+    n_good, n_bad = out.df.count(), dlq.df.count()
+    assert n_bad > 0
+    # every quarantined row names its failed checks in-band
+    errs = dlq.df.select(F.explode("_errors").alias("e")).distinct()
+    assert {r["e"] for r in errs.collect()} <= {
+        "activity_present", "ts_present", "seq_nonnegative"
+    }
+    # clean side really is clean, and nothing was dropped on the floor
+    assert out.df.filter(
+        F.col("activity").isNull() | F.col("ts").isNull()
+    ).count() == 0
+    from promi_spark.io import load_event_log
+    total = load_event_log(spark, "/root/testdata/sf0.001").df.count()
+    assert n_good + n_bad == total
+    assert res.artifacts["s"].n_events_total == n_good
+
+
+def test_failure_injection_strict_aborts(spark):
+    """Strict mode: the same corrupt source aborts the whole flow with
+    a diagnostic naming the failed rows (reference strict channel
+    abort, channel.rs:373-466)."""
+    from promi_spark.plans import execute
+
+    flow = {
+        "pipes": [{
+            "name": "Ingest",
+            "source": {"name": "FailingSource",
+                       "attributes": {"sf_dir": "/root/testdata/sf0.001",
+                                       "corrupt_every": 10}},
+            "streams": [{"name": "Quarantine",
+                         "attributes": {"strict": True}}],
+            "sink": {"name": "Void"},
+        }]
+    }
+    with pytest.raises(RuntimeError, match="strict mode.*rows failed"):
+        execute(spark, flow)
