@@ -560,8 +560,11 @@ def write_xes(log: EventLog, path: str) -> None:
             # Take case_attrs/attr_types from the seq-min row (not the
             # arbitrary collect order) so output matches
             # write_xes_distributed byte-for-byte even when rows of a
-            # case disagree on case-level attributes.
-            seq = float("inf") if r["seq"] is None else r["seq"]
+            # case disagree on case-level attributes. A null seq maps to
+            # -inf because the distributed writer sorts (case_id, seq)
+            # ascending NULLS FIRST — a trace-attrs marker row (null
+            # seq) must win the pick in BOTH writers.
+            seq = float("-inf") if r["seq"] is None else r["seq"]
             if r["case_id"] not in trace_attrs or seq < attr_src_seq[r["case_id"]]:
                 attr_src_seq[r["case_id"]] = seq
                 trace_attrs[r["case_id"]] = (

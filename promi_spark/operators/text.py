@@ -146,25 +146,15 @@ def repetition_stats(
             4,
         ).alias("dup_3gram_frac"),
     )
+    # The top-gram path shuffles ONLY (k, g, count): n_tokens stays on
+    # the narrow stats side and the token fraction is computed after
+    # the join, so neither exchange carries a passenger column.
     top = (
-        base.select("k", "n_tokens", F.explode("g2").alias("g"))
+        base.select("k", F.explode("g2").alias("g"))
         .groupBy("k", "g")
-        .agg(F.count(F.lit(1)).alias("c"), F.first("n_tokens").alias("n_tokens"))
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("k")
-        .agg(
-            F.max("c").alias("top_2gram_count"),
-            F.first("n_tokens").alias("n_tokens"),
-        )
-        .select(
-            "k",
-            "top_2gram_count",
-            F.round(
-                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-                    F.col("top_2gram_count") * 2.0 / F.col("n_tokens")
-                ),
-                4,
-            ).alias("top_2gram_token_frac"),
-        )
+        .agg(F.max("c").alias("top_2gram_count"))
     )
     return (
         stats.join(top, "k", "left")
@@ -174,9 +164,14 @@ def repetition_stats(
             "dup_2gram_frac",
             "dup_3gram_frac",
             F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
-            F.coalesce("top_2gram_token_frac", F.lit(0.0)).alias(
-                "top_2gram_token_frac"
-            ),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("top_2gram_count", F.lit(0))
+                    * 2.0
+                    / F.col("n_tokens")
+                ),
+                4,
+            ).alias("top_2gram_token_frac"),
         )
     )
 

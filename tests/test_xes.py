@@ -298,3 +298,38 @@ def test_distributed_reader_content_parity(spark, name):
     ra = sorted(tuple(r) for r in a.select(cols).collect())
     rb = sorted(tuple(r) for r in b.select(cols).collect())
     assert ra == rb
+
+
+def test_writers_agree_on_null_seq_attr_marker(spark, tmp_path):
+    """A case holding BOTH a null-seq trace-attrs marker row and event
+    rows (whose case_attrs disagree) must export byte-identically from
+    both writers: the marker row wins the case-attrs pick in each
+    (driver maps null seq to -inf; distributed sorts NULLS FIRST)."""
+    from datetime import datetime
+
+    from promi_spark.io.xes import write_xes, write_xes_distributed
+    from promi_spark.log import EventLog
+    from promi_spark.schema import EVENTS_SCHEMA, Meta
+
+    def row(case_id, seq, activity, ts, case_attrs):
+        return (case_id, seq, activity, None, ts, None, None, None, None,
+                {}, {}, case_attrs)
+
+    rows = [
+        # marker row: null seq, carries the authoritative trace attrs
+        row("c1", None, None, None, {"customer": "acme"}),
+        row("c1", 0, "a", datetime(2024, 1, 1), {"customer": "WRONG"}),
+        row("c1", 1, "b", datetime(2024, 1, 2), {"customer": "WRONG"}),
+        # control case without a marker
+        row("c2", 0, "a", datetime(2024, 1, 3), {"customer": "zeta"}),
+    ]
+    log = EventLog(
+        df=spark.createDataFrame(rows, EVENTS_SCHEMA), meta=Meta()
+    )
+    p1, p2 = str(tmp_path / "driver.xes"), str(tmp_path / "dist.xes")
+    write_xes(log, p1)
+    write_xes_distributed(log, p2)
+    with open(p1) as a, open(p2) as b:
+        d, x = a.read(), b.read()
+    assert d == x
+    assert "acme" in d and "WRONG" not in d
