@@ -239,12 +239,14 @@ def ngram_overlap(
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID: the language whose stopword list hits
-    most tokens wins ('und' = undetermined on all-zero). Deterministic
-    tie-break by language code order. Pure built-ins — the per-language
-    hit counters are independent regexp scans fused in one codegen stage."""
-    t = F.lower(F.col(text_col))
+def lang_pred(col: Column | str) -> Column:
+    """Stopword-vote language ID as a pure expression: the language
+    whose stopword list hits most tokens wins ('und' = undetermined on
+    all-zero). Deterministic tie-break by language code order. Pure
+    built-ins — the per-language hit counters are independent regexp
+    scans fused in one codegen stage; exposed as a Column so pipeline
+    filters can apply it inline without a second scan or join."""
+    t = F.lower(F.col(col) if isinstance(col, str) else col)
     scores = [
         (code, stopword_hits(t, words)) for code, words in sorted(STOPWORDS.items())
     ]
@@ -252,7 +254,12 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for code, s in scores:  # first max wins -> deterministic
         pred = pred.when(s == best, F.lit(code))
-    return df.select("doc_id", pred.alias("lang_pred"))
+    return pred
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document language prediction table (see :func:`lang_pred`)."""
+    return df.select("doc_id", lang_pred(text_col).alias("lang_pred"))
 
 
 def winnow_fingerprints(
@@ -375,6 +382,15 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return df.select(F.col(key_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def scrubbed_text(col: Column | str) -> Column:
+    """The :func:`scrub_pii` replacement chain as a pure expression
+    (no counts) — for in-place text scrubbing in a pipeline stage."""
+    scr = F.col(col) if isinstance(col, str) else col
+    for name, pat in PII_PATTERNS.items():
+        scr = F.regexp_replace(scr, pat, f"<{name.upper()}>")
+    return scr
 
 
 def pack_index(

@@ -300,6 +300,149 @@ def _events_table(ctx, log, sf_dir: str, **_):
     return load_event_log(ctx.spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline segments: the LLM-corpus operators as flow
+# citizens. Channels carry plain DataFrames here (the flow layer is
+# payload-agnostic); a YAML flow can express documents -> quality
+# filter -> PII scrub -> dedup -> decontaminate -> shard export — the
+# standard pre-training cleaning pipeline — with typed-parameter
+# validation at load time. Every stage keeps its operator's 100 TB
+# shape (narrow codegen filters, single-shuffle dedup, broadcast
+# benchmark grams, shard-partitioned export).
+# ---------------------------------------------------------------------------
+
+
+@register("DocumentsTable", "documents parquet -> DataFrame corpus",
+          {"source"},
+          params=[Param("sf_dir", str, description="testdata sf directory")])
+def _documents_table(ctx, log, sf_dir: str, **_):
+    from promi_spark.io import load_table
+
+    return load_table(ctx.spark, "documents", sf_dir)
+
+
+@register("QualityFilter",
+          "drop documents failing quality thresholds (token count, "
+          "punctuation ratio, stopword ratio, language) — one narrow "
+          "codegen pass, no shuffle", {"stream"},
+          params=[Param("min_tokens", int, 0),
+                  Param("max_punct_ratio", float, 1.0),
+                  Param("min_stopword_ratio", float, 0.0),
+                  Param("lang", str, None, "keep only this lang_pred"),
+                  Param("text_col", str, "text")])
+def _quality_filter(ctx, df, min_tokens: int = 0, max_punct_ratio: float = 1.0,
+                    min_stopword_ratio: float = 0.0, lang: str | None = None,
+                    text_col: str = "text", **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.text import (
+        lang_pred, punct_ratio, stopword_hits, token_count, STOPWORDS,
+    )
+
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    cond = n_tok >= min_tokens
+    cond &= punct_ratio(t) <= max_punct_ratio
+    if min_stopword_ratio > 0:
+        sw = stopword_hits(t, STOPWORDS["en"]).cast("double")
+        cond &= F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            sw / n_tok
+        ) >= min_stopword_ratio
+    if lang is not None:
+        cond &= lang_pred(t) == lang
+    return df.filter(cond)
+
+
+@register("PiiScrub", "replace emails/IPv4s/phone numbers with typed "
+          "placeholders in-place (narrow codegen regexp pass)",
+          {"stream"},
+          params=[Param("text_col", str, "text")])
+def _pii_scrub(ctx, df, text_col: str = "text", **_):
+    from promi_spark.operators.text import scrubbed_text
+
+    return df.withColumn(text_col, scrubbed_text(text_col))
+
+
+@register("ExactDedup", "keep the min-key representative per identical "
+          "normalized text: one window over the md5 fingerprint, single "
+          "shuffle, no join", {"stream"},
+          params=[Param("key_col", str, "doc_id"),
+                  Param("text_col", str, "text")])
+def _exact_dedup(ctx, df, key_col: str = "doc_id", text_col: str = "text",
+                 **_):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    w = Window.partitionBy(fp).orderBy(F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register("NearDupDedup", "drop MinHash+LSH near-duplicates (keeps the "
+          "min-id side of each verified pair; banded candidates, exact "
+          "Jaccard verify — never all-pairs)", {"stream"},
+          params=[Param("threshold", float, 0.7, "Jaccard threshold"),
+                  Param("key_col", str, "doc_id"),
+                  Param("text_col", str, "text")])
+def _near_dup_dedup(ctx, df, threshold: float = 0.7, key_col: str = "doc_id",
+                    text_col: str = "text", **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
+    drop = pairs.select(F.col("b").alias(key_col)).distinct()
+    return df.join(drop, key_col, "left_anti")
+
+
+@register("Decontaminate", "drop documents sharing word n-grams with a "
+          "benchmark corpus received on the segment's stream_receiver "
+          "channel (benchmark gram set broadcast; single corpus scan)",
+          {"stream"},
+          params=[Param("n", int, 5, "gram width"),
+                  Param("min_shared", int, 1),
+                  Param("key_col", str, "doc_id"),
+                  Param("text_col", str, "text")])
+def _decontaminate(ctx, df, n: int = 5, min_shared: int = 1,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   _recv=None, **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.text import ngram_overlap
+
+    if not _recv:
+        raise ValueError(
+            "Decontaminate needs the benchmark corpus on a "
+            "stream_receiver channel"
+        )
+    bench = ctx.streams[_recv[0]]
+    bench_df = bench.df if hasattr(bench, "df") else bench
+    verdicts = ngram_overlap(df, bench_df, key_col, text_col,
+                             n=n, min_shared=min_shared)
+    clean = verdicts.filter(~F.col("contaminated")).select(key_col)
+    return df.join(clean, key_col, "left_semi")
+
+
+@register("ShardExport", "deterministic fixed-shard parquet export: "
+          "stable md5 shard ids, repartitioned on the shard column so "
+          "each task owns whole shards (one file per shard)", {"sink"},
+          params=[Param("path", str, description="output parquet path"),
+                  Param("n_shards", int, 16),
+                  Param("key", str, "doc_id"),
+                  Param("seed", int, 0)])
+def _shard_export(ctx, df, path: str, n_shards: int = 16,
+                  key: str = "doc_id", seed: int = 0, **_):
+    from promi_spark.operators.scale import write_shards
+
+    write_shards(df, ctx.path(path), key, n_shards=n_shards, seed=seed)
+
+
 @register("FailingSource",
           "events source with deterministic corrupt-row injection "
           "(reference FailingStream, dev_util.rs:81-135)", {"source"},
@@ -375,4 +518,6 @@ def _filter(ctx, log, cnf: list | None = None, scope: str = "event", **_):
                 pred = c if pred is None else (pred | c)
             out = filter_traces(out, pred)
         return out
+    if not hasattr(log, "df"):  # plain-DataFrame channels (doc pipelines)
+        return cnf_op(log, clauses)
     return log.with_df(cnf_op(log.df, clauses))

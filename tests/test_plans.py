@@ -315,3 +315,82 @@ def test_failure_injection_strict_aborts(spark):
     }
     with pytest.raises(RuntimeError, match="strict mode.*rows failed"):
         execute(spark, flow)
+
+
+def test_training_data_pipeline_flow(spark, tmp_path):
+    """The standard pre-training cleaning pipeline expressed as a YAML
+    flow: documents -> quality filter -> PII scrub -> exact dedup ->
+    near-dup dedup -> decontaminate (benchmark corpus on a channel) ->
+    deterministic shard export. Asserts each stage's contract on the
+    exported corpus."""
+    import re
+
+    import yaml
+
+    from promi_spark.plans import execute
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "clean_corpus")
+    flow = yaml.safe_load(f"""
+pipes:
+  - name: Bench
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: Filter
+        attributes:
+          cnf: [["doc_id < 20"]]
+    sink:
+      name: Sender
+      stream_sender: [bench]
+  - name: Clean
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: QualityFilter
+        attributes: {{min_tokens: 5, max_punct_ratio: 0.9}}
+      - name: PiiScrub
+      - name: ExactDedup
+      - name: NearDupDedup
+        attributes: {{threshold: 0.7}}
+      - name: Decontaminate
+        attributes: {{n: 5, min_shared: 1}}
+        stream_receiver: [bench]
+    sink:
+      name: ShardExport
+      attributes: {{path: {out}, n_shards: 4}}
+""")
+    execute(spark, flow)
+
+    from promi_spark.io import load_table
+    src = load_table(spark, "documents", "/root/testdata/sf0.001")
+    cleaned = spark.read.parquet(out)
+
+    # shard export: partitioned by shard, every shard id < n_shards
+    shards = {r["shard"] for r in cleaned.select("shard").distinct().collect()}
+    assert shards <= set(range(4)) and len(shards) > 1
+    # something survived, and every cleaning stage dropped or rewrote
+    n_src, n_out = src.count(), cleaned.count()
+    assert 0 < n_out < n_src
+    # decontamination: the benchmark docs (doc_id < 20) share all their
+    # grams with themselves in the corpus -> none survive
+    assert cleaned.filter(F.col("doc_id") < 20).count() == 0
+    # exact dedup: no two surviving docs share normalized text
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    assert (
+        cleaned.groupBy(norm.alias("t")).count().filter("count > 1").count()
+        == 0
+    )
+    # PII scrub ran in-place: no raw email survives anywhere
+    assert cleaned.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count() == 0
+    # determinism: re-running the export lands identical shard sets
+    ids1 = sorted(r["doc_id"] for r in cleaned.select("doc_id").collect())
+    execute(spark, flow)
+    ids2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert ids1 == ids2
