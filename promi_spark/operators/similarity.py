@@ -400,6 +400,66 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted file: every vector assigned to its
+    nearest centroid and written ``partitionBy('cluster')`` — the
+    serving layout where a probe query reads ONLY its ``nprobe``
+    cluster directories (partition pruning at the file source, visible
+    as ``PartitionFilters`` in the scan). Centroids ride alongside as
+    ``_centroids.json`` (underscore-prefixed files are invisible to
+    Spark's file index, so the parquet read is unaffected)."""
+    import json
+    import os
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # one shuffle on cluster so each task owns whole clusters -> one
+    # file per cluster directory instead of files x tasks
+    assigned.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index: pick the
+    ``nprobe`` nearest centroids driver-side (tiny matrix), then scan
+    only those cluster partitions. This is the 100 TB serving path —
+    the candidate scan is bounded by ``nprobe/n_clusters`` of the
+    corpus no matter how large the index grows, and the pruning happens
+    at the source (no data read from unprobed clusters)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cent = json.load(f)
+    q = np.array(query_vec, dtype=float)
+    d = ((np.array(cent) - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    scan = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return (
+        cosine_scores(scan, query_vec, id_col, vec_col)
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     query_vec: list[float],

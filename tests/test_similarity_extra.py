@@ -121,3 +121,60 @@ def test_mllib_ivf_centroids_drop_in(spark):
     a = {r["vec_id"] for r in approx.collect()}
     e = {r["vec_id"] for r in exact.collect()}
     assert len(a & e) >= 5  # nprobe=4 of 8 clusters: recall well above chance
+
+
+def test_ivf_indexed_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) return exactly the same top-k
+    as the inline ivf_topk for the same centroids/probe set and (b)
+    prune unprobed cluster partitions at the file source
+    (PartitionFilters on the scan), which is what bounds a probe to
+    nprobe/n_clusters of the corpus at any scale."""
+    from promi_spark.operators.similarity import (
+        cosine_scores,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = ivf_centroids(corpus, n_clusters=8, init="lowest_ids", n_iter=0)
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, cent, path)
+
+    got = ivf_topk_indexed(spark, path, qvec, k=10, nprobe=3)
+    rows = got.collect()
+    assert len(rows) == 10
+
+    # same probe set recomputed inline over the assigned corpus
+    import numpy as np
+    d = ((np.array(cent) - np.array(qvec)[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in d.argsort()[:3]]
+    inline = (
+        cosine_scores(
+            ivf_assign(corpus, cent).filter(F.col("cluster").isin(probe)),
+            qvec,
+        )
+        .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["vec_id"], r["cosine_sim"]) for r in rows] == [
+        (r["vec_id"], r["cosine_sim"]) for r in inline
+    ]
+
+    # partition pruning is visible in the plan and actually selective
+    je = got._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = je.explainString(mode.fromString("formatted"))
+    assert "PartitionFilters" in plan and "cluster" in plan
+    import re
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:  # count printed only post-pruning listing
+        assert int(m.group(1)) <= 3
