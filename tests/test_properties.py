@@ -244,3 +244,45 @@ def test_inductive_miner_deterministic(spark):
     a = tree_rows(inductive_miner(log))
     b = tree_rows(inductive_miner(log))
     assert a == b
+
+
+@settings(deadline=None, max_examples=12,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase + " .,!", max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gram_hash_rows_matches_python_model(spark, texts):
+    """The single-pass zip-slice-explode gram pipeline must produce
+    exactly the word-3-gram multiset a straightforward Python model
+    predicts: count = max(#tokens - 2, 1) rows per doc (one whole-text
+    gram for short docs, via the null-padded struct whose hash equals
+    xxhash64(joined text)), and documents with identical normalized
+    text get identical hash multisets."""
+    import re as _re
+
+    from promi_spark.operators.dedup import gram_hash_rows
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in gram_hash_rows(df).collect():
+        got.setdefault(r["k"], []).append(r["h"])
+
+    for i, t in rows:
+        # mirror text.tokens(): trim + collapse whitespace + split on
+        # single spaces; empty text yields one empty token
+        norm = _re.sub(r"\s+", " ", t.strip().lower())
+        toks = norm.split(" ")
+        expect_n = max(len(toks) - 2, 1)
+        assert len(got.get(i, [])) == expect_n, (t, toks, got.get(i))
+
+    by_norm: dict[str, list] = {}
+    for i, t in rows:
+        norm = _re.sub(r"\s+", " ", t.strip().lower())
+        by_norm.setdefault(norm, []).append(sorted(got.get(i, [])))
+    for same in by_norm.values():
+        assert all(h == same[0] for h in same[1:])
