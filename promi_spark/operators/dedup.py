@@ -31,8 +31,14 @@ from pyspark.sql import functions as F
 from promi_spark.operators.text import tokens
 
 
-def _norm(text_col: str) -> Column:
+def norm_text(text_col: str) -> Column:
+    """Canonical text normalization every dedup variant keys on (lower,
+    trim, collapse whitespace) — public so pipeline stages fingerprint
+    identically to these operators."""
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+_norm = norm_text
 
 
 # ---------------------------------------------------------------------------
@@ -174,13 +180,17 @@ def minhash_signatures(
     MIN, so no distinct pass.
     """
     rows = gram_hash_rows(df, key_col, text_col, shingle_n)
+    return _sigs_from_rows(rows, num_hashes)
+
+
+def _sigs_from_rows(rows: DataFrame, num_hashes: int) -> DataFrame:
+    """(k, sig) from a (k, h) gram-row relation — the shared signature
+    build used by the standalone path and :func:`minhash_dedup`."""
     return (
         rows.groupBy("k")
         .agg(*_min_aggs(num_hashes))
         .select("k", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )
-
-
 
 
 def band_buckets(sig_col: Column, num_hashes: int, bands: int) -> Column:
@@ -253,6 +263,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
     >= threshold. Returns (a, b, jaccard_sim).
@@ -276,14 +287,18 @@ def minhash_dedup(
     the tokenize+explode stage twice; a production pipeline would
     persist it as the dedup index anyway. The verify join itself touches
     only candidate keys.
+
+    Cache lifetime: the persisted relation lives until the session ends
+    or Spark evicts it (identical re-invocations share one entry via
+    the CacheManager, so repeated calls on the same corpus do not
+    accumulate). Callers running MANY distinct corpora through one
+    session should pass ``cache=False`` (recompute instead of pin) or
+    ``spark.catalog.clearCache()`` between corpora.
     """
-    rows = gram_hash_rows(df, key_col, text_col, shingle_n).persist()
-    sigs = (
-        rows.groupBy("k")
-        .agg(*_min_aggs(num_hashes))
-        .select("k", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
-    cands = _banded_pairs(sigs, num_hashes, bands)
+    rows = gram_hash_rows(df, key_col, text_col, shingle_n)
+    if cache:
+        rows = rows.persist()
+    cands = _banded_pairs(_sigs_from_rows(rows, num_hashes), num_hashes, bands)
     sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
     return (
         cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
@@ -383,6 +398,7 @@ def mllib_minhash_dedup(
     num_hash_tables: int = 8,
     shingle_n: int = 3,
     num_features: int = 1 << 18,
+    cache: bool = True,
 ) -> DataFrame:
     """MLlib-candidate near-dup pairs verified by EXACT shingle Jaccard:
     ``MinHashLSH`` generates candidates (any colliding hash table,
@@ -395,9 +411,13 @@ def mllib_minhash_dedup(
     both the ``HashingTF`` vectorization and the verify join, and the
     verify Jaccard runs directly over the distinct string shingle
     arrays — set cardinalities (hence Jaccard) are identical to the
-    hashed-gram formulation, without a second tokenize pass.
+    hashed-gram formulation, without a second tokenize pass. Cache
+    lifetime caveats as in :func:`minhash_dedup` (``cache=False`` to
+    recompute instead of pinning).
     """
-    sh = shingle_arrays(df, key_col, text_col, shingle_n).persist()
+    sh = shingle_arrays(df, key_col, text_col, shingle_n)
+    if cache:
+        sh = sh.persist()
     cands = mllib_minhash_candidates(
         df,
         key_col,

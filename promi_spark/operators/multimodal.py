@@ -124,7 +124,9 @@ def media_fixture(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             ".media_fixture",
         )
-        path = os.path.join(root, f"media_n{n}_s{seed}_x{scale}.parquet")
+        path = os.path.join(
+            root, f"media_n{n}_s{seed}_x{scale}_f{n_files}.parquet"
+        )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth_media(spark, n, seed, scale).repartition(n_files).write.mode(
             "overwrite"

@@ -413,9 +413,10 @@ def write_ivf_index(
     cluster directories (partition pruning at the file source, visible
     as ``PartitionFilters`` in the scan). Centroids ride alongside as
     ``_centroids.json`` (underscore-prefixed files are invisible to
-    Spark's file index, so the parquet read is unaffected)."""
+    Spark's file index, so the parquet read is unaffected), written
+    through the Hadoop FileSystem API so the index works on any
+    scheme the parquet write does (local, hdfs://, s3a://, ...)."""
     import json
-    import os
 
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     # one shuffle on cluster so each task owns whole clusters -> one
@@ -423,8 +424,39 @@ def write_ivf_index(
     assigned.repartition("cluster").write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    spark = df.sparkSession
+    _hadoop_write_text(
+        spark, f"{path.rstrip('/')}/_centroids.json", json.dumps(centroids)
+    )
+
+
+def _hadoop_path_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    jpath, fs = _hadoop_path_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    jpath, fs = _hadoop_path_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # py4j passes arrays by value, so stream.read(buf) cannot fill a
+        # Python bytearray — drain the stream JVM-side via commons-io
+        # (always on Spark's classpath as a Hadoop dependency)
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def ivf_topk_indexed(
@@ -443,12 +475,12 @@ def ivf_topk_indexed(
     corpus no matter how large the index grows, and the pruning happens
     at the source (no data read from unprobed clusters)."""
     import json
-    import os
 
     import numpy as np
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cent = json.load(f)
+    cent = json.loads(
+        _hadoop_read_text(spark, f"{path.rstrip('/')}/_centroids.json")
+    )
     q = np.array(query_vec, dtype=float)
     d = ((np.array(cent) - q[None, :]) ** 2).sum(1)
     probe = [int(i) for i in d.argsort()[:nprobe]]

@@ -122,6 +122,8 @@ def validate_flow(flow: Flow) -> None:
     unknown operator names, unknown/mistyped attributes, and missing
     required parameters raise :class:`FlowConfigError` naming the pipe,
     segment, and parameter — before anything executes."""
+    sent: set[str] = set()
+    received: list[tuple[str, str, str]] = []
     for pipe in flow.pipes:
         segs = [("source", pipe.source)]
         segs += [("stream", s) for s in pipe.streams]
@@ -140,6 +142,20 @@ def validate_flow(flow: Flow) -> None:
                     f"used as a {kind} (kinds: {sorted(entry.kinds)})"
                 )
             entry.validate(seg.attributes, f"{pipe.name}/{seg.name}")
+            sent.update(seg.stream_sender)
+            received += [
+                (pipe.name, seg.name, ch) for ch in seg.stream_receiver
+            ]
+    # every receive channel needs a sender somewhere in the flow —
+    # otherwise the typo surfaces as a bare KeyError mid-execution
+    # after upstream pipes (and possibly sinks) have already run
+    for pipe_name, seg_name, ch in received:
+        if ch not in sent:
+            raise FlowConfigError(
+                f"pipe {pipe_name!r}: segment {seg_name!r} receives from "
+                f"stream channel {ch!r}, which no segment sends to "
+                f"(senders: {sorted(sent) or '(none)'})"
+            )
 
 
 def _toposort(flow: Flow) -> list[Pipe]:

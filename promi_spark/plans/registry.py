@@ -110,7 +110,9 @@ class OpEntry:
                     f"{sorted(declared) or '(none)'}"
                 )
         for p in self.params:
-            if p.name in attrs:
+            if p.name in attrs and not (
+                attrs[p.name] is None and p.required
+            ):  # explicit null on a required param counts as missing
                 p.check(attrs[p.name], where)
             elif p.required:
                 raise FlowConfigError(
@@ -344,7 +346,10 @@ def _quality_filter(ctx, df, min_tokens: int = 0, max_punct_ratio: float = 1.0,
     cond = n_tok >= min_tokens
     cond &= punct_ratio(t) <= max_punct_ratio
     if min_stopword_ratio > 0:
-        sw = stopword_hits(t, STOPWORDS["en"]).cast("double")
+        # count stopwords of the TARGET language when one is selected
+        # (an English list would silently drop a non-English corpus)
+        words = STOPWORDS.get(lang or "en", STOPWORDS["en"])
+        sw = stopword_hits(t, words).cast("double")
         cond &= F.when(n_tok == 0, F.lit(0.0)).otherwise(
             sw / n_tok
         ) >= min_stopword_ratio
@@ -373,9 +378,9 @@ def _exact_dedup(ctx, df, key_col: str = "doc_id", text_col: str = "text",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    fp = F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    )
+    from promi_spark.operators.dedup import norm_text
+
+    fp = F.md5(norm_text(text_col))  # same fingerprint as dedup_exact
     w = Window.partitionBy(fp).orderBy(F.col(key_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))

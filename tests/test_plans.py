@@ -186,6 +186,44 @@ def test_declared_params_reject_unknown_and_missing(spark):
     ):
         load_flow(missing)
 
+    # YAML "path:" with no value parses as None — an explicit null on a
+    # required parameter is missing, not a valid value
+    explicit_null = {
+        "pipes": [{
+            "name": "P",
+            "source": {"name": "XesReader", "attributes": {"path": None}},
+        }]
+    }
+    with pytest.raises(
+        FlowConfigError, match=r"P/XesReader.*required.*'path'"
+    ):
+        load_flow(explicit_null)
+
+
+def test_unsent_receive_channel_rejected_at_load(spark):
+    """A typo'd stream_receiver channel is a load-time FlowConfigError
+    naming pipe/segment/channel — not a KeyError after upstream pipes
+    have already executed."""
+    from promi_spark.plans import load_flow
+    from promi_spark.plans.registry import FlowConfigError
+
+    flow = {
+        "pipes": [
+            {
+                "name": "A",
+                "source": {"name": "Void"},
+                "sink": {"name": "Sender", "stream_sender": ["good"]},
+            },
+            {
+                "name": "B",
+                "source": {"name": "Receiver", "stream_receiver": ["goood"]},
+                "sink": {"name": "Void"},
+            },
+        ]
+    }
+    with pytest.raises(FlowConfigError, match=r"B.*'Receiver'.*'goood'"):
+        load_flow(flow)
+
 
 def test_declared_params_accept_typed_form(spark):
     """The reference's typed attribute form ({Float: 0.1}) round-trips
