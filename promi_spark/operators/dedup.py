@@ -312,6 +312,71 @@ def minhash_dedup(
     )
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(doc_id, component): connected components of the near-dup pair
+    graph — the canonical clustering step after pair generation in a
+    production dedup pipeline (keep ``min(doc_id)`` per component, drop
+    the rest). ``component`` is the smallest doc id reachable from the
+    node.
+
+    Iterative min-label propagation over the symmetric edge list: each
+    round joins labels to neighbors, takes the per-node min, and stops
+    when no label changed — O(graph diameter) rounds, and near-dup
+    clusters are shallow (most are stars around one canonical doc), so
+    this converges in 2-3 rounds in practice. Each round is one
+    shuffle join + one map-side-combined min aggregation; labels are
+    (id, long) only, so round state is tiny regardless of corpus size.
+    At extreme graph scale swap in large-star/small-star (Kiveris et
+    al.) — the round structure below is the small-star half.
+    """
+    edges = pairs.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.withColumnsRenamed({"id": "b", "comp": "nbr_comp"}),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -137,15 +137,14 @@ def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
     """
 
 
-def exact_jaccard_pairs_sql(threshold: float, n: int = 3) -> str:
-    """Exact word-n-gram Jaccard pairs >= threshold over ``documents``
-    — the oracle for minhash_dedup / mllib_minhash_dedup, whose banded
-    LSH has (verified) total recall on the high-similarity injected
-    duplicates. Candidates are bounded by a shared-shingle co-occurrence
-    join (full recall for J >= threshold: such pairs share a shingle)."""
+def _jaccard_pairs_ctes(threshold: float, n: int = 3) -> str:
+    """The shared CTE chain ending in ``jpairs(a, b, jaccard_sim)`` —
+    exact word-n-gram Jaccard pairs >= threshold over ``documents``.
+    Candidates are bounded by a shared-shingle co-occurrence join (full
+    recall for J >= threshold: such pairs share a shingle)."""
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) < {n} THEN [list_aggregate(toks, 'string_agg', ' ')]
@@ -159,15 +158,48 @@ def exact_jaccard_pairs_sql(threshold: float, n: int = 3) -> str:
       FROM (SELECT doc_id, unnest(s) AS g FROM sh) x
       JOIN (SELECT doc_id, unnest(s) AS g FROM sh) y
         ON x.g = y.g AND x.doc_id < y.doc_id
+    ),
+    jpairs AS (
+      SELECT c.a, c.b,
+             round(len(list_intersect(x.s, y.s))::DOUBLE
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
+               AS jaccard_sim
+      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+      WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+                  / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
+            >= {threshold}
+    )"""
+
+
+def exact_jaccard_pairs_sql(threshold: float, n: int = 3) -> str:
+    """Exact word-n-gram Jaccard pairs >= threshold over ``documents``
+    — the oracle for minhash_dedup / mllib_minhash_dedup, whose banded
+    LSH has (verified) total recall on the high-similarity injected
+    duplicates."""
+    return f"""
+    WITH {_jaccard_pairs_ctes(threshold, n)}
+    SELECT a, b, jaccard_sim FROM jpairs
+    """
+
+
+def dedup_components_sql(threshold: float, n: int = 3) -> str:
+    """Connected components of the near-dup pair graph via a recursive
+    transitive-closure CTE: every node's component id is the smallest
+    doc id it can reach — the declarative mirror of the iterative
+    min-label propagation in ``dedup.dedup_components``."""
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, n)},
+    edges AS (
+      SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs
+    ),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
     )
-    SELECT c.a, c.b,
-           round(len(list_intersect(x.s, y.s))::DOUBLE
-                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
-             AS jaccard_sim
-    FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
-    WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
-                / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
-          >= {threshold}
+    SELECT id AS doc_id, min(r) AS component
+    FROM (SELECT id, r FROM reach UNION SELECT a AS id, a AS r FROM edges)
+    GROUP BY id
     """
 
 

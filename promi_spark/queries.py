@@ -1306,6 +1306,19 @@ def q_mllib_minhash_near_dups(spark, sf_dir):
     )
 
 
+@q("dedup_components", oracles.dedup_components_sql(threshold=0.5))
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pair graph -> connected components (the clustering step
+    a production dedup pipeline runs after pair generation). Spark side
+    is iterative min-label propagation; the oracle replays it as a
+    DuckDB recursive transitive-closure CTE — so even this iterative
+    graph algorithm is hash-checked cross-engine."""
+    pairs = dedup.minhash_dedup(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )
+    return dedup.dedup_components(pairs)
+
+
 @q("simhash_signatures", oracles.simhash_signatures_sql())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(
@@ -1615,7 +1628,6 @@ _ORDER = [
     "dfg_endpoints",
     "footprint",
     "heuristic_dependency",
-    "heuristic_net",
     "trace_variants",
     # P1/P2 split & sample
     "split_train",
@@ -1642,12 +1654,14 @@ _ORDER = [
     "cosine_near_dups_exact",
     "lsh_near_dups",
     "ivf_topk",
-    # hash-based dedup in oracle mode
+    # hash-based dedup in oracle mode (+ the component clustering step)
     "minhash_near_dups",
+    "dedup_components",
     "simhash_signatures",
     "winnow_fingerprints",
     # ---- out of the 50-slot window from here: oracled redundant
     # family siblings (in-window coverage noted), locally re-checked
+    "heuristic_net",  # §2.12 ⊂ heuristic_dependency (same net build)
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
     "filter_time_before_after",  # F7 ⊂ filter_time_contained

@@ -85,3 +85,19 @@ def test_pack_index_boundary_spans(spark):
         assert cs == sorted(cs) and cs == list(range(cs[0], cs[-1] + 1))
     # total token mass conserved: sum over docs (not chunk copies)
     assert sum(6 for _ in by_doc) == 24
+
+
+def test_dedup_components_chain_and_isolation(spark):
+    """A chain a-b, b-c collapses to one component labeled by the min
+    id; an unrelated pair forms its own component; non-paired docs do
+    not appear."""
+    from promi_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
