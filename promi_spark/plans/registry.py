@@ -389,20 +389,32 @@ def _exact_dedup(ctx, df, key_col: str = "doc_id", text_col: str = "text",
     )
 
 
-@register("NearDupDedup", "drop MinHash+LSH near-duplicates (keeps the "
-          "min-id side of each verified pair; banded candidates, exact "
-          "Jaccard verify — never all-pairs)", {"stream"},
+@register("NearDupDedup", "drop MinHash+LSH near-duplicates (banded "
+          "candidates, exact Jaccard verify — never all-pairs). "
+          "transitive=false drops the max-id side of each verified "
+          "pair (keeps docs whose only links are indirect); "
+          "transitive=true clusters the pair graph into connected "
+          "components and keeps one representative per component",
+          {"stream"},
           params=[Param("threshold", float, 0.7, "Jaccard threshold"),
+                  Param("transitive", bool, False),
                   Param("key_col", str, "doc_id"),
                   Param("text_col", str, "text")])
-def _near_dup_dedup(ctx, df, threshold: float = 0.7, key_col: str = "doc_id",
+def _near_dup_dedup(ctx, df, threshold: float = 0.7,
+                    transitive: bool = False, key_col: str = "doc_id",
                     text_col: str = "text", **_):
     from pyspark.sql import functions as F
 
-    from promi_spark.operators.dedup import minhash_dedup
+    from promi_spark.operators.dedup import dedup_components, minhash_dedup
 
     pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
-    drop = pairs.select(F.col("b").alias(key_col)).distinct()
+    if transitive:
+        comp = dedup_components(pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("component")).select(
+            F.col("doc_id").alias(key_col)
+        )
+    else:
+        drop = pairs.select(F.col("b").alias(key_col)).distinct()
     return df.join(drop, key_col, "left_anti")
 
 
