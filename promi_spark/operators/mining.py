@@ -151,7 +151,9 @@ def heuristic_net(
     ).select("a", "b", "n_ab", "dependency")
 
 
-def token_replay(log: EventLog, net: PetriNet, buckets: int = 256) -> DataFrame:
+def token_replay(
+    log: EventLog, net: PetriNet, buckets: int | None = None
+) -> DataFrame:
     """Token-based conformance replay (Rozinat & van der Aalst, public
     formulation): replay each trace against the net counting produced/
     consumed/missing/remaining tokens; fitness per trace =
@@ -167,12 +169,18 @@ def token_replay(log: EventLog, net: PetriNet, buckets: int = 256) -> DataFrame:
     clip-at-zero consumption is ``prefix_j - min(0, min_{i<=j} prefix_i)``
     of the unclipped ±1 delta prefix sum, so per-place missing tokens are
     ``max(0, -min_j prefix_j)`` and the whole trace replays as one
-    (2E+1, P) cumsum + column-min in numpy. Hash-bucketing cases
-    (``buckets`` groups, default 256 — size to ≥4× cluster cores) keeps
-    Arrow batches large instead of one tiny group per case.
+    (2E+1, P) cumsum + column-min in numpy. Hash-bucketing cases keeps
+    Arrow batches large instead of one tiny group per case; ``buckets``
+    defaults to 4x the cluster parallelism (load-balance headroom for
+    uneven buckets without drowning in per-group pandas overhead —
+    measured 2x faster than a fixed 256 on local[32] at sf0.1, and the
+    same rule lands ~32k buckets on a 1000-executor cluster).
     """
     import numpy as np
     import pandas as pd
+
+    if buckets is None:
+        buckets = 4 * log.df.sparkSession.sparkContext.defaultParallelism
 
     trans_idx = {t: i for i, t in enumerate(net.transitions)}
     n_t, n_p = len(net.transitions), len(net.places)
