@@ -672,12 +672,14 @@ def write_xes_distributed(log: EventLog, path: str) -> None:
     )
     fragments = traced.mapInPandas(render, schema="xml string")
 
-    standalone = df.filter(F.col("case_id").isNull()).collect()
+    # standalone (NULL-case) events stream through toLocalIterator too —
+    # a log that is mostly standalone events must not collect to driver
+    standalone = df.filter(F.col("case_id").isNull())
     with open(path, "w", encoding="utf-8") as f:
         f.write(_render_header(meta))
         for row in fragments.toLocalIterator():
             f.write(row["xml"])
-        for r in standalone:
+        for r in standalone.toLocalIterator():
             f.write(_event_xml(r, "\t"))
         f.write("</log>\n")
 
