@@ -1568,7 +1568,7 @@ def q_media_decode_stats(spark, sf_dir):
 def q_media_frame_sample(spark, sf_dir):
     from promi_spark.operators import multimodal as mm
 
-    return mm.sample_frames(mm.synth_media(spark, 60), every_n=2).select(
+    return mm.sample_frames(mm.media_fixture(spark), every_n=2).select(
         "media_id", "frame_idx"
     )
 
@@ -1577,14 +1577,14 @@ def q_media_frame_sample(spark, sf_dir):
 def q_media_audio_features(spark, sf_dir):
     from promi_spark.operators import multimodal as mm
 
-    return mm.audio_features(mm.synth_media(spark, 60))
+    return mm.audio_features(mm.media_fixture(spark))
 
 
 @q("media_embeddings", None)
 def q_media_embeddings(spark, sf_dir):
     from promi_spark.operators import multimodal as mm
 
-    return mm.content_embeddings(mm.synth_media(spark, 60), dim=16)
+    return mm.content_embeddings(mm.media_fixture(spark), dim=16)
 
 
 # Deliberate registration order: the driver checks a bounded 50-slot
