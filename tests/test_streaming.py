@@ -176,3 +176,55 @@ def test_streaming_dedup_drops_redelivered_batch(spark, stream_dir, tmp_path):
     got = spark.table("sdedup").count()
     expect = spark.read.parquet(stream_dir).dropDuplicates(["case_id", "seq"]).count()
     assert got == expect
+
+
+def test_streaming_text_pipeline_matches_batch(spark, tmp_path):
+    """The text cleaning pipeline (quality filter -> PII scrub -> exact
+    dedup) produces identical results driven as a Structured Streaming
+    foreachBatch sink or as one batch job — the contract that lets a
+    landing-zone document feed reuse the batch operators unchanged.
+    (Cross-micro-batch global dedup additionally needs the watermarked
+    streaming_dedup; availableNow on one landing batch is exact.)"""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.dedup import norm_text
+    from promi_spark.operators.text import scrubbed_text, token_count
+
+    def clean(df):
+        out = df.filter(token_count(F.col("text")) >= 5).withColumn(
+            "text", scrubbed_text("text")
+        )
+        w = Window.partitionBy(F.md5(norm_text("text"))).orderBy("doc_id")
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    expected = clean(docs)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", land / "batch0.parquet"
+    )
+    out_dir = str(tmp_path / "cleaned")
+    stream = spark.readStream.schema(docs.schema).parquet(str(land))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: clean(b).write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
