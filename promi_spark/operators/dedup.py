@@ -324,14 +324,21 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     when no label changed — O(graph diameter) rounds, and near-dup
     clusters are shallow (most are stars around one canonical doc), so
     this converges in 2-3 rounds in practice. Each round is one
-    shuffle join + one map-side-combined min aggregation; labels are
-    (id, long) only, so round state is tiny regardless of corpus size.
-    At extreme graph scale swap in large-star/small-star (Kiveris et
-    al.) — the round structure below is the small-star half.
+    shuffle join + one map-side-combined min aggregation; round state
+    is (id, label) pairs only, so it stays tiny regardless of corpus
+    size. Keys keep their input type (any orderable type works — ids
+    may be strings/UUIDs). At extreme graph scale swap in
+    large-star/small-star (Kiveris et al.) — the round structure below
+    is the small-star half.
+
+    Raises ``RuntimeError`` if the graph has not converged after
+    ``max_iter`` rounds (diameter > max_iter) instead of returning
+    silently-wrong intermediate labels. The returned relation is
+    persisted (it was materialized by the convergence check); release
+    it with ``.unpersist()`` when done, or ``spark.catalog.clearCache()``
+    between corpora — as with :func:`minhash_dedup`.
     """
-    edges = pairs.select(
-        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    )
+    edges = pairs.select("a", "b")
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -371,6 +378,11 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter); raise max_iter"
+        )
     sym.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")

@@ -180,7 +180,14 @@ def token_replay(
     import pandas as pd
 
     if buckets is None:
-        buckets = 4 * log.df.sparkSession.sparkContext.defaultParallelism
+        # max of the two parallelism signals: under dynamic allocation
+        # defaultParallelism reflects only currently-registered
+        # executors, while shuffle.partitions is sized for the cluster
+        spark = log.df.sparkSession
+        buckets = 4 * max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
 
     trans_idx = {t: i for i, t in enumerate(net.transitions)}
     n_t, n_p = len(net.transitions), len(net.places)

@@ -101,3 +101,22 @@ def test_dedup_components_chain_and_isolation(spark):
         for r in dedup_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_string_keys(spark):
+    """Keys keep their input type — string/UUID doc ids cluster the
+    same way as integer ids (ordering by the key type's own order)."""
+    from promi_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("x", "y")],
+        "a string, b string",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "x": "x", "y": "x",
+    }
