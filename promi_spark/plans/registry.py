@@ -358,6 +358,25 @@ def _quality_filter(ctx, df, min_tokens: int = 0, max_punct_ratio: float = 1.0,
     return df.filter(cond)
 
 
+@register("CorpusStats", "pass-through corpus profile artifact: doc "
+          "count, token totals, mean quality signals (one aggregation "
+          "job — the documents analog of Statistics)", {"stream"},
+          params=[Param("text_col", str, "text")])
+def _corpus_stats(ctx, df, text_col: str = "text", **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.text import punct_ratio, token_count
+
+    t = F.col(text_col)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).alias("n_tokens"),
+        F.round(F.avg(F.length(t)), 2).alias("mean_chars"),
+        F.round(F.avg(punct_ratio(t)), 4).alias("mean_punct_ratio"),
+    ).first()
+    return df, row.asDict()
+
+
 @register("PiiScrub", "replace emails/IPv4s/phone numbers with typed "
           "placeholders in-place (narrow codegen regexp pass)",
           {"stream"},

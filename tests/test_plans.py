@@ -389,6 +389,8 @@ pipes:
     streams:
       - name: QualityFilter
         attributes: {{min_tokens: 5, max_punct_ratio: 0.9}}
+      - name: CorpusStats
+        artifact_sender: [corpus_profile]
       - name: PiiScrub
       - name: ExactDedup
       - name: NearDupDedup
@@ -400,11 +402,14 @@ pipes:
       name: ShardExport
       attributes: {{path: {out}, n_shards: 4}}
 """)
-    execute(spark, flow)
+    res = execute(spark, flow)
 
     from promi_spark.io import load_table
     src = load_table(spark, "documents", "/root/testdata/sf0.001")
     cleaned = spark.read.parquet(out)
+
+    prof = res.artifacts["corpus_profile"]
+    assert prof["n_docs"] > 0 and prof["n_tokens"] > prof["n_docs"]
 
     # shard export: partitioned by shard, every shard id < n_shards
     shards = {r["shard"] for r in cleaned.select("shard").distinct().collect()}
