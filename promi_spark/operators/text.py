@@ -333,15 +333,22 @@ def length_quantiles(
     group_col: str = "lang",
     value_col: str = "n_chars",
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group length-distribution profile — the statistic behind
     every corpus length filter (thresholds are picked off these
-    quantiles). Exact interpolated percentiles (``percentile``, the
-    quantile_cont semantics) so the result is engine-portable; at
-    100 TB swap ``percentile_approx`` in for a single-pass sketch when
-    exactness stops mattering."""
+    quantiles). Default is exact interpolated percentiles
+    (``percentile``, the quantile_cont semantics) so the result is
+    engine-portable for the oracle; ``approx=True`` swaps in
+    ``percentile_approx`` (KLL-style single-pass sketch, bounded
+    per-group state ~``accuracy`` values) — the 100 TB path, where an
+    exact percentile would buffer every group value through the
+    aggregation."""
+    fn = "percentile_approx" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
     aggs = [F.count(F.lit(1)).alias("n_docs")] + [
-        F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(
+        F.round(F.expr(f"{fn}({value_col}, {q}{extra})"), 4).alias(
             f"p{int(q * 100)}"
         )
         for q in quantiles
