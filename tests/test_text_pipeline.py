@@ -120,3 +120,31 @@ def test_dedup_components_string_keys(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "x": "x", "y": "x",
     }
+
+
+def test_length_quantiles_approx_matches_exact_at_small_scale(spark):
+    """percentile_approx at high accuracy equals the exact percentile
+    on a corpus far smaller than the sketch budget — the approx path is
+    a drop-in (same schema, same values here; divergence only appears
+    when group sizes exceed the sketch accuracy)."""
+    from promi_spark.io import load_table
+    from promi_spark.operators.text import length_quantiles
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    exact = {
+        r["lang"]: (r["n_docs"], r["p50"], r["p95"])
+        for r in length_quantiles(docs).collect()
+    }
+    approx = {
+        r["lang"]: (r["n_docs"], r["p50"], r["p95"])
+        for r in length_quantiles(docs, approx=True, accuracy=100000).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, (n, p50, p95) in exact.items():
+        an, a50, a95 = approx[lang]
+        assert an == n
+        # percentile_approx returns an observed value; exact
+        # interpolates between them, so allow one observed-gap of slack
+        # (~100 docs/group here -> neighbor gaps can reach a few %)
+        assert abs(a50 - p50) <= max(5.0, 0.1 * p50)
+        assert abs(a95 - p95) <= max(5.0, 0.1 * p95)
