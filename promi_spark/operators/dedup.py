@@ -293,14 +293,17 @@ def minhash_dedup(
     the CacheManager, so repeated calls on the same corpus do not
     accumulate). Callers running MANY distinct corpora through one
     session should pass ``cache=False`` (recompute instead of pin) or
-    ``spark.catalog.clearCache()`` between corpora.
+    ``spark.catalog.clearCache()`` between corpora; the returned
+    DataFrame also carries the persisted relation as ``.gram_cache``
+    (``None`` when ``cache=False``) so a pipeline stage can
+    ``out.gram_cache.unpersist()`` the moment its action completes.
     """
     rows = gram_hash_rows(df, key_col, text_col, shingle_n)
     if cache:
         rows = rows.persist()
     cands = _banded_pairs(_sigs_from_rows(rows, num_hashes), num_hashes, bands)
     sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
-    return (
+    out = (
         cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
         .select(
@@ -310,6 +313,11 @@ def minhash_dedup(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    # explicit release handle: the persisted gram relation, for callers
+    # (e.g. the NearDupDedup flow segment) that want to unpersist as
+    # soon as their action completes instead of waiting for session end
+    out.gram_cache = rows if cache else None
+    return out
 
 
 def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -333,10 +341,12 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
 
     Raises ``RuntimeError`` if the graph has not converged after
     ``max_iter`` rounds (diameter > max_iter) instead of returning
-    silently-wrong intermediate labels. The returned relation is
-    persisted (it was materialized by the convergence check); release
-    it with ``.unpersist()`` when done, or ``spark.catalog.clearCache()``
-    between corpora — as with :func:`minhash_dedup`.
+    silently-wrong intermediate labels. The underlying label relation is
+    persisted (it was materialized by the convergence check) and exposed
+    as ``.labels_cache`` on the returned DataFrame; release it with
+    ``out.labels_cache.unpersist()`` when done, or
+    ``spark.catalog.clearCache()`` between corpora — as with
+    :func:`minhash_dedup`.
     """
     edges = pairs.select("a", "b")
     sym = edges.unionByName(
@@ -348,45 +358,54 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.withColumnsRenamed({"id": "b", "comp": "nbr_comp"}),
-                "b",
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(
+                    labels.withColumnsRenamed({"id": "b", "comp": "nbr_comp"}),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbr_comp").alias("nbr_min"))
+                .withColumnRenamed("a", "id")
             )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_min"))
-            .withColumnRenamed("a", "id")
-        )
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
-                ).alias("comp"),
+            new_labels = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_components did not converge in {max_iter} rounds "
-            "(pair-graph diameter exceeds max_iter); raise max_iter"
-        )
-    sym.unpersist()
-    return labels.select(
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # release the round state before raising — a failed run must
+            # not leave two cached relations pinned in the session
+            labels.unpersist()
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iter} rounds "
+                "(pair-graph diameter exceeds max_iter); raise max_iter"
+            )
+    finally:
+        sym.unpersist()
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
+    # explicit release handle (the projection above is NOT itself the
+    # cached relation, so .unpersist() on the return value would no-op)
+    out.labels_cache = labels
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -643,7 +662,6 @@ def simhash_candidates(
     bits_df = simhash_bits_df(df, key_col, text_col, hash_mode=hash_mode)
     banded = bits_df.select(
         "k",
-        "bits",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -655,21 +673,35 @@ def simhash_candidates(
             )
         ).alias("band", "chunk_hash"),
     )
+    # Bare (k, band, chunk_hash) candidate rows — the 64-element bits
+    # array stays out of the exploded shuffle — deduplicated BEFORE the
+    # verify join, so a pair colliding in k bands folds the hamming
+    # distance once, not k times (the _banded_pairs shape).
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
             & (F.col("a.k") < F.col("b.k")),
         )
-        .select(
-            F.col("a.k").alias("a"),
-            F.col("b.k").alias("b"),
-            hamming(F.col("a.bits"), F.col("b.bits")).alias("hamming"),
+        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .distinct()
+    )
+    pairs = (
+        cands.join(
+            bits_df.select(F.col("k").alias("a"), F.col("bits").alias("bits_a")),
+            "a",
         )
-        .groupBy("a", "b")
-        .agg(F.min("hamming").alias("hamming"))
+        .join(
+            bits_df.select(F.col("k").alias("b"), F.col("bits").alias("bits_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            hamming(F.col("bits_a"), F.col("bits_b")).alias("hamming"),
+        )
     )
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)

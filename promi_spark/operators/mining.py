@@ -180,14 +180,9 @@ def token_replay(
     import pandas as pd
 
     if buckets is None:
-        # max of the two parallelism signals: under dynamic allocation
-        # defaultParallelism reflects only currently-registered
-        # executors, while shuffle.partitions is sized for the cluster
-        spark = log.df.sparkSession
-        buckets = 4 * max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        )
+        from promi_spark.operators.scale import parallelism_units
+
+        buckets = parallelism_units(log.df.sparkSession)
 
     trans_idx = {t: i for i, t in enumerate(net.transitions)}
     n_t, n_p = len(net.transitions), len(net.places)

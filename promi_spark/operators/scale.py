@@ -105,6 +105,26 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def parallelism_units(spark: SparkSession, factor: int = 4) -> int:
+    """Cluster-parallelism-derived task-count default: ``factor`` x the
+    max of ``defaultParallelism`` and ``spark.sql.shuffle.partitions``.
+
+    Max of the two signals because under dynamic allocation
+    defaultParallelism reflects only currently-registered executors,
+    while shuffle.partitions is sized for the cluster. The conf value
+    can be non-numeric on some platforms (e.g. ``"auto"`` under
+    Databricks AQE auto-optimized shuffle) — fall back to
+    defaultParallelism alone in that case rather than raising.
+    ``factor`` > 1 over-partitions so stragglers from uneven units
+    rebalance across task slots.
+    """
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        conf_parts = 0
+    return factor * max(spark.sparkContext.defaultParallelism, conf_parts, 1)
+
+
 def shard_id(key: Column | str, n_shards: int, seed: int = 0) -> Column:
     """Deterministic, engine-portable shard assignment: the first 8 hex
     digits of ``md5(key ':' seed)`` read as an integer, mod

@@ -215,8 +215,6 @@ def lsh_near_dups(
     ]
     banded = base.withColumn("bits", F.array(*sign_bits)).select(
         "k",
-        "v",
-        "nrm",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -228,23 +226,44 @@ def lsh_near_dups(
             )
         ).alias("band", "bucket"),
     )
+    # Candidate generation carries bare (k, band, bucket) rows — the
+    # vector payload stays out of the bands-way exploded shuffle — and
+    # pairs are deduplicated BEFORE the verify join, so a pair colliding
+    # in k bands pays the cosine dot product once, not k times (the
+    # _banded_pairs shape from the MinHash path).
     a, b = banded.alias("a"), banded.alias("b")
-    sim = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-    )
-    return (
+    cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.k") < F.col("b.k")),
         )
-        .select(
-            F.col("a.k").alias("a"), F.col("b.k").alias("b"), sim.alias("cosine_sim")
+        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .distinct()
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cands.join(
+            base.select(
+                F.col("k").alias("a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "a",
         )
+        .join(
+            base.select(
+                F.col("k").alias("b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "b",
+        )
+        .select("a", "b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
-        .groupBy("a", "b")
-        .agg(F.first("cosine_sim").alias("cosine_sim"))
     )
 
 

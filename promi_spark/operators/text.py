@@ -403,7 +403,7 @@ def scrubbed_text(col: Column | str) -> Column:
 def pack_index(
     df: DataFrame,
     budget: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     key_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
@@ -417,13 +417,27 @@ def pack_index(
 
     Scale shape: the token cumsum is a window over ``shard`` (one
     exchange, parallel across shards — never a global single-partition
-    window); chunk ids explode from a tiny per-doc sequence. Shard
+    window). ``n_shards`` bounds the window parallelism AND the sort
+    size per task (a shard's whole token stream is sorted in one task),
+    so the default derives from cluster parallelism
+    (:func:`~promi_spark.operators.scale.parallelism_units`: 4x max of
+    defaultParallelism and shuffle.partitions — ~128 on local[32],
+    ~32k on a 1000-executor cluster, keeping per-shard data at
+    corpus/32k ≈ 3 GB for 100 TB). Pass an explicit ``n_shards`` when
+    the shard count is itself the contract (e.g. a fixed file layout a
+    loader addresses — the oracle pins 8 for engine-portable results);
+    note the packing CONTENT depends on it, since shard membership
+    changes. Chunk ids explode from a tiny per-doc sequence. Shard
     assignment reuses the engine-portable md5 hash, so the whole index
-    is reproducible anywhere, including the DuckDB oracle.
+    is reproducible anywhere, including the DuckDB oracle, for a given
+    ``n_shards``.
     """
     from pyspark.sql import Window
 
-    from promi_spark.operators.scale import shard_id
+    from promi_spark.operators.scale import parallelism_units, shard_id
+
+    if n_shards is None:
+        n_shards = parallelism_units(df.sparkSession)
 
     w = (
         Window.partitionBy("shard")

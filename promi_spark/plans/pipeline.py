@@ -220,10 +220,17 @@ def execute(spark, flow: Flow | str | dict, base_dir: str = ".") -> FlowResult:
     else:
         validate_flow(flow)  # dict/dataclass-built flows validate too
     ctx = FlowContext(spark=spark, base_dir=base_dir)
-    for pipe in _toposort(flow):
-        log = _run_segment(ctx, pipe.source, None, "source")
-        for seg in pipe.streams:
-            log = _run_segment(ctx, seg, log, "stream")
-        if pipe.sink is not None:
-            _run_segment(ctx, pipe.sink, log, "sink")
+    try:
+        for pipe in _toposort(flow):
+            log = _run_segment(ctx, pipe.source, None, "source")
+            for seg in pipe.streams:
+                log = _run_segment(ctx, seg, log, "stream")
+            if pipe.sink is not None:
+                _run_segment(ctx, pipe.sink, log, "sink")
+    finally:
+        # release segment-persisted relations (ctx.defer) even on a
+        # failed flow — a long-lived session must not accumulate
+        # executor storage across flows
+        for fn in ctx.cleanups:
+            fn()
     return FlowResult(artifacts=ctx.artifacts, streams=ctx.streams)

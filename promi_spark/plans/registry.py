@@ -32,11 +32,20 @@ class FlowContext:
     base_dir: str = "."
     streams: dict[str, EventLog] = field(default_factory=dict)
     artifacts: dict[str, Any] = field(default_factory=dict)
+    cleanups: list[Callable[[], Any]] = field(default_factory=list)
 
     def path(self, p: str) -> str:
         import os
 
         return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
+
+    def defer(self, fn: Callable[[], Any]) -> None:
+        """Register a cleanup to run after every sink has executed —
+        the hook segments use to release relations they persisted for
+        the flow's duration (e.g. NearDupDedup's gram-row cache), so a
+        long-lived session does not accumulate executor storage across
+        flows. Cleanups run in registration order; failures propagate."""
+        self.cleanups.append(fn)
 
 
 class FlowConfigError(ValueError):
@@ -347,8 +356,18 @@ def _quality_filter(ctx, df, min_tokens: int = 0, max_punct_ratio: float = 1.0,
     cond &= punct_ratio(t) <= max_punct_ratio
     if min_stopword_ratio > 0:
         # count stopwords of the TARGET language when one is selected
-        # (an English list would silently drop a non-English corpus)
-        words = STOPWORDS.get(lang or "en", STOPWORDS["en"])
+        # (an English list would silently drop a non-English corpus) —
+        # and REFUSE an unsupported language rather than silently
+        # falling back to the English list, which is the same
+        # drop-the-corpus failure in disguise
+        if (lang or "en") not in STOPWORDS:
+            raise FlowConfigError(
+                f"QualityFilter: min_stopword_ratio={min_stopword_ratio} "
+                f"with lang={lang!r}, but no stopword list exists for "
+                f"{lang!r} (supported: {sorted(STOPWORDS)}); add a list "
+                "to operators.text.STOPWORDS or drop the stopword bound"
+            )
+        words = STOPWORDS[lang or "en"]
         sw = stopword_hits(t, words).cast("double")
         cond &= F.when(n_tok == 0, F.lit(0.0)).otherwise(
             sw / n_tok
@@ -427,8 +446,14 @@ def _near_dup_dedup(ctx, df, threshold: float = 0.7,
     from promi_spark.operators.dedup import dedup_components, minhash_dedup
 
     pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
+    # release the gram-row cache (and the component labels, when
+    # clustering) once the flow's sinks have run — segment-persisted
+    # relations must not outlive the flow in a long-lived session
+    if pairs.gram_cache is not None:
+        ctx.defer(pairs.gram_cache.unpersist)
     if transitive:
         comp = dedup_components(pairs)
+        ctx.defer(comp.labels_cache.unpersist)
         drop = comp.filter(F.col("doc_id") != F.col("component")).select(
             F.col("doc_id").alias(key_col)
         )

@@ -113,6 +113,29 @@ def test_minhash_dedup_single_gram_subtree(spark, sf):
         out.sparkSession.catalog.clearCache()
 
 
+def test_lsh_verify_after_pair_distinct(spark, sf):
+    """LSH near-dup verify paths deduplicate candidate pairs BEFORE the
+    similarity evaluation: the plan carries a distinct aggregate
+    (Functions: []) on bare (a, b) keys, and the old verify-then-dedup
+    shape's aggregate over the computed similarity (first/min) is gone —
+    a pair colliding in k bands pays the cosine/hamming verify once."""
+    from promi_spark.operators.dedup import simhash_candidates
+    from promi_spark.operators.similarity import lsh_near_dups
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = explain(lsh_near_dups(emb, threshold=0.3, bits=9, bands=3))
+    distinct_aggs = re.findall(
+        r"Keys \[2\]: \[a#\d+L?, b#\d+L?\]\nFunctions: \[\]", plan
+    )
+    assert len(distinct_aggs) == 2, distinct_aggs  # partial + final
+    assert "first(" not in plan  # old shape: first(cosine_sim) agg
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = explain(simhash_candidates(docs, bands=4, max_hamming=10))
+    assert re.search(r"Functions: \[\]", plan)
+    assert "min(hamming" not in plan  # old shape: min over k copies
+
+
 def test_trace_filter_single_window_shuffle(spark, sf):
     from promi_spark.queries import QUERIES
 

@@ -437,3 +437,49 @@ pipes:
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_neardup_flow_releases_caches(spark, tmp_path):
+    """NearDupDedup persists the gram-row relation (and, with
+    transitive=true, the component labels) for the flow's duration only:
+    after execute() returns, no cached relation remains in the session."""
+    from promi_spark.plans import execute
+
+    spark.catalog.clearCache()
+    out = str(tmp_path / "deduped")
+    flow = {
+        "pipes": [{
+            "name": "Clean",
+            "source": {"name": "DocumentsTable",
+                       "attributes": {"sf_dir": "/root/testdata/sf0.001"}},
+            "streams": [{"name": "NearDupDedup",
+                         "attributes": {"threshold": 0.7,
+                                        "transitive": True}}],
+            "sink": {"name": "ShardExport",
+                     "attributes": {"path": out, "n_shards": 2}},
+        }]
+    }
+    execute(spark, flow)
+    assert spark.read.parquet(out).count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_quality_filter_rejects_unsupported_stopword_lang(spark):
+    """min_stopword_ratio > 0 with a language that has no STOPWORDS
+    list is a FlowConfigError — not a silent fallback to the English
+    list (which would quietly drop a non-English corpus)."""
+    from promi_spark.plans import execute
+    from promi_spark.plans.registry import FlowConfigError
+
+    flow = {
+        "pipes": [{
+            "name": "P",
+            "source": {"name": "DocumentsTable",
+                       "attributes": {"sf_dir": "/root/testdata/sf0.001"}},
+            "streams": [{"name": "QualityFilter",
+                         "attributes": {"min_stopword_ratio": 0.1,
+                                        "lang": "xx"}}],
+        }]
+    }
+    with pytest.raises(FlowConfigError, match=r"no stopword list.*'xx'"):
+        execute(spark, flow)

@@ -87,6 +87,41 @@ def test_pack_index_boundary_spans(spark):
     assert sum(6 for _ in by_doc) == 24
 
 
+def test_pack_index_default_shards_scale_with_parallelism(spark, monkeypatch):
+    """The n_shards default derives from cluster parallelism (4x max of
+    defaultParallelism and shuffle.partitions), so the cumsum window
+    never funnels the corpus into a fixed handful of partitions at
+    scale; and the conf guard tolerates non-numeric shuffle.partitions
+    values (e.g. 'auto' on AQE-auto platforms)."""
+    from promi_spark.operators.scale import parallelism_units
+    from promi_spark.operators.text import pack_index
+
+    units = parallelism_units(spark)
+    assert units == 4 * max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    assert units >= 4 * spark.sparkContext.defaultParallelism
+
+    # non-numeric conf value (local Spark rejects setting it, so stub
+    # the getter the way a Databricks AQE-auto session would answer)
+    # falls back to defaultParallelism instead of raising ValueError
+    monkeypatch.setattr(
+        spark.conf, "get", lambda key, default=None: "auto"
+    )
+    assert (
+        parallelism_units(spark)
+        == 4 * spark.sparkContext.defaultParallelism
+    )
+    monkeypatch.undo()
+
+    # the derived default actually lands in the plan: distinct shard
+    # count is bounded by units, and the index is well-formed
+    docs = _docs(spark, ["a b c"] * 20)
+    out = pack_index(docs, budget=5)
+    assert out.select("shard").distinct().count() <= units
+
+
 def test_dedup_components_chain_and_isolation(spark):
     """A chain a-b, b-c collapses to one component labeled by the min
     id; an unrelated pair forms its own component; non-paired docs do
@@ -101,6 +136,24 @@ def test_dedup_components_chain_and_isolation(spark):
         for r in dedup_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_nonconvergence_releases_cache(spark):
+    """The non-convergence RuntimeError path unpersists both round-state
+    relations — a failed run must not leave cached relations pinned in
+    the session."""
+    import pytest
+
+    from promi_spark.operators.dedup import dedup_components
+
+    spark.catalog.clearCache()
+    # a 6-node chain needs ~5 label-propagation rounds; max_iter=2 fails
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_iter=2)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_dedup_components_string_keys(spark):
