@@ -48,6 +48,76 @@ HEADLINE = [
 ]
 
 
+def bench_neardup_pipeline(spark) -> dict:
+    """The production dedup path as ONE headline: minhash_dedup (banded
+    candidates + exact-Jaccard verify) -> dedup_components (transitive
+    clustering) -> keep-representative anti-join — the NearDupDedup
+    transitive=true segment, end to end. Reports wall time plus the
+    plan-note counters (verified pairs, components, convergence rounds,
+    surviving docs)."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.dedup import dedup_components, minhash_dedup
+
+    docs = load_table(spark, "documents", SF_DIR)
+    t0 = time.time()
+    pairs = minhash_dedup(docs, threshold=0.7)
+    comp = dedup_components(pairs)
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    kept = docs.join(drop, "doc_id", "left_anti").count()
+    sec = round(time.time() - t0, 3)
+    stats = {
+        "sec": sec,
+        "verified_pairs": pairs.count(),
+        "components": comp.select("component").distinct().count(),
+        "rounds_to_convergence": comp.n_rounds,
+        "kept_docs": kept,
+    }
+    pairs.gram_cache.unpersist()
+    comp.labels_cache.unpersist()
+    return stats
+
+
+def bench_streaming(spark) -> dict:
+    """Streaming throughput evidence: replay the sf events table through
+    a file source (16 files, 4 per micro-batch) and drain sessionize +
+    stateful_dfg with availableNow triggers; rows/sec = input rows over
+    drain wall time. This measures the micro-batch engine + state store
+    path, not a socket's arrival rate."""
+    import shutil
+    import tempfile
+
+    from promi_spark.io import load_event_log
+    from promi_spark.streaming import (
+        read_event_stream,
+        run_to_memory,
+        sessionize,
+        stateful_dfg,
+    )
+
+    replay = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        log = load_event_log(spark, SF_DIR)
+        log.df.repartition(16).write.mode("overwrite").parquet(replay)
+        n_rows = spark.read.parquet(replay).count()
+        out = {"input_rows": n_rows}
+        for name, build in (
+            ("sessionize", lambda ev: sessionize(ev, key_col="resource")),
+            ("stateful_dfg", stateful_dfg),
+        ):
+            ev = read_event_stream(spark, replay, max_files_per_trigger=4)
+            t0 = time.time()
+            q = run_to_memory(build(ev), f"bench_{name}")
+            sec = time.time() - t0
+            q.stop()
+            out[f"{name}_sec"] = round(sec, 3)
+            out[f"{name}_rows_per_sec"] = round(n_rows / sec)
+        return out
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
 def main() -> int:
     from promi_spark.queries import QUERIES
     from promi_spark.session import get_spark
@@ -84,6 +154,11 @@ def main() -> int:
     timings = run_pass()
     warm = run_pass()
 
+    # extra headline sections (separate keys so the 23-query totals stay
+    # comparable round-over-round)
+    neardup = bench_neardup_pipeline(spark)
+    streaming = bench_streaming(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +169,8 @@ def main() -> int:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "neardup_pipeline": neardup,
+                "streaming": streaming,
                 "sf": sf,
             }
         )

@@ -358,8 +358,10 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .persist()
     )
+    n_rounds = 0
     try:
         for _ in range(max_iter):
+            n_rounds += 1
             nbr = (
                 sym.join(
                     labels.withColumnsRenamed({"id": "b", "comp": "nbr_comp"}),
@@ -405,6 +407,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # explicit release handle (the projection above is NOT itself the
     # cached relation, so .unpersist() on the return value would no-op)
     out.labels_cache = labels
+    out.n_rounds = n_rounds  # label-propagation rounds to convergence
     return out
 
 

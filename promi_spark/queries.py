@@ -1593,9 +1593,10 @@ def q_media_embeddings(spark, sf_dir):
 # gets a driver-recorded verdict. Redundant family siblings (still
 # oracled, re-checked by tools/check_oracle.py locally) follow, and the
 # genuinely oracle-less iterative / media ops sit last. Rotated in
-# round 4 so pack_index / pii_scrub / doc_length_quantiles /
-# activity_dow_cube / shard_assignment / arrow_roundtrip and the new
-# strict-filter witness are in-window (round-3 verdict task #1).
+# round 5 so the six never-driver-witnessed queries (heuristic_net,
+# knn_cosine, ann_lsh_topk, mllib_minhash_near_dups, simhash_near_dups,
+# bpe_token_counts) get driver rows; the six rotated out all have
+# driver-green rows from rounds 1-4 AND an in-window family witness.
 _ORDER = [
     # A1-A4 statistics + grouping sets
     "stats_counts",
@@ -1604,19 +1605,16 @@ _ORDER = [
     "classifier_counts",
     "activity_stats",
     "activity_dow_cube",
-    # F1-F7 filters (one witness per family: eq + strict(F1) + org eq/
-    # match + time containment + trace scope + CNF)
+    # F1-F7 filters (one witness per family: eq + strict(F1) + org eq +
+    # time containment + trace scope + CNF)
     "filter_concept_eq",
     "filter_concept_eq_strict",
     "filter_org_eq",
-    "filter_org_match",
     "filter_time_contained",
-    "trace_starts_ends_in",
     "filter_trace_scope",
     "cnf_filter",
-    # O4/O5 ordering + set ops
+    # O4 ordering
     "top_traces_by_events",
-    "except_set_op",
     # S1/S2 XES round-trip, S8 Arrow-IPC binary frames
     "xes_roundtrip",
     "arrow_roundtrip",
@@ -1624,10 +1622,10 @@ _ORDER = [
     "event_gaps",
     "chronology_violations_injected",
     "validation_globals",
-    # A5/A6, §2.12 mining
+    # A5/A6, §2.12 mining (heuristic_net in-window for the first time)
     "dfg_endpoints",
-    "footprint",
     "heuristic_dependency",
+    "heuristic_net",
     "trace_variants",
     # P1/P2 split & sample
     "split_train",
@@ -1635,10 +1633,10 @@ _ORDER = [
     # J4 joins
     "tpch_q1",
     "revenue_by_nation",
-    # dedup & text (§2.9 + LLM-pipeline ops)
+    # dedup & text (§2.9 + LLM-pipeline ops; bpe_token_counts in-window
+    # for the first time)
     "dedup_exact_docs",
-    "doc_fingerprint",
-    "token_counts_docs",
+    "bpe_token_counts",
     "text_quality",
     "lang_id_docs",
     "repetition_stats",
@@ -1648,35 +1646,43 @@ _ORDER = [
     "pack_index",
     "doc_length_quantiles",
     "shard_assignment",
-    # embeddings / similarity
+    # embeddings / similarity (knn_cosine + ann_lsh_topk in-window for
+    # the first time)
     "embedding_norms",
     "knn_join_topk",
+    "knn_cosine",
     "cosine_near_dups_exact",
     "lsh_near_dups",
+    "ann_lsh_topk",
     "ivf_topk",
-    # hash-based dedup in oracle mode (+ the component clustering step)
+    # hash-based dedup in oracle mode (+ the component clustering step;
+    # mllib_minhash_near_dups + simhash_near_dups in-window for the
+    # first time)
     "minhash_near_dups",
+    "mllib_minhash_near_dups",
     "dedup_components",
     "simhash_signatures",
+    "simhash_near_dups",
     "winnow_fingerprints",
     # ---- out of the 50-slot window from here: oracled redundant
-    # family siblings (in-window coverage noted), locally re-checked
-    "heuristic_net",  # §2.12 ⊂ heuristic_dependency (same net build)
+    # family siblings (in-window coverage noted), locally re-checked;
+    # every entry here has a driver-green row from an earlier round
+    "filter_org_match",  # F6 ⊂ filter_org_eq (driver-green r1-r4)
+    "trace_starts_ends_in",  # F7 ⊂ filter_time_contained (r1-r4)
+    "except_set_op",  # O5 (driver-green r1-r4)
+    "footprint",  # A6 ⊂ dfg_endpoints (driver-green r1-r4)
+    "token_counts_docs",  # §2.9 ⊂ bpe_token_counts (driver-green r1-r4)
+    "doc_fingerprint",  # §2.9 ⊂ winnow_fingerprints (driver-green r1-r4)
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
     "filter_time_before_after",  # F7 ⊂ filter_time_contained
     "filter_time_eq_tol",  # F7 tolerance sibling
     "trace_time_contained",  # F7 trace-scope sibling
     "intersect_set_op",  # O5 ⊂ except_set_op
-    "ann_lsh_topk",  # similarity ⊂ lsh_near_dups/ivf_topk
-    "mllib_minhash_near_dups",  # dedup ⊂ minhash_near_dups
-    "knn_cosine",
-    "simhash_near_dups",
     "dfg",
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",
-    "bpe_token_counts",
     "chronology_violations",
     # genuinely oracle-less (iterative / mapInPandas media)
     "alpha_places",

@@ -5,19 +5,33 @@ value hash (floats normalized via repr of rounded values, timestamps
 via isoformat).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --all-oracled [--json OUT]
+
+``--all-oracled`` sweeps every query that HAS an oracle (skipping the
+rows-only iterative/media entries) and, with ``--json``, records the
+per-query verdicts as an artifact — the cross-scale evidence file
+(e.g. ``CROSSSCALE_r5.json`` at sf0.1).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+ALL_ORACLED = "--all-oracled" in _args
+JSON_OUT = None
+if "--json" in _args:
+    JSON_OUT = _args[_args.index("--json") + 1]
+    del _args[_args.index("--json"): _args.index("--json") + 2]
+_args = [a for a in _args if a != "--all-oracled"]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def norm_cell(v) -> str:
@@ -66,8 +80,11 @@ def main() -> int:
         )
 
     failures = []
+    results: dict[str, dict] = {}
     for name, (fn, sql) in QUERIES.items():
         if ONLY and name not in ONLY:
+            continue
+        if ALL_ORACLED and sql is None:
             continue
         t0 = time.time()
         try:
@@ -77,6 +94,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"spark: {e}"}
             continue
         if sql is None:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
@@ -88,6 +106,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"duckdb: {e}"}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -96,6 +115,12 @@ def main() -> int:
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         elif table_hash(scols, srows) != table_hash(dcols, drows):
             problems.append("value-hash mismatch")
+        results[name] = {
+            "ok": not problems,
+            "rows": len(srows),
+            "sec": round(time.time() - t0, 2),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
@@ -111,6 +136,21 @@ def main() -> int:
         else:
             print(f"OK   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if JSON_OUT:
+        ok = sum(1 for r in results.values() if r["ok"])
+        with open(JSON_OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "oracled_checked": len(results),
+                    "ok": ok,
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {JSON_OUT}: {ok}/{len(results)} ok")
     return 1 if failures else 0
 
 
