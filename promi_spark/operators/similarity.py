@@ -419,6 +419,71 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    init: str = "rng_sample",
+    n_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    coarse k-means partition of the embedding space, exact cosine
+    verify WITHIN clusters only. Returns (a, b, cosine_sim) with a < b.
+
+    The scale path between exact all-pairs (quadratic) and sign-bit LSH
+    (recall decays with band geometry): a semantic duplicate pair is
+    near-identical in embedding space, so both members land in the same
+    Voronoi cell of any reasonable coarse quantizer — within-cluster
+    verify keeps ~full recall while the join is bounded by the largest
+    cluster, not the corpus. Each vector belongs to exactly ONE
+    cluster, so pairs are unique by construction — no distinct step,
+    and the verify runs once per pair.
+
+    Size ``n_clusters`` ~ N / target_cluster_size (e.g. 10^9 vectors /
+    10^4 per cluster = 10^5 clusters): the self-join shuffles on
+    ``cluster`` and AQE splits skewed cells. Pass ``centroids`` from
+    :func:`ivf_centroids_mllib` for the distributed 100 TB index build;
+    the default trains inline from a sample. ``init='lowest_ids'`` with
+    ``n_iter=0`` gives the SQL-replayable seeded quantizer the oracle
+    uses (reference near-dup semantics: ``dedup.rs`` pair contracts —
+    the embedding-space analog of MinHash pair generation).
+    """
+    cent = centroids or ivf_centroids(
+        df, n_clusters, n_iter=n_iter, seed=seed,
+        vec_col=vec_col, init=init, id_col=id_col,
+    )
+    assigned = (
+        ivf_assign(df, cent, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("k"),
+            _as_double(F.col(vec_col)).alias("v"),
+            "cluster",
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: list[list[float]],

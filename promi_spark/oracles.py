@@ -137,6 +137,40 @@ def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
     """
 
 
+def semantic_dedup_sql(n_clusters: int, threshold: float) -> str:
+    """Replay of similarity.semantic_dedup with init='lowest_ids',
+    n_iter=0: seeds are the ``n_clusters`` lowest-id vectors; assignment
+    is argmax(2 v.c - c.c) with first-max (lowest seed index) tie-break;
+    exact cosine within clusters only."""
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c
+      FROM e ORDER BY k LIMIT {n_clusters}
+    ),
+    scored AS (
+      SELECT e.k, e.v, cent.c_idx,
+             row_number() OVER (
+               PARTITION BY e.k
+               ORDER BY 2 * list_inner_product(e.v, cent.c)
+                        - list_inner_product(cent.c, cent.c) DESC,
+                        cent.c_idx
+             ) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    assigned AS (SELECT k, v, c_idx AS cluster FROM scored WHERE rn = 1)
+    SELECT a.k AS a, b.k AS b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.k < b.k
+    WHERE round(list_inner_product(a.v, b.v)
+                / (sqrt(list_inner_product(a.v, a.v))
+                   * sqrt(list_inner_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
 def _jaccard_pairs_ctes(threshold: float, n: int = 3) -> str:
     """The shared CTE chain ending in ``jpairs(a, b, jaccard_sim)`` —
     exact word-n-gram Jaccard pairs >= threshold over ``documents``.

@@ -1258,6 +1258,23 @@ def q_lsh_near_dups(spark, sf_dir):
     )
 
 
+@q("semantic_dedup", oracles.semantic_dedup_sql(n_clusters=8, threshold=0.35))
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-bucketed embedding dedup in its
+    oracle-checkable configuration: seeded-Voronoi coarse quantizer
+    (seeds = 8 lowest-id vectors, no Lloyd iterations) so DuckDB
+    replays the same assignment; within-cluster exact cosine verify.
+    The operator's production default trains k-means (or takes
+    ivf_centroids_mllib centroids) — same plan shape either way."""
+    return similarity.semantic_dedup(
+        load_table(spark, "embeddings", sf_dir),
+        threshold=0.35,
+        n_clusters=8,
+        init="lowest_ids",
+        n_iter=0,
+    )
+
+
 @q("ivf_topk", oracles.ivf_topk_sql(n_clusters=8, nprobe=3, k=10))
 def q_ivf_topk(spark, sf_dir):
     """IVF in its oracle-checkable configuration: seeded-Voronoi coarse
@@ -1673,6 +1690,7 @@ _ORDER = [
     "footprint",  # A6 ⊂ dfg_endpoints (driver-green r1-r4)
     "token_counts_docs",  # §2.9 ⊂ bpe_token_counts (driver-green r1-r4)
     "doc_fingerprint",  # §2.9 ⊂ winnow_fingerprints (driver-green r1-r4)
+    "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
     "filter_time_before_after",  # F7 ⊂ filter_time_contained

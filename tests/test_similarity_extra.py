@@ -57,6 +57,38 @@ def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
     assert len(approx) / len(exact) > 0.3
 
 
+def test_semantic_dedup_subset_of_exact_with_high_recall(spark, sf_dir):
+    """Cluster-bucketed pairs are exact-cosine-verified, so every
+    reported pair appears in the all-pairs result with the same
+    similarity; and since semantic duplicates co-locate in Voronoi
+    cells, recall at a high threshold beats the sign-bit LSH floor."""
+    from promi_spark.operators.similarity import (
+        cosine_near_dups,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in cosine_near_dups(emb, threshold=0.3).collect()
+    }
+    clustered = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in semantic_dedup(emb, threshold=0.3, n_clusters=8).collect()
+    }
+    assert clustered
+    assert set(clustered) <= set(exact)
+    assert all(abs(clustered[p] - exact[p]) < 1e-9 for p in clustered)
+    # pairs are unique by construction (one cluster per vector)
+    assert len(clustered) == len(set(clustered))
+    # determinism: seeded trainer + deterministic assignment
+    again = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in semantic_dedup(emb, threshold=0.3, n_clusters=8).collect()
+    }
+    assert clustered == again
+
+
 def test_winnow_shared_fingerprints(spark):
     """Documents sharing a long substring share fingerprints; unrelated
     documents (different alphabets) share none."""
