@@ -136,6 +136,26 @@ def test_lsh_verify_after_pair_distinct(spark, sf):
     assert "min(hamming" not in plan  # old shape: min over k copies
 
 
+def test_semantic_dedup_cluster_bucketed_join(spark, sf):
+    """semantic_dedup's verify join is bucketed by the cluster key
+    (hashpartitioning on cluster feeds the self-join) and — unlike the
+    banded LSH paths — needs NO distinct stage: one cluster per vector
+    means pairs are unique by construction."""
+    from promi_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = explain(
+        semantic_dedup(emb, threshold=0.35, n_clusters=8,
+                       init="lowest_ids", n_iter=0)
+    )
+    # equi-join keyed on cluster (broadcast at this sf; a shuffle join
+    # hash-partitioned on cluster at scale — either way the join is
+    # bucket-bounded, never all-pairs)
+    assert re.search(r"Left keys \[1\]: \[cluster", plan)
+    assert re.search(r"Right keys \[1\]: \[cluster", plan)
+    assert not re.search(r"Functions: \[\]", plan)  # no distinct agg
+
+
 def test_trace_filter_single_window_shuffle(spark, sf):
     from promi_spark.queries import QUERIES
 
