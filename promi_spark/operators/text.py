@@ -99,6 +99,62 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus-mixing report: doc count, token count, token
+    SHARE of the corpus, and mean quality signals (punctuation ratio,
+    doc length) per source — the table a pretraining pipeline reads to
+    set sampling weights across sources (the documents analog of the
+    reference's per-log Statistics artifact, ``stats.rs:64-141``).
+
+    One narrow codegen pass computes the per-row signals, one map-side-
+    combined aggregation groups them by source, and the corpus-total
+    divisor is a window over the (tiny, |sources|-row) aggregate — no
+    second corpus scan and no driver round-trip. Scale shape: the only
+    wide stage shuffles |sources| rows. All aggregates are integer sums
+    with ONE final division, so results are bit-deterministic across
+    partitionings and engines (a float avg would depend on partial-sum
+    order); the punct rate is the corpus-level rate per source (total
+    punct chars / total chars), not a mean of per-doc ratios.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    per_src = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count(t).cast("long").alias("n_tok"),
+            F.length(t).cast("long").alias("n_chars"),
+            n_punct.cast("long").alias("n_punct"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("_chars"),
+            F.sum("n_punct").alias("_punct"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.col("_chars") / F.col("n_docs"), 2).alias("mean_chars"),
+        F.round(
+            F.when(F.col("_chars") == 0, F.lit(0.0)).otherwise(
+                F.col("_punct") / F.col("_chars")
+            ),
+            6,
+        ).alias("punct_rate"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1073,6 +1073,39 @@ def q_text_quality(spark, sf_dir):
 
 
 @q(
+    "source_mix",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS _chars,
+             CAST(sum(n_punct) AS BIGINT) AS _punct
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           round(_chars / CAST(n_docs AS DOUBLE), 2) AS mean_chars,
+           round(CASE WHEN _chars = 0 THEN 0.0
+                      ELSE _punct / CAST(_chars AS DOUBLE) END, 6) AS punct_rate
+    FROM agg
+    """,
+)
+def q_source_mix(spark, sf_dir):
+    """Per-source corpus-mixing report (doc/token counts, token share,
+    exact-integer-sum quality rates) — the sampling-weights input table
+    of a pretraining data pipeline."""
+    return text.source_mix(load_table(spark, "documents", sf_dir))
+
+
+@q(
     "lang_id_docs",
     r"""
     WITH s AS (
@@ -1691,6 +1724,7 @@ _ORDER = [
     "token_counts_docs",  # §2.9 ⊂ bpe_token_counts (driver-green r1-r4)
     "doc_fingerprint",  # §2.9 ⊂ winnow_fingerprints (driver-green r1-r4)
     "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
+    "source_mix",  # NEW r5 (per-source mixing report); local-oracled
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
     "filter_time_before_after",  # F7 ⊂ filter_time_contained

@@ -138,6 +138,21 @@ def test_dedup_components_chain_and_isolation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_source_mix_shares_sum_to_one(spark):
+    """Token shares across sources partition the corpus: they sum to 1
+    (within rounding) and every aggregate is integer-exact."""
+    from promi_spark.io import load_table
+    from promi_spark.operators.text import source_mix
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    rows = source_mix(docs).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["punct_rate"] <= 1.0 and r["mean_chars"] > 0
+
+
 def test_dedup_components_nonconvergence_releases_cache(spark):
     """The non-convergence RuntimeError path unpersists both round-state
     relations — a failed run must not leave cached relations pinned in
