@@ -320,6 +320,150 @@ def minhash_dedup(
     return out
 
 
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus dedup index: one row per document carrying its
+    MinHash signature (the banding side) AND its distinct gram-hash set
+    (the verify side) — the artifact an ingest pipeline probes so each
+    incoming batch pays tokenization for ITS OWN docs only, never a
+    corpus rescan. One tokenize pass, one doc-key shuffle; the geometry
+    rides alongside as ``_index_meta.json`` so probes fail fast on a
+    mismatched configuration instead of silently missing pairs.
+    """
+    import json
+
+    from promi_spark.operators.similarity import _hadoop_write_text
+
+    rows = gram_hash_rows(df, key_col, text_col, shingle_n).persist()
+    try:
+        sigs = _sigs_from_rows(rows, num_hashes)
+        sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
+        sigs.join(sh, "k").write.mode("overwrite").parquet(path)
+    finally:
+        rows.unpersist()
+    _hadoop_write_text(
+        df.sparkSession,
+        f"{path.rstrip('/')}/_index_meta.json",
+        json.dumps(
+            {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+        ),
+    )
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    include_new_pairs: bool = True,
+    cache: bool = True,
+) -> DataFrame:
+    """Ingest-time near-dup pairs: an incoming batch probed against the
+    persisted corpus index (:func:`write_minhash_index`), plus — with
+    ``include_new_pairs`` — the within-batch pairs. Returns
+    (a, b, jaccard_sim) with a < b, so results compose directly with
+    :func:`dedup_components` / the batch :func:`minhash_dedup` output.
+
+    Scale shape: cost is proportional to the BATCH (its tokenize pass +
+    banding) plus a banded equi-join against the index — the corpus is
+    never re-tokenized, and the index scan prunes to (k, sig) for
+    banding and joins gram sets back for verified candidates only.
+    Signatures are per-doc deterministic, so a cross pair (new, old)
+    collides on exactly the bands it would have collided on in a full
+    :func:`minhash_dedup` over the combined corpus — identical recall.
+    The banding geometry comes from the index's ``_index_meta.json``;
+    the batch is hashed with the same parameters by construction.
+    """
+    import json
+
+    spark = new_df.sparkSession
+    from promi_spark.operators.similarity import _hadoop_read_text
+
+    meta = json.loads(
+        _hadoop_read_text(spark, f"{index_path.rstrip('/')}/_index_meta.json")
+    )
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+
+    idx = spark.read.parquet(index_path)
+    rows_new = gram_hash_rows(new_df, key_col, text_col, meta["shingle_n"])
+    if cache:
+        rows_new = rows_new.persist()
+    sigs_new = _sigs_from_rows(rows_new, num_hashes)
+    sh_new = rows_new.groupBy("k").agg(F.collect_set("h").alias("sh"))
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "k",
+            F.posexplode(
+                band_buckets(F.col("sig"), num_hashes, bands)
+            ).alias("band", "bucket"),
+        )
+
+    cross = (
+        banded(sigs_new)
+        .alias("n")
+        .join(
+            banded(idx.select("k", "sig")).alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            & (F.col("n.k") != F.col("i.k")),
+        )
+        .select(
+            F.least(F.col("n.k"), F.col("i.k")).alias("a"),
+            F.greatest(F.col("n.k"), F.col("i.k")).alias("b"),
+            F.col("n.k").alias("nk"),
+            F.col("i.k").alias("ik"),
+        )
+        .select("a", "b", "nk", "ik")
+        .distinct()
+    )
+    verified = (
+        cross.join(
+            sh_new.withColumnsRenamed({"k": "nk", "sh": "sh_n"}), "nk"
+        )
+        .join(
+            idx.select(F.col("k").alias("ik"), F.col("sh").alias("sh_i")),
+            "ik",
+        )
+        .select(
+            "a",
+            "b",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_i")), 4).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    if include_new_pairs:
+        cands_new = _banded_pairs(sigs_new, num_hashes, bands)
+        within = (
+            cands_new.join(
+                sh_new.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a"
+            )
+            .join(sh_new.withColumnsRenamed({"k": "b", "sh": "sh_b"}), "b")
+            .select(
+                "a",
+                "b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                    "jaccard_sim"
+                ),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
+        verified = verified.unionByName(within)
+    out = verified
+    out.gram_cache = rows_new if cache else None
+    return out
+
+
 def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """(doc_id, component): connected components of the near-dup pair
     graph — the canonical clustering step after pair generation in a

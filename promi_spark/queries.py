@@ -1356,6 +1356,33 @@ def q_mllib_minhash_near_dups(spark, sf_dir):
     )
 
 
+@q(
+    "incremental_dedup",
+    oracles.exact_jaccard_pairs_sql(threshold=0.5).replace(
+        "SELECT a, b, jaccard_sim FROM jpairs",
+        "SELECT a, b, jaccard_sim FROM jpairs WHERE a % 5 = 0 OR b % 5 = 0",
+    ),
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-time dedup: 80% of the corpus (doc_id % 5 != 0) is the
+    persisted MinHash index, the other 20% arrives as a batch and is
+    probed against it (plus within-batch pairs). The oracle is the
+    exact-Jaccard pair set restricted to pairs touching the batch —
+    signatures are per-doc deterministic, so the banded probe has the
+    same (total, verified) recall as the full minhash_near_dups run."""
+    import hashlib
+
+    docs = load_table(spark, "documents", sf_dir)
+    index_part = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = (
+        "/tmp/promi_spark_mh_index_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    dedup.write_minhash_index(index_part, path)
+    return dedup.minhash_dedup_incremental(batch, path, threshold=0.5)
+
+
 @q("dedup_components", oracles.dedup_components_sql(threshold=0.5))
 def q_dedup_components(spark, sf_dir):
     """Near-dup pair graph -> connected components (the clustering step
@@ -1725,6 +1752,7 @@ _ORDER = [
     "doc_fingerprint",  # §2.9 ⊂ winnow_fingerprints (driver-green r1-r4)
     "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
     "source_mix",  # NEW r5 (per-source mixing report); local-oracled
+    "incremental_dedup",  # NEW r5 (index-probe ingest dedup); local-oracled
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
     "filter_time_before_after",  # F7 ⊂ filter_time_contained

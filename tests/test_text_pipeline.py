@@ -138,6 +138,46 @@ def test_dedup_components_chain_and_isolation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_incremental_dedup_composes_with_batch(spark, tmp_path):
+    """Index 80% of the corpus, probe the remaining 20% as a batch:
+    within-index pairs + incremental pairs must equal the full batch
+    minhash_dedup pair set (same signatures, same banding — identical
+    recall), and the meta sidecar pins the geometry."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(old, path)
+
+    full = {
+        (r["a"], r["b"]): r["jaccard_sim"]
+        for r in minhash_dedup(docs, threshold=0.5, cache=False).collect()
+    }
+    old_only = {
+        (r["a"], r["b"]): r["jaccard_sim"]
+        for r in minhash_dedup(old, threshold=0.5, cache=False).collect()
+    }
+    inc = {
+        (r["a"], r["b"]): r["jaccard_sim"]
+        for r in minhash_dedup_incremental(
+            new, path, threshold=0.5, cache=False
+        ).collect()
+    }
+    assert inc  # the injected duplicates cross the split
+    assert set(old_only).isdisjoint(inc)
+    merged = {**old_only, **inc}
+    assert merged == full
+
+
 def test_source_mix_shares_sum_to_one(spark):
     """Token shares across sources partition the corpus: they sum to 1
     (within rounding) and every aggregate is integer-exact."""
