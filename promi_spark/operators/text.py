@@ -99,6 +99,102 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    train_df: DataFrame | None = None,
+    cross_entropy: bool = False,
+) -> DataFrame:
+    """Word-bigram language-model quality signal per document
+    (CCNet-style: text whose n-grams are improbable under a reference
+    LM is noise). The model is add-``alpha``-smoothed bigram
+    probabilities p(w2|w1) = (C(w1 w2) + a) / (C(w1·) + a·V) trained on
+    ``train_df`` (default: the scored corpus itself). Emits
+    (key, n_bigrams, oov_rate, mean_bigram_p) — or, with
+    ``cross_entropy=True``, ``avg_neg_log_p`` (the standard
+    cross-entropy; NOT oracle-hashable because ln() is not
+    correctly-rounded across engines, so the probability-mean form is
+    the oracle-checkable default: count ratios are IEEE-exact divisions
+    and the per-doc fold runs in token order over a collected array,
+    never as a shuffled float SUM).
+
+    Scale shape: one tokenize pass feeds the bigram / context-count
+    tables (map-side combined aggs); scoring equi-joins each doc's
+    bigram rows to the bigram table (shuffle join, AQE-splittable) and
+    to the vocab-sized context table, with the scalar vocabulary size
+    attached via a broadcast 1-row cross join (no driver round-trip).
+    """
+    from promi_spark.operators.dedup import norm_text
+
+    def toks_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(key_col).alias("k"), tokens(norm_text(text_col)).alias("toks")
+        ).filter(F.size("toks") >= 2)
+
+    def bigrams(col: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(col) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(col, i), F.element_at(col, i + 1)
+            ),
+        )
+
+    base = toks_of(df)
+    train = base if train_df is None else toks_of(train_df)
+    c12 = (
+        train.select(F.explode(bigrams(F.col("toks"))).alias("big"))
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = (
+        train.select(
+            F.explode(F.slice("toks", 1, F.size("toks") - 1)).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vdf = train.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    bg_doc = base.select(
+        "k", F.posexplode(bigrams(F.col("toks"))).alias("pos", "big")
+    ).withColumn("w1", F.element_at(F.split("big", " "), 1))
+    p = (F.coalesce("c12", F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce("c1", F.lit(0)) + F.lit(alpha) * F.col("v")
+    )
+    terms = (
+        bg_doc.join(c12, "big", "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "k",
+            "pos",
+            p.alias("p"),
+            F.col("c12").isNull().cast("long").alias("oov"),
+        )
+    )
+    folded = terms.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "p"))).alias("arr"),
+        F.sum("oov").alias("n_oov"),
+    )
+    n = F.size("arr")
+    fold = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (-F.log(x["p"]) if cross_entropy else x["p"]),
+    )
+    score_name = "avg_neg_log_p" if cross_entropy else "mean_bigram_p"
+    return folded.select(
+        F.col("k").alias(key_col),
+        n.cast("long").alias("n_bigrams"),
+        F.round(F.col("n_oov") / n, 4).alias("oov_rate"),
+        F.round(fold / n, 6).alias(score_name),
+    )
+
+
 def source_mix(
     df: DataFrame,
     source_col: str = "source",

@@ -1291,6 +1291,54 @@ def q_lsh_near_dups(spark, sf_dir):
     )
 
 
+@q(
+    "lm_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    bgl AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bl,
+             list_transform(range(1, len(toks)), i -> toks[i]) AS wl
+      FROM d
+    ),
+    bg AS (
+      SELECT doc_id, unnest(range(1, len(bl) + 1)) - 1 AS pos,
+             unnest(bl) AS big, unnest(wl) AS w1
+      FROM bgl
+    ),
+    c12 AS (SELECT big, count(*) AS c12 FROM bg GROUP BY big),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM d)),
+    terms AS (
+      SELECT bg.doc_id, bg.pos,
+             (COALESCE(c12.c12, 0) + 0.5) / (COALESCE(c1.c1, 0) + 0.5 * v.v) AS p,
+             CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS oov
+      FROM bg LEFT JOIN c12 USING (big) LEFT JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    folded AS (
+      SELECT doc_id, list(p ORDER BY pos) AS ps, sum(oov) AS n_oov
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+           round(n_oov / CAST(len(ps) AS DOUBLE), 4) AS oov_rate,
+           round(list_aggregate(ps, 'sum') / len(ps), 6) AS mean_bigram_p
+    FROM folded
+    """,
+)
+def q_lm_quality(spark, sf_dir):
+    """Corpus-self-trained bigram LM quality scores in the
+    oracle-checkable probability-mean form (count-ratio terms folded in
+    token order — deterministic doubles in both engines; the ln-based
+    cross-entropy variant is covered by unit test instead, since ln()
+    is not correctly-rounded across engines)."""
+    return text.bigram_lm_scores(load_table(spark, "documents", sf_dir))
+
+
 @q("semantic_dedup", oracles.semantic_dedup_sql(n_clusters=8, threshold=0.35))
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-bucketed embedding dedup in its
@@ -1753,6 +1801,7 @@ _ORDER = [
     "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
     "source_mix",  # NEW r5 (per-source mixing report); local-oracled
     "incremental_dedup",  # NEW r5 (index-probe ingest dedup); local-oracled
+    "lm_quality",  # NEW r5 (bigram LM quality scores); local-oracled
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
     "filter_time_before_after",  # F7 ⊂ filter_time_contained

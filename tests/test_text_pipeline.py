@@ -138,6 +138,33 @@ def test_dedup_components_chain_and_isolation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_bigram_lm_scores_rank_noise_below_fluent(spark):
+    """Cross-entropy under the corpus-trained bigram LM ranks a
+    gibberish document above (= less probable than) the fluent
+    repetitive ones; cross-corpus scoring reports OOV bigrams."""
+    from promi_spark.operators.text import bigram_lm_scores
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = _docs(
+        spark, [fluent, fluent, fluent, "zq xv qj wk vx jq kz qq ww zz"]
+    )
+    ce = {
+        r["doc_id"]: r["avg_neg_log_p"]
+        for r in bigram_lm_scores(docs, cross_entropy=True).collect()
+    }
+    assert ce[3] == max(ce.values()) and ce[3] > ce[0]
+
+    # train on the fluent docs only; the noise doc is fully OOV
+    train = docs.filter("doc_id < 3")
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(docs, train_df=train).collect()
+    }
+    assert rows[3]["oov_rate"] == 1.0
+    assert rows[0]["oov_rate"] == 0.0
+    assert rows[3]["mean_bigram_p"] < rows[0]["mean_bigram_p"]
+
+
 def test_incremental_dedup_composes_with_batch(spark, tmp_path):
     """Index 80% of the corpus, probe the remaining 20% as a batch:
     within-index pairs + incremental pairs must equal the full batch
