@@ -161,11 +161,16 @@ def test_list_and_nested_attributes_round_trip(spark, tmp_path):
 
 
 def _xmllint_valid(path: str) -> tuple[bool, str]:
+    """XSD oracle: xmllint when present, else the pure-Python encoding of
+    the same grammar (io/xes_xsd.py) so the check runs everywhere."""
     import shutil
     import subprocess
 
     if shutil.which("xmllint") is None:
-        pytest.skip("xmllint not available")
+        from promi_spark.io.xes_xsd import validate_xes
+
+        errs = validate_xes(path)
+        return not errs, "\n".join(errs)
     r = subprocess.run(
         ["xmllint", "--noout", "--schema", f"{CORPUS}/xes-ieee-1849-2016.xsd", path],
         capture_output=True,
