@@ -137,6 +137,42 @@ def shard_id(key: Column | str, n_shards: int, seed: int = 0) -> Column:
     return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n_shards))
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep each row with the
+    per-stratum probability ``rates[stratum]`` (``default_rate`` for
+    unlisted strata) — the operator a pretraining pipeline runs after
+    reading its mixing weights off :func:`operators.text.source_mix`.
+
+    Selection is the same engine-portable md5 coin as Split/Sample
+    (``split.py:44``): row kept iff
+    ``md5(key ':' seed ':mix')[:8] < hex_threshold(rate)``. That makes
+    the sample (a) exactly reproducible across retries, sessions,
+    engines and cluster sizes — a re-run of a 100 TB export keeps
+    byte-identical rows; (b) a superset/subset chain under rate changes
+    (raising a stratum's rate only ADDS rows, so mixtures can be tuned
+    incrementally without resampling the world); and (c) purely narrow —
+    the per-row threshold is a broadcast-free CASE over ``strata_col``,
+    so the whole operator is one codegen filter pass with zero shuffles
+    and full pushdown below it.
+    """
+    from promi_spark.operators.split import coin_hex, hex_threshold
+
+    thresh: Column = F.lit(hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(hex_threshold(rate))
+        ).otherwise(thresh)
+    coin = coin_hex(F.col(key_col).cast("string"), seed, salt="mix")
+    return df.filter(coin < thresh)
+
+
 def write_shards(
     df: DataFrame,
     path: str,

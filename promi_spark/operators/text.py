@@ -472,6 +472,60 @@ def winnow_fingerprints(
     )
 
 
+def cross_doc_substrings(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_docs: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document repeated-substring signal — the distributed form
+    of exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public formulation):
+    per document, how much of its winnowing fingerprint set also occurs
+    in other documents. Winnowing guarantees any substring of length
+    >= ``w + k - 1`` shared between two documents shares at least one
+    selected fingerprint, so ``shared_frac`` upper-lower-bounds the
+    document's cross-corpus duplicated-substring coverage — the score a
+    pipeline thresholds to drop boilerplate-heavy documents (the scale
+    substitute for the paper's suffix array, which is inherently
+    sequential).
+
+    Returns ``(key_col, n_fingerprints, n_shared, shared_frac)``.
+
+    Scale shape: one corpus scan -> narrow fingerprinting (see
+    :func:`winnow_fingerprints` — no shuffle) -> explode (~2/(w+1)
+    selected grams per char) -> ONE exchange on the fingerprint hash
+    (window count = number of docs holding each fingerprint; winnowing
+    emits per-doc-distinct fingerprints, so a plain row count is a doc
+    count) -> ONE exchange back on the doc key for the per-doc rollup.
+    No self-join: the doc-frequency lookup rides the window, so the
+    exploded relation is shuffled once, not joined against its own
+    aggregate. Hot fingerprints (corpus-wide boilerplate) skew the fp
+    exchange; AQE skew handling splits those partitions, and raising
+    ``k`` shrinks their mass. ``hash_mode='md5'`` makes the whole
+    computation engine-portable for the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(
+        df, key_col=key_col, text_col=text_col, k=k, w=w, hash_mode=hash_mode
+    )
+    ex = fps.select(F.col(key_col), F.explode("fingerprints").alias("fp"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    per_fp = ex.select(F.col(key_col), (n_docs >= min_docs).alias("is_shared"))
+    return per_fp.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
+        F.round(
+            F.sum(F.col("is_shared").cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("shared_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text — the exact-dedup key (a cheap stand-in for a rolling Rabin

@@ -330,6 +330,46 @@ def winnow_fingerprints_sql(k: int = 8, w: int = 4) -> str:
     """
 
 
+def mixture_sample_sql(
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+    table: str = "documents",
+) -> str:
+    """Replay of operators.scale.mixture_sample: identical md5 coin and
+    8-hex thresholds (shared via split.hex_threshold) in DuckDB."""
+    from promi_spark.operators.split import hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{hex_threshold(r)}'" for s, r in sorted(rates.items())
+    )
+    thresh = f"CASE {strata_col} {cases} ELSE '{hex_threshold(default_rate)}' END"
+    coin = f"substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}:mix'), 1, 8)"
+    return f"SELECT * FROM {table} WHERE {coin} < {thresh}"
+
+
+def cross_doc_substrings_sql(k: int = 8, w: int = 4, min_docs: int = 2) -> str:
+    """Replay of text.cross_doc_substrings(hash_mode='md5'): winnowing
+    fingerprints (shared CTE with winnow_fingerprints_sql), per-
+    fingerprint doc count via window, per-doc shared-fraction rollup."""
+    shared = f"CASE WHEN n_docs >= {min_docs} THEN 1 ELSE 0 END"
+    return f"""
+    WITH fps AS ({winnow_fingerprints_sql(k, w)}),
+    cnt AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY fingerprint) AS n_docs
+      FROM fps
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum({shared}) AS BIGINT) AS n_shared,
+           ROUND(sum({shared})::DOUBLE / count(*), 4) AS shared_frac
+    FROM cnt
+    GROUP BY doc_id
+    """
+
+
 # Raw whitespace tokens (no case-folding) — operators.text.tokens.
 _RAW_TOKS = r"string_split_regex(trim(text), '\s+')"
 

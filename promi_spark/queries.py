@@ -1105,6 +1105,23 @@ def q_source_mix(spark, sf_dir):
     return text.source_mix(load_table(spark, "documents", sf_dir))
 
 
+# Pinned mixing rates for the oracle query — the thresholds are shared
+# with the DuckDB replay through split.hex_threshold.
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+@q("mixture_sample", oracles.mixture_sample_sql(_MIX_RATES, default_rate=0.05))
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic stratified sampling by source — the executing
+    counterpart of the source_mix weights table. Engine-portable md5
+    coin per row; purely narrow (zero shuffles)."""
+    from promi_spark.operators.scale import mixture_sample
+
+    return mixture_sample(
+        load_table(spark, "documents", sf_dir), _MIX_RATES, default_rate=0.05
+    )
+
+
 @q(
     "lang_id_docs",
     r"""
@@ -1381,6 +1398,16 @@ def q_winnow_fingerprints(spark, sf_dir):
         load_table(spark, "documents", sf_dir), hash_mode="md5"
     )
     return out.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+
+
+@q("cross_doc_substrings", oracles.cross_doc_substrings_sql(k=8, w=4, min_docs=2))
+def q_cross_doc_substrings(spark, sf_dir):
+    """Cross-document repeated-substring coverage (exact-substring-dedup
+    signal, Lee et al. 2022) over winnowing fingerprints in the
+    engine-portable md5 hash mode."""
+    return text.cross_doc_substrings(
+        load_table(spark, "documents", sf_dir), hash_mode="md5"
+    )
 
 
 @q("minhash_near_dups", oracles.exact_jaccard_pairs_sql(threshold=0.5))
@@ -1752,9 +1779,11 @@ _ORDER = [
     "heuristic_dependency",
     "heuristic_net",
     "trace_variants",
-    # P1/P2 split & sample
+    # P1/P2 split & sample (mixture_sample NEW r5: stratified md5-coin
+    # sampling; sample_events rotated out — driver-green r1-r4, same
+    # coin family)
     "split_train",
-    "sample_events",
+    "mixture_sample",
     # J4 joins
     "tpch_q1",
     "revenue_by_nation",
@@ -1786,12 +1815,14 @@ _ORDER = [
     "minhash_near_dups",
     "mllib_minhash_near_dups",
     "dedup_components",
-    "simhash_signatures",
     "simhash_near_dups",
     "winnow_fingerprints",
+    "cross_doc_substrings",
     # ---- out of the 50-slot window from here: oracled redundant
     # family siblings (in-window coverage noted), locally re-checked;
     # every entry here has a driver-green row from an earlier round
+    "sample_events",  # P2 ⊂ split_train md5-coin family (driver-green r1-r4)
+    "simhash_signatures",  # ⊂ simhash_near_dups (driver-green r4)
     "filter_org_match",  # F6 ⊂ filter_org_eq (driver-green r1-r4)
     "trace_starts_ends_in",  # F7 ⊂ filter_time_contained (r1-r4)
     "except_set_op",  # O5 (driver-green r1-r4)
