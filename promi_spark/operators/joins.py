@@ -1,0 +1,123 @@
+"""As-of (most-recent-match) join — a temporal join Spark has no native
+operator for, expressed as a single-shuffle union-window plan.
+
+For each left row, attach the columns of the latest right row with the
+same key whose timestamp is <= the left timestamp (``direction=
+'backward'``; ``'forward'`` takes the earliest right row >=). This is
+the enrichment join of event pipelines — "state as of this event":
+attribute a purchase to the most recent signup, price a trade at the
+last quote, stamp a log line with the active config version.
+
+Scale shape — why union+window instead of a range join: the naive
+formulation (equi-join on key + inequality on ts + argmax) explodes to
+|left_per_key| x |right_per_key| intermediate rows before pruning.
+Instead both sides are unioned with a side tag and windowed per key in
+timestamp order, forward-filling the right columns with
+``last(ignorenulls=True)``: every row is touched exactly once, state
+per key is O(right row width), and the whole operator is ONE exchange
+on the key (plan-asserted in tests). Skewed keys are ordinary window
+skew — salt upstream or let AQE split; ``tolerance`` bounds staleness
+without changing the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the ``right_cols`` of the
+    most recent (``backward``) or next (``forward``) right row per key.
+
+    Unmatched left rows keep NULL right columns (left-outer semantics,
+    matching DuckDB's ``ASOF LEFT JOIN`` which serves as the oracle).
+    Ties (right.ts == left.ts) match, mirroring the oracle's ``>=``.
+    ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 7 DAYS")``)
+    nulls matches staler than the bound without a second pass.
+
+    The matched right timestamp is always returned as
+    ``{right_ts}{suffix}`` so callers can compute staleness.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    rcols = [f"{c}{suffix}" for c in right_cols]
+    ts_r = f"{right_ts}{suffix}"
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    # Common union schema: keys + event time + side tag + left payload
+    # (NULL on right rows) + right payload (NULL on left rows). The
+    # side tag orders right rows BEFORE left rows at equal timestamps
+    # so ties match inclusively in both directions.
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(right_ts).alias(ts_r),
+        *[F.col(c).alias(a) for c, a in zip(right_cols, rcols)],
+    )
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_r),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(a)
+            for c, a in zip(right_cols, rcols)
+        ],
+    )
+    order = [F.col("__t"), F.col("__side")]
+    if direction == "forward":
+        order = [F.col("__t").desc(), F.col("__side")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r_side.unionByName(l_side).select(
+        *keys,
+        "__t",
+        "__side",
+        *lcols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [ts_r] + rcols],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap_ok = (
+            F.col(ts_r) >= F.col("__t") - tolerance
+            if direction == "backward"
+            else F.col(ts_r) <= F.col("__t") + tolerance
+        )
+        out = out.select(
+            *keys,
+            "__t",
+            *lcols,
+            *[
+                F.when(gap_ok, F.col(c)).alias(c)
+                for c in [ts_r] + rcols
+            ],
+        )
+    return out.select(
+        *keys, F.col("__t").alias(left_ts), *lcols, ts_r, *rcols
+    )

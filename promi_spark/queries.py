@@ -1105,6 +1105,55 @@ def q_source_mix(spark, sf_dir):
     return text.source_mix(load_table(spark, "documents", sf_dir))
 
 
+@q(
+    "asof_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, ts, user_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT user_id, ts, value AS signup_value
+      FROM (SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'signup')
+      WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           s.ts AS signup_ts, s.signup_value
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_asof_attribution(spark, sf_dir):
+    """As-of enrichment: each purchase event joined to the user's most
+    recent signup at-or-before it (single-shuffle union-window as-of
+    join; the oracle is DuckDB's native ASOF LEFT JOIN). The signup
+    side is deduplicated at (user_id, ts) so the latest-match row is
+    engine-deterministic."""
+    from promi_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("signup_value"))
+    )
+    out = asof_join(purchases, signups, on="user_id", right_cols=["signup_value"])
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_r").alias("signup_ts"),
+        F.col("signup_value_r").alias("signup_value"),
+    )
+
+
 # Pinned mixing rates for the oracle query — the thresholds are shared
 # with the DuckDB replay through split.hex_threshold.
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -1759,7 +1808,6 @@ _ORDER = [
     "activity_dow_cube",
     # F1-F7 filters (one witness per family: eq + strict(F1) + org eq +
     # time containment + trace scope + CNF)
-    "filter_concept_eq",
     "filter_concept_eq_strict",
     "filter_org_eq",
     "filter_time_contained",
@@ -1784,9 +1832,10 @@ _ORDER = [
     # coin family)
     "split_train",
     "mixture_sample",
-    # J4 joins
+    # J4 joins + as-of temporal join (NEW r5)
     "tpch_q1",
     "revenue_by_nation",
+    "asof_attribution",
     # dedup & text (§2.9 + LLM-pipeline ops; bpe_token_counts in-window
     # for the first time)
     "dedup_exact_docs",
@@ -1822,6 +1871,7 @@ _ORDER = [
     # family siblings (in-window coverage noted), locally re-checked;
     # every entry here has a driver-green row from an earlier round
     "sample_events",  # P2 ⊂ split_train md5-coin family (driver-green r1-r4)
+    "filter_concept_eq",  # F5 ⊂ filter_concept_eq_strict (driver-green r1-r4)
     "simhash_signatures",  # ⊂ simhash_near_dups (driver-green r4)
     "filter_org_match",  # F6 ⊂ filter_org_eq (driver-green r1-r4)
     "trace_starts_ends_in",  # F7 ⊂ filter_time_contained (r1-r4)

@@ -1,0 +1,90 @@
+"""asof_join: most-recent-match temporal join (union-window plan)."""
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from promi_spark.operators.joins import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00"), 100.0),
+            (2, "u1", _ts("2024-01-01T12:00:00"), 200.0),
+            (3, "u2", _ts("2024-01-01T09:00:00"), 300.0),  # before any right
+            (4, "u3", _ts("2024-01-01T11:00:00"), 400.0),  # key with no right
+        ],
+        "id long, user string, ts timestamp, amount double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30:00"), "a"),
+            ("u1", _ts("2024-01-01T11:00:00"), "b"),
+            ("u1", _ts("2024-01-01T12:00:00"), "c"),  # tie with left id=2
+            ("u2", _ts("2024-01-01T09:30:00"), "d"),
+        ],
+        "user string, ts timestamp, state string",
+    )
+    return left, right
+
+
+def test_backward_matches_latest_at_or_before(spark):
+    left, right = _sides(spark)
+    rows = {
+        r["id"]: r
+        for r in asof_join(left, right, on="user", left_ts="ts").collect()
+    }
+    assert rows[1]["state_r"] == "a"
+    assert rows[2]["state_r"] == "c"  # tie is inclusive
+    assert rows[3]["state_r"] is None and rows[3]["ts_r"] is None
+    assert rows[4]["state_r"] is None
+    assert rows[1]["amount"] == 100.0  # left payload intact
+
+
+def test_forward_matches_earliest_at_or_after(spark):
+    left, right = _sides(spark)
+    rows = {
+        r["id"]: r
+        for r in asof_join(
+            left, right, on="user", left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert rows[1]["state_r"] == "b"  # next right after 10:00
+    assert rows[2]["state_r"] == "c"  # tie inclusive forward too
+    assert rows[3]["state_r"] == "d"
+    assert rows[4]["state_r"] is None
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    left, right = _sides(spark)
+    rows = {
+        r["id"]: r
+        for r in asof_join(
+            left,
+            right,
+            on="user",
+            left_ts="ts",
+            tolerance=F.expr("INTERVAL 45 MINUTES"),
+        ).collect()
+    }
+    assert rows[1]["state_r"] == "a"  # 30 min stale: kept
+    assert rows[2]["state_r"] == "c"  # exact tie: kept
+    assert rows[3]["state_r"] is None  # no prior match at all
+
+
+def test_single_exchange_plan(spark):
+    """The whole as-of join is one shuffle on the key: union is
+    exchange-free and both window + filter run on the same
+    partitioning."""
+    left, right = _sides(spark)
+    out = asof_join(left, right, on="user", left_ts="ts")
+    je = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = je.explainString(mode.fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
