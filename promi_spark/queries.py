@@ -1549,6 +1549,26 @@ def q_simhash_near_dups(spark, sf_dir):
 # either, so these carry no oracle by design.
 
 
+@q("quality_classifier", None)
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality filter end-to-end: heuristic weak labels ->
+    hashed-ngram logistic fit (MLlib, distributed) -> score the whole
+    corpus. Rows-only: L-BFGS float reductions are not bit-portable
+    across engines; the behavior contract is tested on separable
+    synthetic corpora (tests/test_quality_classifier.py)."""
+    from promi_spark.operators.ml import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = train_quality_classifier(
+        weak_quality_labels(docs), num_features=2**14
+    )
+    return score_quality(model, docs).select("doc_id", "quality_prob")
+
+
 @q("alpha_places", None)
 def q_alpha_places(spark, sf_dir):
     from promi_spark.operators.mining import alpha_miner_df
@@ -1895,6 +1915,7 @@ _ORDER = [
     "part_brand_volume",
     "chronology_violations",
     # genuinely oracle-less (iterative / mapInPandas media)
+    "quality_classifier",  # NEW r5: MLlib weak-label quality model
     "alpha_places",
     "inductive_tree",
     "token_replay_fitness",
