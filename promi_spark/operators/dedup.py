@@ -555,6 +555,51 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     return out
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    ratio: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/test split that near-duplicates cannot straddle: route by
+    the near-dup COMPONENT, not the document. A plain per-doc split
+    leaks — a test document's near-duplicate lands in train and the
+    eval is contaminated (the published failure mode exact/near dedup
+    pipelines exist to prevent). Here every document draws its coin
+    from ``coalesce(component, own key)``, so an entire near-dup
+    cluster moves as one unit; singletons behave exactly like
+    :func:`operators.split.split`.
+
+    The coin is the same engine-portable md5 hex compare as
+    Split/Sample (namespace ``lsplit``), so the routing is reproducible
+    across engines/retries and the oracle replays it in SQL. Adds a
+    ``split`` column ('train'/'test').
+
+    Scale shape: one component clustering over the (tiny) pair graph,
+    one left join of the corpus against the (doc_id, component) labels
+    — broadcastable whenever the near-dup population is small relative
+    to the corpus, which is the normal regime — then a narrow coin
+    filter. Release ``out.labels_cache`` as with
+    :func:`dedup_components`."""
+    from promi_spark.operators.split import coin_hex, hex_threshold
+
+    comp = dedup_components(pairs)
+    joined = df.join(
+        comp.withColumnRenamed("doc_id", key_col), key_col, "left"
+    )
+    group = F.coalesce(F.col("component"), F.col(key_col))
+    coin = coin_hex(group.cast("string"), seed, salt="lsplit")
+    out = joined.withColumn(
+        "split",
+        F.when(coin < F.lit(hex_threshold(ratio)), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    ).drop("component")
+    out.labels_cache = comp.labels_cache
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -237,6 +237,38 @@ def dedup_components_sql(threshold: float, n: int = 3) -> str:
     """
 
 
+def leakage_safe_split_sql(
+    threshold: float, ratio: float, seed: int = 0, n: int = 3
+) -> str:
+    """Replay of dedup.leakage_safe_split: recursive-CTE components over
+    the exact-Jaccard pair graph, md5 coin on coalesce(component, key)
+    with the same hex threshold (shared via split.hex_threshold)."""
+    from promi_spark.operators.split import hex_threshold
+
+    t = hex_threshold(ratio)
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, n)},
+    edges AS (
+      SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs
+    ),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(r) AS component
+      FROM (SELECT id, r FROM reach UNION SELECT a AS id, a AS r FROM edges)
+      GROUP BY id
+    )
+    SELECT d.doc_id,
+           CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)
+                    || ':{seed}:lsplit'), 1, 8) < '{t}'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
 # --- SimHash (md5 hash mode) -----------------------------------------------
 
 _HEX = "0123456789abcdef"

@@ -1549,6 +1549,18 @@ def q_simhash_near_dups(spark, sf_dir):
 # either, so these carry no oracle by design.
 
 
+@q("leakage_safe_split", oracles.leakage_safe_split_sql(threshold=0.5, ratio=0.8))
+def q_leakage_safe_split(spark, sf_dir):
+    """Component-routed train/test split: near-dup clusters (MinHash
+    pairs -> connected components) move as one unit so no test doc has
+    a train-side near-duplicate. Oracle replays components as a
+    recursive CTE and the coin as the same md5 compare."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_dedup(docs, threshold=0.5)
+    out = dedup.leakage_safe_split(docs, pairs, ratio=0.8)
+    return out.select("doc_id", "split")
+
+
 @q("quality_classifier", None)
 def q_quality_classifier(spark, sf_dir):
     """Learned quality filter end-to-end: heuristic weak labels ->
@@ -1915,6 +1927,7 @@ _ORDER = [
     "part_brand_volume",
     "chronology_violations",
     # genuinely oracle-less (iterative / mapInPandas media)
+    "leakage_safe_split",  # NEW r5: component-routed split; local-oracled
     "quality_classifier",  # NEW r5: MLlib weak-label quality model
     "alpha_places",
     "inductive_tree",

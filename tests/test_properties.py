@@ -286,3 +286,31 @@ def test_gram_hash_rows_matches_python_model(spark, texts):
         by_norm.setdefault(norm, []).append(sorted(got.get(i, [])))
     for same in by_norm.values():
         assert all(h == same[0] for h in same[1:])
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Every near-dup pair lands on one side; split is deterministic;
+    singleton docs route like the plain md5-coin split."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # hand-built pair graph: a chain {0,1,2}, a star {10,11}, singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a long, b long"
+    )
+    out = leakage_safe_split(docs, pairs, ratio=0.5)
+    sides = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(sides) == 40
+    assert sides[0] == sides[1] == sides[2]
+    assert sides[10] == sides[11]
+    assert set(sides.values()) == {"train", "test"}  # both sides populated
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs, ratio=0.5).collect()
+    }
+    assert sides == again
+    out.labels_cache.unpersist()
