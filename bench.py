@@ -118,6 +118,33 @@ def bench_streaming(spark) -> dict:
         shutil.rmtree(replay, ignore_errors=True)
 
 
+# Round-5 additions, timed in their own section so the 23-query totals
+# stay comparable round-over-round. Cold+warm per query.
+EXTRAS = [
+    "asof_attribution",
+    "cross_doc_substrings",
+    "mixture_sample",
+    "leakage_safe_split",
+    "quality_classifier",
+]
+
+
+def bench_extras(spark) -> dict:
+    from promi_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in EXTRAS:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        out[f"{name}_warm"] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # dedup paths persist shared relations
+    return out
+
+
 def main() -> int:
     from promi_spark.queries import QUERIES
     from promi_spark.session import get_spark
@@ -158,6 +185,7 @@ def main() -> int:
     # comparable round-over-round)
     neardup = bench_neardup_pipeline(spark)
     streaming = bench_streaming(spark)
+    extras = bench_extras(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -171,6 +199,7 @@ def main() -> int:
                 "warm_total": round(sum(warm.values()), 3),
                 "neardup_pipeline": neardup,
                 "streaming": streaming,
+                "extras": extras,
                 "sf": sf,
             }
         )

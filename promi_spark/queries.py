@@ -920,6 +920,54 @@ def q_tpch_q6(spark, sf_dir):
 
 
 @q(
+    "tpch_q3",
+    """
+    SELECT l_orderkey, o_orderdate,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-10) adapted to the
+    testdata's columns: selective dim filter broadcast into a 3-way
+    join, decimal-exact revenue, deterministic top-k tiebreak. The
+    customer side after the segment filter is ~1/5 of a dimension
+    table — broadcast; only the orders-lineitem join shuffles."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
     "revenue_by_nation",
     """
     SELECT r_name, n_name,
@@ -1446,7 +1494,12 @@ def q_winnow_fingerprints(spark, sf_dir):
     out = text.winnow_fingerprints(
         load_table(spark, "documents", sf_dir), hash_mode="md5"
     )
-    return out.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+    # explode_outer: avoids the inferred size()>0 filter that would
+    # inline the winnow expression below the projection (session.py
+    # note); arrays are never empty so rows are identical.
+    return out.select(
+        "doc_id", F.explode_outer("fingerprints").alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())
 
 
 @q("cross_doc_substrings", oracles.cross_doc_substrings_sql(k=8, w=4, min_docs=2))
@@ -1922,6 +1975,7 @@ _ORDER = [
     "trace_time_contained",  # F7 trace-scope sibling
     "intersect_set_op",  # O5 ⊂ except_set_op
     "dfg",
+    "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

@@ -39,6 +39,22 @@ def get_spark(app_name: str = "promi_spark", cpus: int | None = None) -> SparkSe
         # nanosecond timestamp, so read as long and convert at ingest
         # (DuckDB likewise truncates ns -> us).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate turns explode(expensive_array_expr)
+        # into a pushed-down `size(...) > 0` Filter whose predicate
+        # INLINES the whole array expression below the projection that
+        # was supposed to evaluate it once. For higher-order-function
+        # pipelines (winnowing char-gram hashes: a regexp-normalized
+        # string referenced inside a transform lambda) the interpreted
+        # filter re-evaluates the outer expression PER ARRAY ELEMENT —
+        # measured 29x slowdown at sf0.1 (105 s -> 3.6 s for the
+        # winnow fingerprint explode). Our generators are never fed
+        # empty-array-heavy inputs, so the rule's row-pruning upside is
+        # nil. The hot operators additionally use explode_outer (which
+        # the rule skips) so they stay fast in sessions not built here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

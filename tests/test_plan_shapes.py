@@ -206,3 +206,18 @@ def test_repetition_top_gram_two_phase(spark, sf):
     assert "BroadcastHashJoin" in plan
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 2, shuffles
+
+
+def test_winnow_explode_no_inferred_filter_duplication(spark, sf):
+    """Regression: plain explode() caused InferFiltersFromGenerate to
+    push a size(fingerprints) > 0 filter below the winnow projection,
+    inlining the whole char-gram expression (regexp-normalized text
+    re-evaluated PER GRAM inside the transform lambda — measured 29x
+    at sf0.1). The normalization must appear exactly once in the
+    executed plan, never inside a Filter or the scan's DataFilters."""
+    from promi_spark.queries import QUERIES
+
+    for name in ("winnow_fingerprints", "cross_doc_substrings"):
+        df = QUERIES[name][0](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("regexp_replace") == 1, name
