@@ -6,6 +6,7 @@ from promi_spark.streaming.engine import (
     sessionize,
     stateful_dfg,
     streaming_dfg,
+    streaming_neardup_ingest,
     streaming_stats,
     write_with_dlq,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "sessionize",
     "stateful_dfg",
     "streaming_dfg",
+    "streaming_neardup_ingest",
     "streaming_stats",
     "write_with_dlq",
 ]

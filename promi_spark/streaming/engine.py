@@ -188,6 +188,72 @@ def write_with_dlq(
     )
 
 
+def streaming_neardup_ingest(
+    docs: DataFrame,
+    index_path: str,
+    good_path: str,
+    reject_path: str,
+    checkpoint: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+):
+    """Streaming near-dup gate: every micro-batch of incoming documents
+    is probed against the persisted corpus MinHash index
+    (:func:`operators.dedup.minhash_dedup_incremental`); survivors land
+    in ``good_path``, near-dups in ``reject_path`` with the matched
+    partner and similarity — the landing-zone ingest shape where the
+    100 TB corpus is never re-tokenized and each batch pays only its
+    own cost.
+
+    Drop rule matches the batch pipeline's keep-smallest convention:
+    a batch doc is rejected when it is the GREATER side of any verified
+    pair (its partner being either an index doc or an earlier-keyed
+    batch doc). The index itself is refreshed by the periodic batch job
+    (:func:`operators.dedup.write_minhash_index`) — an ingest stream
+    appending to its own probe index would make results order-dependent
+    within a batch. Returns the started query (availableNow trigger;
+    caller awaits/stops)."""
+    from promi_spark.operators.dedup import minhash_dedup_incremental
+
+    def _gate(batch: DataFrame, batch_id: int):
+        if not batch.head(1):
+            return
+        pairs = minhash_dedup_incremental(
+            batch,
+            index_path,
+            key_col=key_col,
+            text_col=text_col,
+            threshold=threshold,
+            include_new_pairs=True,
+            cache=False,
+        )
+        batch_keys = batch.select(F.col(key_col).alias("b"))
+        rejects = (
+            pairs.join(batch_keys, "b")  # greater side that is IN the batch
+            .groupBy("b")
+            .agg(
+                F.min("a").alias("dup_of"),
+                F.max("jaccard_sim").alias("jaccard_sim"),
+            )
+            .withColumnRenamed("b", key_col)
+        )
+        survivors = batch.join(
+            rejects.select(key_col), key_col, "left_anti"
+        )
+        survivors.write.mode("append").parquet(good_path)
+        rejects.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(reject_path)
+
+    return (
+        docs.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dfg(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

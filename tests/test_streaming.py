@@ -228,3 +228,56 @@ def test_streaming_text_pipeline_matches_batch(spark, tmp_path):
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_neardup_ingest_gate(spark, tmp_path):
+    """Landing-zone ingest: micro-batches probed against the persisted
+    MinHash index; near-dups of the corpus (and the greater side of
+    within-batch pairs) rejected with partner + similarity, survivors
+    appended. Index is never re-tokenized."""
+    from promi_spark.operators.dedup import write_minhash_index
+    from promi_spark.streaming import streaming_neardup_ingest
+
+    corpus_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other_text = "completely different content about distributed query engines and shuffle costs"
+    pair_text = "a third body of text repeated verbatim inside the incoming batch of documents"
+    corpus = spark.createDataFrame(
+        [(0, corpus_text), (1, other_text)], "doc_id long, text string"
+    )
+    index = str(tmp_path / "index")
+    write_minhash_index(corpus, index)
+
+    new = spark.createDataFrame(
+        [
+            (100, corpus_text),          # near-dup of corpus doc 0
+            (101, "fresh unique document with its own words and no overlap with anything"),
+            (102, pair_text),            # within-batch pair, smaller key: kept
+            (103, pair_text),            # greater side: rejected
+        ],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    new.repartition(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming_neardup_ingest(
+        stream,
+        index,
+        good_path=str(tmp_path / "good"),
+        reject_path=str(tmp_path / "reject"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    good = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "good")).collect()}
+    rej = {
+        r["doc_id"]: (r["dup_of"], r["jaccard_sim"])
+        for r in spark.read.parquet(str(tmp_path / "reject")).collect()
+    }
+    assert good == {101, 102}
+    assert set(rej) == {100, 103}
+    assert rej[100][0] == 0 and rej[100][1] == 1.0   # matched the corpus doc
+    assert rej[103][0] == 102 and rej[103][1] == 1.0  # within-batch pair
