@@ -57,7 +57,7 @@ class FlowConfigError(ValueError):
 _REQUIRED = object()
 
 _TYPE_NAMES = {str: "String", float: "Float", int: "Int", bool: "Boolean",
-               list: "List"}
+               list: "List", dict: "Map"}
 
 
 @dataclass(frozen=True)
@@ -460,6 +460,100 @@ def _near_dup_dedup(ctx, df, threshold: float = 0.7,
     else:
         drop = pairs.select(F.col("b").alias(key_col)).distinct()
     return df.join(drop, key_col, "left_anti")
+
+
+@register("MixtureSample", "deterministic stratified sampling: keep "
+          "each row with the per-stratum rate via the engine-portable "
+          "md5 coin (zero shuffles; rate increases are supersets)",
+          {"stream"},
+          params=[Param("rates", dict,
+                        description="stratum -> keep rate in [0, 1]"),
+                  Param("strata_col", str, "source"),
+                  Param("key", str, "doc_id"),
+                  Param("seed", int, 0),
+                  Param("default_rate", float, 0.0)])
+def _mixture_sample(ctx, df, rates: dict, strata_col: str = "source",
+                    key: str = "doc_id", seed: int = 0,
+                    default_rate: float = 0.0, **_):
+    from promi_spark.operators.scale import mixture_sample
+
+    bad = {
+        s: r for s, r in rates.items()
+        if isinstance(r, bool) or not isinstance(r, (int, float))
+        or not 0.0 <= float(r) <= 1.0
+    }
+    if bad:
+        raise FlowConfigError(
+            f"MixtureSample: rates must map stratum -> float in [0, 1]; "
+            f"bad entries: {bad!r}"
+        )
+    return mixture_sample(
+        df, {s: float(r) for s, r in rates.items()}, strata_col=strata_col,
+        key_col=key, seed=seed, default_rate=default_rate,
+    )
+
+
+@register("LeakageSafeSplit", "train/test split routed by near-dup "
+          "component (MinHash pairs -> connected components) so no "
+          "test doc has a train-side near-duplicate; adds a 'split' "
+          "column, or filters to one side when 'side' is set",
+          {"stream"},
+          params=[Param("ratio", float, description="train fraction"),
+                  Param("side", str, None, "'train' or 'test' to filter"),
+                  Param("threshold", float, 0.7, "Jaccard threshold"),
+                  Param("key_col", str, "doc_id"),
+                  Param("text_col", str, "text"),
+                  Param("seed", int, 0)])
+def _leakage_safe_split(ctx, df, ratio: float, side: str | None = None,
+                        threshold: float = 0.7, key_col: str = "doc_id",
+                        text_col: str = "text", seed: int = 0, **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import leakage_safe_split, minhash_dedup
+
+    if side is not None and side not in ("train", "test"):
+        raise FlowConfigError(
+            f"LeakageSafeSplit: side must be 'train' or 'test', got {side!r}"
+        )
+    pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
+    if pairs.gram_cache is not None:
+        ctx.defer(pairs.gram_cache.unpersist)
+    out = leakage_safe_split(df, pairs, ratio, key_col=key_col, seed=seed)
+    ctx.defer(out.labels_cache.unpersist)
+    if side is not None:
+        return out.filter(F.col("split") == side).drop("split")
+    return out
+
+
+@register("QualityScore", "learned quality filter: weak-label bootstrap "
+          "-> hashed-ngram logistic fit (MLlib) -> score every doc; "
+          "adds quality_prob, drops rows under min_prob", {"stream"},
+          params=[Param("min_prob", float, 0.0),
+                  Param("num_features", int, 2**14),
+                  Param("min_tokens", int, 20, "weak-label clean bar"),
+                  Param("max_punct_ratio", float, 0.12),
+                  Param("text_col", str, "text")])
+def _quality_score(ctx, df, min_prob: float = 0.0,
+                   num_features: int = 2**14, min_tokens: int = 20,
+                   max_punct_ratio: float = 0.12, text_col: str = "text",
+                   **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.ml import (
+        score_quality, train_quality_classifier, weak_quality_labels,
+    )
+
+    weak = weak_quality_labels(
+        df, text_col=text_col, min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+    )
+    model = train_quality_classifier(
+        weak, text_col=text_col, num_features=num_features
+    )
+    out = score_quality(model, df, text_col=text_col)
+    if min_prob > 0:
+        out = out.filter(F.col("quality_prob") >= min_prob)
+    return out
 
 
 @register("Decontaminate", "drop documents sharing word n-grams with a "
