@@ -221,3 +221,16 @@ def test_winnow_explode_no_inferred_filter_duplication(spark, sf):
         df = QUERIES[name][0](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("regexp_replace") == 1, name
+
+
+def test_tpch_q3_broadcasts_filtered_dim(spark, sf):
+    """The segment-filtered customer side broadcasts (no shuffle for
+    the dim join); only the orders-lineitem equi-join and the final
+    top-k ordering move data."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["tpch_q3"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[.*c_mktsegment.*\]", plan) or \
+        "c_mktsegment" in plan  # dim filter reaches the scan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts

@@ -96,3 +96,22 @@ def test_score_preserves_input_columns(spark):
     out = score_quality(model, docs)
     assert out.columns == ["doc_id", "text", "quality_prob"]
     assert out.count() == docs.count()
+
+
+def test_model_save_load_scores_identically(spark, tmp_path):
+    """The fitted PipelineModel persists with MLlib's native writer and
+    reloads to bit-identical scores — the handoff contract between the
+    training job and the (separate) corpus-scoring job."""
+    from pyspark.ml import PipelineModel
+
+    docs = _corpus(spark, reps=2)
+    labeled = docs.withColumn(
+        "label", F.when(F.col("doc_id") % 10 < 5, 1.0).otherwise(0.0)
+    )
+    model = train_quality_classifier(labeled, num_features=2**10, max_iter=10)
+    path = str(tmp_path / "qmodel")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, docs).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_quality(reloaded, docs).collect()}
+    assert a == b
