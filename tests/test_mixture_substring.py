@@ -120,3 +120,54 @@ def test_mixture_plan_is_narrow(spark):
     plan = _explain(out)
     assert "Exchange" not in plan
     assert "codegen id" in plan  # filter runs inside whole-stage codegen
+
+
+def test_winnow_guarantee_property(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of length >= w + k - 1 share at least one
+    selected fingerprint — so cross_doc_substrings can never score 0
+    for either member of such a pair. Randomized: planted common
+    substrings at random positions inside random filler."""
+    import random
+
+    rng = random.Random(7)
+
+    def filler(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    k, w = 8, 4
+    cases = []
+    for i in range(12):
+        shared = filler(k + w - 1 + rng.randrange(0, 10))
+        a = filler(rng.randrange(0, 30)) + shared + filler(rng.randrange(0, 30))
+        b = filler(rng.randrange(0, 30)) + shared + filler(rng.randrange(0, 30))
+        cases.append((2 * i, a))
+        cases.append((2 * i + 1, b))
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    from promi_spark.operators.text import cross_doc_substrings
+
+    rows = {r["doc_id"]: r["n_shared"] for r in cross_doc_substrings(df, k=k, w=w).collect()}
+    assert len(rows) == 24
+    for i in range(12):
+        assert rows[2 * i] >= 1 and rows[2 * i + 1] >= 1, i
+
+
+def test_mixture_sample_matches_python_model(spark):
+    """The md5 coin replays exactly in pure Python — the same
+    engine-portability contract the DuckDB oracle checks, pinned here
+    against hashlib directly."""
+    import hashlib
+
+    from promi_spark.operators.split import hex_threshold
+
+    rates = {"s0": 0.3, "s1": 0.9}
+    df = _src_docs(spark)
+    got = {r["doc_id"] for r in mixture_sample(df, rates, seed=5).collect()}
+    want = set()
+    for i in range(2000):
+        src = f"s{i % 4}"
+        rate = rates.get(src, 0.0)
+        coin = hashlib.md5(f"{i}:5:mix".encode()).hexdigest()[:8]
+        if coin < hex_threshold(rate):
+            want.add(i)
+    assert got == want
