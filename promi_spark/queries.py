@@ -1614,6 +1614,24 @@ def q_leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+@q("bpe_learned_tokens", None)
+def q_bpe_learned_tokens(spark, sf_dir):
+    """Real BPE token budget: learn 300 merges from the corpus
+    (distributed word count + driver merge loop — deterministic with
+    lexicographic tie-breaks), segment every doc with the Arrow-batched
+    apply UDF, report per-doc learned-token counts. Rows-only: BPE
+    application is not expressible in SQL; the merge-loop contract is
+    pinned against the hand-computed Sennrich corpus in
+    tests/test_bpe.py."""
+    from promi_spark.operators.bpe import bpe_segment, train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, num_merges=300, min_freq=2)
+    return bpe_segment(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")
+    )
+
+
 @q("quality_classifier", None)
 def q_quality_classifier(spark, sf_dir):
     """Learned quality filter end-to-end: heuristic weak labels ->
@@ -1982,6 +2000,7 @@ _ORDER = [
     "chronology_violations",
     # genuinely oracle-less (iterative / mapInPandas media)
     "leakage_safe_split",  # NEW r5: component-routed split; local-oracled
+    "bpe_learned_tokens",  # NEW r5: learned BPE tokenizer (rows-only)
     "quality_classifier",  # NEW r5: MLlib weak-label quality model
     "alpha_places",
     "inductive_tree",
