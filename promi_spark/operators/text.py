@@ -335,18 +335,33 @@ def ngram_overlap(
     text_col: str = "text",
     n: int = 5,
     min_shared: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing word
     ``n``-grams with a benchmark corpus (the standard train/test-overlap
     filter in LLM data pipelines; n=8..13 in production, lower for the
     short synthetic docs).
 
-    Shape for 100 TB: the benchmark side is tiny relative to the
-    corpus, so its distinct gram set is BROADCAST — the corpus-side
+    Shape for 100 TB: the benchmark side is usually tiny relative to
+    the corpus, so its distinct gram set is BROADCAST — the corpus-side
     explode never shuffles; the only exchange is the per-doc count
     aggregation, which map-side-combines. Returns every train doc with
     its gram counts, shared-gram count, containment ratio, and the
     ``contaminated`` verdict (>= ``min_shared`` shared grams).
+
+    ``broadcast=False`` is the huge-benchmark escape hatch (a held-out
+    suite too big for executor memory): hit-marking becomes a shuffle
+    LEFT SEMI join on the gram — the prunable join shape, since a left
+    OUTER join must emit every left row and so can never be pre-
+    filtered — letting Catalyst's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on in the
+    tuned session) build the benchmark-side bloom and drop
+    non-candidate corpus grams BEFORE their exchange: the
+    bloom-prefilter-then-exact-verify design with the sketch managed
+    by the engine instead of hand-rolled. The per-doc totals come from
+    a second, purely narrow corpus scan joined back on the doc key.
+    Results are identical to the broadcast mode (the bloom only
+    prunes; the join stays exact).
     """
     toks = tokens(F.col(text_col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -369,14 +384,28 @@ def ngram_overlap(
         F.size(gr).alias("n_grams"),
         F.explode_outer(gr).alias("g"),
     )
-    agg = (
-        ex.join(F.broadcast(bench_grams), "g", "left")
-        .groupBy("k")
-        .agg(
-            F.first("n_grams").alias("n_grams"),
-            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"),
+    if broadcast:
+        agg = (
+            ex.join(F.broadcast(bench_grams), "g", "left")
+            .groupBy("k")
+            .agg(
+                F.first("n_grams").alias("n_grams"),
+                F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"),
+            )
         )
-    )
+    else:
+        base = train.select(F.col(key_col).alias("k"), F.size(gr).alias("n_grams"))
+        hits = (
+            ex.select("k", "g")
+            .join(bench_grams.select("g"), "g", "semi")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        agg = base.join(hits, "k", "left").select(
+            "k",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        )
     return agg.select(
         F.col("k").alias(key_col),
         "n_grams",

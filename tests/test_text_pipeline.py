@@ -283,3 +283,22 @@ def test_length_quantiles_approx_matches_exact_at_small_scale(spark):
         # (~100 docs/group here -> neighbor gaps can reach a few %)
         assert abs(a50 - p50) <= max(5.0, 0.1 * p50)
         assert abs(a95 - p95) <= max(5.0, 0.1 * p95)
+
+
+def test_decontaminate_shuffle_mode_matches_broadcast(spark):
+    """broadcast=False (huge-benchmark semi-join path, bloom-prunable)
+    returns row-identical results to the broadcast mode on the sf
+    corpus — the bloom only prunes, the join stays exact."""
+    from promi_spark.io import load_table
+
+    train = load_table(spark, "documents", "/root/testdata/sf0.001")
+    bench = train.filter("doc_id < 15")
+    a = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["contaminated"])
+        for r in ngram_overlap(train, bench, n=5).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["contaminated"])
+        for r in ngram_overlap(train, bench, n=5, broadcast=False).collect()
+    }
+    assert a == b and any(v[2] for v in a.values())
