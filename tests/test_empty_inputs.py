@@ -1,0 +1,95 @@
+"""Empty-input hardening: every operator family must return an empty
+(or correctly-degenerate) result on an empty corpus instead of
+raising — the first thing that breaks when a filter chain drops
+everything mid-pipeline at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, lang string, source string, n_chars long")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+
+
+def test_text_family_empty(spark, empty_docs):
+    from promi_spark.operators.text import (
+        cross_doc_substrings,
+        length_quantiles,
+        quality_scores,
+        repetition_stats,
+        source_mix,
+        winnow_fingerprints,
+    )
+
+    assert quality_scores(empty_docs).count() == 0
+    assert repetition_stats(empty_docs).count() == 0
+    assert winnow_fingerprints(empty_docs).count() == 0
+    assert cross_doc_substrings(empty_docs).count() == 0
+    assert source_mix(empty_docs).count() == 0
+    assert length_quantiles(empty_docs).count() == 0
+
+
+def test_dedup_family_empty(spark, empty_docs):
+    from promi_spark.operators.dedup import (
+        dedup_components,
+        dedup_exact,
+        leakage_safe_split,
+        minhash_dedup,
+    )
+
+    assert dedup_exact(empty_docs).count() == 0
+    pairs = minhash_dedup(empty_docs, threshold=0.5)
+    assert pairs.count() == 0
+    assert dedup_components(pairs).count() == 0
+    out = leakage_safe_split(empty_docs, pairs, ratio=0.5)
+    assert out.count() == 0 and "split" in out.columns
+
+
+def test_sampling_and_ml_empty(spark, empty_docs):
+    from promi_spark.operators.ml import weak_quality_labels
+    from promi_spark.operators.scale import mixture_sample
+
+    assert mixture_sample(empty_docs, {"src0": 1.0}).count() == 0
+    assert weak_quality_labels(empty_docs).count() == 0
+
+
+def test_similarity_family_empty(spark, empty_emb):
+    from promi_spark.operators.similarity import cosine_near_dups, l2_norm
+
+    norms = empty_emb.select(
+        "vec_id", l2_norm(F.col("embedding").cast("array<double>")).alias("l2")
+    )
+    assert norms.count() == 0
+    assert cosine_near_dups(empty_emb, threshold=0.9).count() == 0
+
+
+def test_asof_join_empty_sides(spark):
+    import datetime as dt
+
+    from promi_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 1))], "id long, key string, ts timestamp"
+    )
+    empty_right = spark.createDataFrame([], "key string, ts timestamp, v string")
+    out = asof_join(left, empty_right, on="key", left_ts="ts").collect()
+    assert len(out) == 1 and out[0]["v_r"] is None  # left survives unmatched
+    empty_left = spark.createDataFrame([], "id long, key string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), "x")], "key string, ts timestamp, v string"
+    )
+    assert asof_join(empty_left, right, on="key", left_ts="ts").count() == 0
+
+
+def test_bpe_empty_corpus(spark, empty_docs):
+    from promi_spark.operators.bpe import bpe_segment, train_bpe
+
+    merges = train_bpe(empty_docs, num_merges=10)
+    assert merges == []
+    assert bpe_segment(empty_docs, merges).count() == 0
