@@ -253,6 +253,116 @@ def token_replay(
     )
 
 
+def dfg_alignment(
+    log: EventLog,
+    model_edges: DataFrame | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Alignment-style conformance over the DFG abstraction: per trace,
+    the minimum total cost of log moves (skip a trace event, cost 1),
+    model moves (insert a model activity, cost 1), and synchronous
+    moves (cost 0) that replays the trace as a walk ``▶ -> ... -> ■``
+    through the directly-follows graph. This is the edit-distance view
+    of conformance (alignments, van der Aalst et al., public
+    formulation) computed against the DFG language rather than a Petri
+    net — an under-approximation of net alignments that is exact for
+    DFG-representable models and runs as a linear DP instead of an A*
+    marking search, which is what makes it distributable.
+
+    Scale shape: the model side collapses to two dense matrices
+    precomputed ON THE DRIVER from the (|alphabet|^2-bounded) DFG —
+    all-pairs model-move distances D via Floyd-Warshall, and
+    ``C[s, a] = min model moves from state s until a sync on activity
+    a is enabled`` — broadcast in the closure. Each trace then aligns
+    in O(len * |alphabet|) with a numpy min-plus fold: per event,
+    ``v = v_pre + 1`` (log move) with ``v[a] = min(v[a],
+    min(v_pre + C[:, a]))`` (sync after optional insertions); the
+    final cost adds the cheapest completion to ``■``. Same
+    parallelism-derived case bucketing as :func:`token_replay` — one
+    shuffle, bounded per-case state.
+
+    Returns (case_id, n_events, align_cost, fitness) where
+    ``fitness = 1 - cost / (n_events + shortest_model_path)`` — the
+    standard worst-case normalization (delete everything, then insert
+    the shortest accepting path).
+
+    ``model_edges`` is the FROZEN reference model: the endpoint-marked
+    edge list from ``directly_follows(clean_log, with_endpoints=True)``
+    mined on historical/curated data. Omitting it mines the DFG from
+    ``log`` itself — which by construction scores every complete trace
+    0 (a log trace's own adjacencies are DFG edges), so self-mining is
+    only the degenerate sanity mode; real conformance checking always
+    separates model log from evaluated log.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from promi_spark.operators.dfg import END, START, directly_follows
+
+    if buckets is None:
+        from promi_spark.operators.scale import parallelism_units
+
+        buckets = parallelism_units(log.df.sparkSession)
+
+    if model_edges is None:
+        model_edges = directly_follows(log, with_endpoints=True)
+    edge_rows = model_edges.select("activity", "next_activity").collect()
+    acts = sorted({r["activity"] for r in edge_rows}
+                  | {r["next_activity"] for r in edge_rows})
+    idx = {a: i for i, a in enumerate(acts)}
+    n = len(acts)
+    INF = np.iinfo(np.int64).max // 4
+    D = np.full((n, n), INF, dtype=np.int64)
+    E = np.zeros((n, n), dtype=bool)
+    for r in edge_rows:
+        E[idx[r["activity"]], idx[r["next_activity"]]] = True
+        D[idx[r["activity"]], idx[r["next_activity"]]] = 1
+    # diagonal AFTER the edge loop: a self-loop edge (a -> a in the DFG)
+    # must not overwrite "stay in place costs 0 moves"
+    np.fill_diagonal(D, 0)
+    for k in range(n):  # Floyd-Warshall on the tiny alphabet graph
+        D = np.minimum(D, D[:, k: k + 1] + D[k: k + 1, :])
+    # C[s, a]: model moves from state s until activity a is enabled.
+    # Inserting the path s ->* p costs D[s, p]; then sync needs p -> a.
+    M = np.where(E, 0, INF)
+    C = (D[:, :, None] + M[None, :, :]).min(axis=1)
+    start_i, end_i = idx[START], idx[END]
+    end_cost = C[:, end_i]  # completion: walk to a predecessor of ■
+    model_len = int(end_cost[start_i])  # shortest accepting path length
+
+    def align(_key, pdf):
+        pdf = pdf.sort_values(["case_id", "seq"], kind="mergesort")
+        rows = []
+        for case_id, grp in pdf.groupby("case_id", sort=False):
+            evs = grp[grp["seq"].notna()]["activity"]
+            codes = [idx.get(a, -1) for a in evs]
+            v = np.full(n, INF, dtype=np.int64)
+            v[start_i] = 0
+            for a in codes:
+                sync = (v + C[:, a]).min() if a >= 0 else INF
+                v = v + 1  # log move from any state
+                if a >= 0 and sync < v[a]:
+                    v[a] = sync
+            cost = int((v + end_cost).min())
+            n_ev = len(codes)
+            denom = n_ev + model_len
+            fitness = 1.0 - cost / denom if denom else 1.0
+            rows.append((case_id, n_ev, cost, round(fitness, 6)))
+        return pd.DataFrame(
+            rows, columns=["case_id", "n_events", "align_cost", "fitness"]
+        )
+
+    return (
+        log.trace_events()
+        .select("case_id", "seq", "activity")
+        .groupBy(F.pmod(F.xxhash64("case_id"), F.lit(buckets)).alias("__b"))
+        .applyInPandas(
+            align,
+            schema="case_id string, n_events int, align_cost int, fitness double",
+        )
+    )
+
+
 @dataclass
 class TreeNode:
     """Process-tree node: ``op`` in {seq, xor, and, loop, act, tau};

@@ -1614,6 +1614,39 @@ def q_leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+@q("dfg_alignment_fitness", None)
+def q_dfg_alignment_fitness(spark, sf_dir):
+    """Alignment-style conformance against a frozen model: mine the DFG
+    from a deterministic half of the traces, align the OTHER half —
+    unseen behavior in the held-out traces surfaces as nonzero edit
+    cost. Rows-only (iterative min-plus DP per trace); hand-checked
+    costs pinned in tests/test_mining_models.py."""
+    from promi_spark.operators.dfg import directly_follows
+    from promi_spark.operators.mining import dfg_alignment
+
+    log = _log(spark, sf_dir)
+    train, test = split(log, 0.5, seed=1)
+    dfg = directly_follows(train, with_endpoints=True)
+    # Prune infrequent inner edges (heuristic-miner style) so the model
+    # is selective — on a dense random log an unpruned DFG accepts
+    # everything and every alignment is trivially 0. Endpoint edges
+    # stay (a trace must be able to start/end).
+    from promi_spark.operators.dfg import END, START
+
+    inner = dfg.filter(
+        (F.col("activity") != START) & (F.col("next_activity") != END)
+    )
+    avg_n = inner.agg(F.avg("n").alias("avg_n"))
+    model = inner.join(F.broadcast(avg_n)).filter(
+        F.col("n") >= F.col("avg_n")
+    ).select("activity", "next_activity", "n").unionByName(
+        dfg.filter(
+            (F.col("activity") == START) | (F.col("next_activity") == END)
+        )
+    )
+    return dfg_alignment(test, model_edges=model)
+
+
 @q("bpe_learned_tokens", None)
 def q_bpe_learned_tokens(spark, sf_dir):
     """Real BPE token budget: learn 300 merges from the corpus
@@ -2001,6 +2034,7 @@ _ORDER = [
     # genuinely oracle-less (iterative / mapInPandas media)
     "leakage_safe_split",  # NEW r5: component-routed split; local-oracled
     "bpe_learned_tokens",  # NEW r5: learned BPE tokenizer (rows-only)
+    "dfg_alignment_fitness",  # NEW r5: alignment conformance (rows-only)
     "quality_classifier",  # NEW r5: MLlib weak-label quality model
     "alpha_places",
     "inductive_tree",

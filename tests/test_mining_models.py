@@ -195,3 +195,59 @@ def test_inductive_df_surface(spark):
         assert 0 <= r["parent_id"] < r["node_id"]
     labels = {r["label"] for r in rows if r["op"] == "act"}
     assert labels == {"a", "b", "c", "d"}
+
+
+def test_dfg_alignment_perfect_and_deviant(spark):
+    """Model from {<a,b,d>, <a,c,d>}: conforming traces align at cost 0
+    / fitness 1; hand-checkable deviations cost exactly their edit
+    distance to the DFG language."""
+    from promi_spark.operators.mining import dfg_alignment
+
+    # model-building traces + deviants in one log: the DFG comes from
+    # the log itself, so align the deviants against a model log
+    model = _mklog(spark, [list("abd"), list("acd")] * 3)
+    rows = {r["case_id"]: r for r in dfg_alignment(model).collect()}
+    assert all(r["align_cost"] == 0 and r["fitness"] == 1.0 for r in rows.values())
+
+
+def test_dfg_alignment_frozen_model_costs(spark):
+    """Deviants aligned against a FROZEN model (the real usage — a DFG
+    mined from the evaluated log legalizes its own traces by
+    construction): model edges from clean {<a,b,d>, <a,c,d>}, then
+    hand-checkable costs for skip / noise / reorder / empty traces."""
+    from promi_spark.log import EventLog
+    from promi_spark.operators.dfg import directly_follows
+    from promi_spark.operators.mining import dfg_alignment
+
+    model_log = _mklog(spark, [list("abd"), list("acd")] * 4)
+    model = directly_follows(model_log, with_endpoints=True)
+
+    rows = []
+    for cid, acts in (
+        ("clean", list("abd")),   # 0: legal walk
+        ("skip", list("ad")),     # 1: insert b or c between a and d
+        ("noise", list("abxd")),  # 1: log-move the unseen x
+        ("reorder", list("da")),  # 3: log-move d, sync a, insert b,d
+    ):
+        for s_, a in enumerate(acts):
+            rows.append((cid, s_, a, None))
+    df = spark.createDataFrame(
+        rows, "case_id string, seq long, activity string, ts timestamp"
+    )
+    marker = spark.createDataFrame(
+        [("empty", None, None, None)],
+        "case_id string, seq long, activity string, ts timestamp",
+    )
+    log = EventLog.from_events(df.unionByName(marker))
+    out = {r["case_id"]: r for r in dfg_alignment(log, model_edges=model).collect()}
+
+    assert out["clean"]["align_cost"] == 0 and out["clean"]["fitness"] == 1.0
+    assert out["skip"]["align_cost"] == 1
+    assert out["noise"]["align_cost"] == 1
+    assert out["reorder"]["align_cost"] == 3
+    # empty trace: the full shortest accepting path is inserted
+    assert out["empty"]["n_events"] == 0
+    assert out["empty"]["align_cost"] == 3  # >->a->{b|c}->d->#
+    assert out["empty"]["fitness"] == 0.0
+    # fitness normalization: cost / (n_events + model_len)
+    assert out["skip"]["fitness"] == 1.0 - 1 / (2 + 3)
