@@ -126,6 +126,9 @@ EXTRAS = [
     "mixture_sample",
     "leakage_safe_split",
     "quality_classifier",
+    "tpch_q3",
+    "bpe_learned_tokens",
+    "dfg_alignment_fitness",
 ]
 
 

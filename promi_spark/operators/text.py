@@ -564,6 +564,62 @@ def cross_doc_substrings(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb boilerplate
+    step, public formulation): any line occurring at least ``min_count``
+    times ACROSS THE CORPUS is removed from every document (cookie
+    banners, nav menus, license footers). Returns
+    ``(key_col, text, n_lines, n_removed)`` with surviving lines
+    rejoined in their original order.
+
+    Scale shape: one corpus scan -> posexplode of the line split ->
+    ONE exchange on the line (window count = corpus-wide occurrences;
+    the hot boilerplate lines are exactly the skewed keys, which AQE
+    splits) -> ONE exchange back on the doc key where the surviving
+    lines are re-sorted by position and rejoined. No join against a
+    separate counts relation — the frequency rides the window, so the
+    exploded relation moves once. The reassembly buffers one document's
+    lines per group, the same bound as reading the document.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(key_col).alias("k"),
+        F.posexplode_outer(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("line"))
+    flagged = ex.select("k", "pos", "line", (n_occ >= min_count).alias("dup"))
+    return (
+        flagged.groupBy("k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("dup"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("dup").cast("long")).alias("n_removed"),
+        )
+        .withColumnRenamed("k", key_col)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text — the exact-dedup key (a cheap stand-in for a rolling Rabin

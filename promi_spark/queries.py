@@ -1202,6 +1202,37 @@ def q_asof_attribution(spark, sf_dir):
     )
 
 
+@q(
+    "line_dedup_docs",
+    r"""
+    WITH lines AS (
+      SELECT doc_id, i - 1 AS pos, list_extract(parts, i) AS line
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+           LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+    ),
+    cnt AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY line) >= 30 AS dup
+      FROM lines
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' '
+                               ORDER BY pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_line_dedup_docs(spark, sf_dir):
+    """C4-style corpus-level line dedup. The synthetic docs carry no
+    newlines, so the oracle configuration uses the token separator —
+    the same explode/window/reassemble plan, hash-checked end to end;
+    real newline-separated corpora just change ``sep``."""
+    return text.line_dedup(
+        load_table(spark, "documents", sf_dir), sep=" ", min_count=30
+    )
+
+
 # Pinned mixing rates for the oracle query — the thresholds are shared
 # with the DuckDB replay through split.hex_threshold.
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -2018,6 +2049,7 @@ _ORDER = [
     "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
     "source_mix",  # NEW r5 (per-source mixing report); local-oracled
     "incremental_dedup",  # NEW r5 (index-probe ingest dedup); local-oracled
+    "line_dedup_docs",  # NEW r5 (C4-style corpus line dedup); local-oracled
     "lm_quality",  # NEW r5 (bigram LM quality scores); local-oracled
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling

@@ -302,3 +302,30 @@ def test_decontaminate_shuffle_mode_matches_broadcast(spark):
         for r in ngram_overlap(train, bench, n=5, broadcast=False).collect()
     }
     assert a == b and any(v[2] for v in a.values())
+
+
+def test_line_dedup_removes_corpus_boilerplate(spark):
+    """C4-style: a nav/footer line repeated across >= min_count docs is
+    stripped from every document; unique lines survive in order; a doc
+    that is all boilerplate degrades to empty text."""
+    from promi_spark.operators.text import line_dedup
+
+    nav = "home | products | contact"
+    docs = _docs(
+        spark,
+        [
+            f"{nav}\nunique article one\nmore text",
+            f"intro line\n{nav}\nunique article two",
+            f"{nav}",                      # all boilerplate
+            "standalone doc with no nav",
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_count=3).collect()}
+    assert out[0]["text"] == "unique article one\nmore text"
+    assert out[1]["text"] == "intro line\nunique article two"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 1
+    assert out[3]["text"] == "standalone doc with no nav"
+    # below the threshold nothing is removed
+    out2 = {r["doc_id"]: r for r in line_dedup(docs, min_count=4).collect()}
+    assert all(r["n_removed"] == 0 for r in out2.values())
