@@ -192,6 +192,47 @@ def write_shards(
     ).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_mb)`` files. Streaming sinks and
+    fine-grained ingest leave thousands of KB-scale files whose
+    per-file open/footer cost dominates scans at scale; nightly
+    compaction to scan-sized files is the standard fix.
+
+    Sizing reads the actual byte size from the Hadoop FileSystem (any
+    supported scheme, not just local disk). Reducing file count uses
+    ``coalesce`` — a NARROW rewrite, no shuffle: tasks concatenate
+    input splits — and only growing the file count (splitting a few
+    huge files) pays a round-robin repartition. Returns the
+    before/after accounting the caller should log."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    n_bytes = summary.getLength()
+    n_files_in = summary.getFileCount()
+    n_out = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(in_path)
+    n_parts = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out <= n_parts else df.repartition(n_out)
+    out.write.mode(mode).parquet(out_path)
+    return {
+        "input_bytes": int(n_bytes),
+        "input_files": int(n_files_in),
+        "output_files": int(n_out),
+        "target_file_mb": target_file_mb,
+    }
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
 ) -> DataFrame:

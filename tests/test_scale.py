@@ -133,3 +133,24 @@ def test_write_shards_one_file_per_shard(spark, tmp_path):
     assert joined.filter(F.col("shard") != F.col("expect")).count() == 0
     for d in g.glob(f"{p}/shard=*"):
         assert len(g.glob(f"{d}/*.parquet")) == 1
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Many tiny files -> one scan-sized file, rows intact; the
+    reduction path is a narrow coalesce (no shuffle)."""
+    import glob
+
+    from promi_spark.operators.scale import compact_parquet
+
+    src = str(tmp_path / "small")
+    spark.range(10000).withColumnRenamed("id", "v").repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    dst = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert stats["input_files"] >= 64
+    assert stats["output_files"] == 1
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 10000
+    # byte accounting is real filesystem data, not an estimate
+    assert stats["input_bytes"] > 0
