@@ -968,6 +968,49 @@ def q_tpch_q3(spark, sf_dir):
 
 
 @q(
+    "tpch_q14",
+    """
+    SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                     ELSE CAST(0 AS DECIMAL(28,10)) END)
+                 / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
+                 AS DOUBLE), 4) AS promo_revenue_pct,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): date-pruned fact scan x
+    broadcast part dimension, decimal-exact conditional aggregation,
+    one ratio at the end — the canonical conditional-agg-over-join."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                (
+                    100.0
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                    / F.sum(rev)
+                ).cast("double"),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
     "revenue_by_nation",
     """
     SELECT r_name, n_name,
@@ -2059,6 +2102,7 @@ _ORDER = [
     "intersect_set_op",  # O5 ⊂ except_set_op
     "dfg",
     "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
+    "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",
