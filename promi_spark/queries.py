@@ -968,6 +968,105 @@ def q_tpch_q3(spark, sf_dir):
 
 
 @q(
+    "rolling_user_activity",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+             AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_user_activity(spark, sf_dir):
+    """Time-range rolling features: per event, the user's event count
+    and decimal-exact value sum over the trailing hour — the classic
+    feature-engineering range window (frame defined by the ORDER
+    VALUE, so equal-timestamp rows share one frame and the result is
+    deterministic). One exchange on the user key."""
+    ev = load_table(spark, "events", sf_dir)
+    # raw table ts is TIMESTAMP_NTZ; session tz is UTC so the cast is
+    # value-preserving and unlocks unix_micros
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("value_1h"),
+    )
+
+
+@q(
+    "user_sessions",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM lagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap): lag to mark
+    session starts, running sum to number them, one rollup per
+    session — the batch twin of the streaming ``sessionize`` operator,
+    here with a DuckDB oracle. Both windows and the rollup share the
+    user-key exchange."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sid = F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.select("user_id", "ts", sid.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+    )
+
+
+@q(
     "tpch_q14",
     """
     SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -2103,6 +2202,8 @@ _ORDER = [
     "dfg",
     "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
     "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
+    "rolling_user_activity",  # NEW r5: time-range window; local-oracled
+    "user_sessions",  # NEW r5: batch sessionization; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",
