@@ -589,11 +589,15 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
+    import re as _re
+
+    # F.split takes a REGEX — escape so a literal separator like '.'
+    # or '|' splits on itself, matching the literal rejoin below.
     ex = df.select(
         F.col(key_col).alias("k"),
-        F.posexplode_outer(F.split(F.col(text_col), F.lit(sep), -1)).alias(
-            "pos", "line"
-        ),
+        F.posexplode_outer(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
     )
     n_occ = F.count(F.lit(1)).over(Window.partitionBy("line"))
     flagged = ex.select("k", "pos", "line", (n_occ >= min_count).alias("dup"))

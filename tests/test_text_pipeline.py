@@ -329,3 +329,14 @@ def test_line_dedup_removes_corpus_boilerplate(spark):
     # below the threshold nothing is removed
     out2 = {r["doc_id"]: r for r in line_dedup(docs, min_count=4).collect()}
     assert all(r["n_removed"] == 0 for r in out2.values())
+
+
+def test_line_dedup_regex_special_separator(spark):
+    """A separator that is also a regex metacharacter ('.', '|') must
+    split literally — F.split takes a regex, so the operator escapes."""
+    from promi_spark.operators.text import line_dedup
+
+    docs = _docs(spark, ["keep me|spam|more", "x|spam|y", "a|spam|b"])
+    out = {r["doc_id"]: r for r in line_dedup(docs, sep="|", min_count=3).collect()}
+    assert out[0]["text"] == "keep me|more" and out[0]["n_removed"] == 1
+    assert out[1]["text"] == "x|y"
