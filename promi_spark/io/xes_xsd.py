@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from datetime import date
 
 __all__ = ["validate_xes", "is_valid_xes"]
 
@@ -72,15 +71,24 @@ def _is_decimal(s: str) -> bool:
     return bool(_DECIMAL_RE.match(s.strip()))
 
 
+_MONTH_DAYS = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
 def _is_datetime(s: str) -> bool:
     m = _DATETIME_RE.match(s.strip())
     if not m:
         return False
-    year, month, day = m.group(1), int(m.group(2)), int(m.group(3))
+    year, month, day = int(m.group(1)), int(m.group(2)), int(m.group(3))
     hh, mm, ss = int(m.group(4)), int(m.group(5)), int(m.group(6))
-    try:
-        date(max(min(int(year), 9999), 1), month, day)  # calendar check
-    except ValueError:
+    # proleptic-Gregorian calendar check for ANY year (datetime.date
+    # only covers 1..9999, and clamping would judge leap days against
+    # the wrong year); year 0000 is invalid in the XSD 1.0 lexical
+    # space xmllint enforces
+    if year == 0 or not 1 <= month <= 12:
+        return False
+    leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+    max_day = 29 if (month == 2 and leap) else _MONTH_DAYS[month - 1]
+    if not 1 <= day <= max_day:
         return False
     if hh == 24:  # xs:dateTime allows 24:00:00(.0*) as end-of-day
         if mm != 0 or ss != 0 or (m.group(7) or "").strip(".0"):

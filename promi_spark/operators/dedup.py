@@ -503,6 +503,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .persist()
     )
     n_rounds = 0
+    converged = False
     try:
         for _ in range(max_iter):
             n_rounds += 1
@@ -525,26 +526,34 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
+            try:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .count()
+                )
+            except BaseException:
+                # the action failed mid-round: new_labels would escape
+                # the `labels` rotation below and stay pinned forever
+                new_labels.unpersist()
+                raise
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        else:
-            # release the round state before raising — a failed run must
-            # not leave two cached relations pinned in the session
-            labels.unpersist()
+        if not converged:
             raise RuntimeError(
                 f"dedup_components did not converge in {max_iter} rounds "
                 "(pair-graph diameter exceeds max_iter); raise max_iter"
             )
     finally:
         sym.unpersist()
+        if not converged:
+            # any failure path (action error, non-convergence) must not
+            # leave the current round's labels pinned in the session
+            labels.unpersist()
     out = labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -67,25 +67,37 @@ def asof_join(
     # Common union schema: keys + event time + side tag + left payload
     # (NULL on right rows) + right payload (NULL on left rows). The
     # side tag orders right rows BEFORE left rows at equal timestamps
-    # so ties match inclusively in both directions.
+    # so ties match inclusively in both directions. The right payload
+    # travels as ONE struct so the forward fill carries whole rows —
+    # per-column last(ignorenulls) would back-fill a matched row's
+    # NULL payload value from an OLDER right row, fabricating a row
+    # that never existed (the matched row's own NULLs must survive,
+    # as they do in DuckDB's ASOF LEFT JOIN).
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct_type = StructType(
+        [StructField(ts_r, right.schema[right_ts].dataType)]
+        + [
+            StructField(a, right.schema[c].dataType)
+            for c, a in zip(right_cols, rcols)
+        ]
+    )
     r_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.col(right_ts).alias(ts_r),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, rcols)],
+        F.struct(
+            F.col(right_ts).alias(ts_r),
+            *[F.col(c).alias(a) for c, a in zip(right_cols, rcols)],
+        ).alias("__r"),
     )
     l_side = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         *lcols,
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_r),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(a)
-            for c, a in zip(right_cols, rcols)
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     order = [F.col("__t"), F.col("__side")]
     if direction == "forward":
@@ -100,9 +112,14 @@ def asof_join(
         "__t",
         "__side",
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [ts_r] + rcols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    out = filled.filter(F.col("__side") == 1)
+    out = filled.filter(F.col("__side") == 1).select(
+        *keys,
+        "__t",
+        *lcols,
+        *[F.col(f"__r.{c}").alias(c) for c in [ts_r] + rcols],
+    )
     if tolerance is not None:
         gap_ok = (
             F.col(ts_r) >= F.col("__t") - tolerance

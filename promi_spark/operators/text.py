@@ -106,6 +106,7 @@ def bigram_lm_scores(
     alpha: float = 0.5,
     train_df: DataFrame | None = None,
     cross_entropy: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Word-bigram language-model quality signal per document
     (CCNet-style: text whose n-grams are improbable under a reference
@@ -120,8 +121,12 @@ def bigram_lm_scores(
     and the per-doc fold runs in token order over a collected array,
     never as a shuffled float SUM).
 
-    Scale shape: one tokenize pass feeds the bigram / context-count
-    tables (map-side combined aggs); scoring equi-joins each doc's
+    Scale shape: the tokenized relation is persisted once (``cache``)
+    and feeds all four consumers — the bigram and context count
+    tables, the vocabulary count, and the per-doc scoring rows — so
+    normalization+tokenization runs one pass, not four; release via
+    the returned DataFrame's ``toks_cache`` handle (as with
+    ``minhash_dedup``). Scoring equi-joins each doc's
     bigram rows to the bigram table (shuffle join, AQE-splittable) and
     to the vocab-sized context table, with the scalar vocabulary size
     attached via a broadcast 1-row cross join (no driver round-trip).
@@ -142,7 +147,14 @@ def bigram_lm_scores(
         )
 
     base = toks_of(df)
-    train = base if train_df is None else toks_of(train_df)
+    if cache:
+        base = base.persist()
+    if train_df is None:
+        train = base
+    else:
+        train = toks_of(train_df)
+        if cache:
+            train = train.persist()
     c12 = (
         train.select(F.explode(bigrams(F.col("toks"))).alias("big"))
         .groupBy("big")
@@ -187,12 +199,15 @@ def bigram_lm_scores(
         + (-F.log(x["p"]) if cross_entropy else x["p"]),
     )
     score_name = "avg_neg_log_p" if cross_entropy else "mean_bigram_p"
-    return folded.select(
+    out = folded.select(
         F.col("k").alias(key_col),
         n.cast("long").alias("n_bigrams"),
         F.round(F.col("n_oov") / n, 4).alias("oov_rate"),
         F.round(fold / n, 6).alias(score_name),
     )
+    out.toks_cache = base if cache else None
+    out.train_toks_cache = train if (cache and train is not base) else None
+    return out
 
 
 def source_mix(

@@ -532,11 +532,17 @@ def _leakage_safe_split(ctx, df, ratio: float, side: str | None = None,
                   Param("num_features", int, 2**14),
                   Param("min_tokens", int, 20, "weak-label clean bar"),
                   Param("max_punct_ratio", float, 0.12),
+                  Param("train_fraction", float, None,
+                        "fit on this sample of the weak labels — a "
+                        "linear model saturates long before the full "
+                        "corpus; unset trains on everything"),
+                  Param("seed", int, 0),
                   Param("text_col", str, "text")])
 def _quality_score(ctx, df, min_prob: float = 0.0,
                    num_features: int = 2**14, min_tokens: int = 20,
-                   max_punct_ratio: float = 0.12, text_col: str = "text",
-                   **_):
+                   max_punct_ratio: float = 0.12,
+                   train_fraction: float | None = None, seed: int = 0,
+                   text_col: str = "text", **_):
     from pyspark.sql import functions as F
 
     from promi_spark.operators.ml import (
@@ -548,7 +554,8 @@ def _quality_score(ctx, df, min_prob: float = 0.0,
         max_punct_ratio=max_punct_ratio,
     )
     model = train_quality_classifier(
-        weak, text_col=text_col, num_features=num_features
+        weak, text_col=text_col, num_features=num_features,
+        train_fraction=train_fraction, seed=seed,
     )
     out = score_quality(model, df, text_col=text_col)
     if min_prob > 0:

@@ -206,10 +206,14 @@ def streaming_neardup_ingest(
     100 TB corpus is never re-tokenized and each batch pays only its
     own cost.
 
-    Drop rule matches the batch pipeline's keep-smallest convention:
-    a batch doc is rejected when it is the GREATER side of any verified
-    pair (its partner being either an index doc or an earlier-keyed
-    batch doc). The index itself is refreshed by the periodic batch job
+    Drop rule: a batch doc is rejected when it near-duplicates an
+    INDEX doc (regardless of key order — the corpus doc is already
+    committed, so the incoming copy always loses, even when its key
+    sorts first), or when it is the greater side of a within-batch
+    pair (the batch-internal keep-smallest convention). Each reject
+    row reports its best-matching partner and THAT partner's
+    similarity (one consistent pair, not independent min/max
+    aggregates). The index itself is refreshed by the periodic batch job
     (:func:`operators.dedup.write_minhash_index`) — an ingest stream
     appending to its own probe index would make results order-dependent
     within a batch. Returns the started query (availableNow trigger;
@@ -228,15 +232,40 @@ def streaming_neardup_ingest(
             include_new_pairs=True,
             cache=False,
         )
-        batch_keys = batch.select(F.col(key_col).alias("b"))
-        rejects = (
-            pairs.join(batch_keys, "b")  # greater side that is IN the batch
-            .groupBy("b")
-            .agg(
-                F.min("a").alias("dup_of"),
-                F.max("jaccard_sim").alias("jaccard_sim"),
+        keys_df = batch.select(F.col(key_col))
+        a_in = keys_df.withColumnsRenamed({key_col: "a"}).withColumn(
+            "_a_in", F.lit(True)
+        )
+        b_in = keys_df.withColumnsRenamed({key_col: "b"}).withColumn(
+            "_b_in", F.lit(True)
+        )
+        marked = (
+            pairs.join(a_in, "a", "left")
+            .join(b_in, "b", "left")
+            .select(
+                "a", "b", "jaccard_sim",
+                F.coalesce("_a_in", F.lit(False)).alias("a_in"),
+                F.coalesce("_b_in", F.lit(False)).alias("b_in"),
             )
-            .withColumnRenamed("b", key_col)
+        )
+        # greater side in batch: loses to an index doc OR an
+        # earlier-keyed batch doc; smaller side in batch: loses only
+        # when the partner is an index doc (already committed)
+        rej_b = marked.filter(F.col("b_in")).select(
+            F.col("b").alias(key_col), F.col("a").alias("partner"), "jaccard_sim"
+        )
+        rej_a = marked.filter(F.col("a_in") & ~F.col("b_in")).select(
+            F.col("a").alias(key_col), F.col("b").alias("partner"), "jaccard_sim"
+        )
+        rejects = (
+            rej_b.unionByName(rej_a)
+            .groupBy(key_col)
+            .agg(F.max(F.struct("jaccard_sim", "partner")).alias("m"))
+            .select(
+                key_col,
+                F.col("m.partner").alias("dup_of"),
+                F.col("m.jaccard_sim").alias("jaccard_sim"),
+            )
         )
         survivors = batch.join(
             rejects.select(key_col), key_col, "left_anti"

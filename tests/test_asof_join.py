@@ -88,3 +88,24 @@ def test_single_exchange_plan(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     plan = je.explainString(mode.fromString("formatted"))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_matched_row_null_payload_survives(spark):
+    """A matched right row's own NULL payload must NOT be back-filled
+    from an older right row (the payload travels as one struct): the
+    result has to agree with DuckDB's ASOF LEFT JOIN row semantics."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T03:00:00"))], "id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01T01:00:00"), 100.0),
+            ("u", _ts("2024-01-01T02:00:00"), None),  # the actual match
+        ],
+        "user string, ts timestamp, price double",
+    )
+    rows = asof_join(left, right, on="user", left_ts="ts").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ts_r"] == _ts("2024-01-01T02:00:00")
+    assert r["price_r"] is None  # NOT 100.0 from the older row

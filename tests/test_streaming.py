@@ -241,14 +241,18 @@ def test_streaming_neardup_ingest_gate(spark, tmp_path):
     corpus_text = "the quick brown fox jumps over the lazy dog near the river bank today"
     other_text = "completely different content about distributed query engines and shuffle costs"
     pair_text = "a third body of text repeated verbatim inside the incoming batch of documents"
+    high_text = "an indexed corpus document whose key sorts after every incoming batch key"
     corpus = spark.createDataFrame(
-        [(0, corpus_text), (1, other_text)], "doc_id long, text string"
+        [(0, corpus_text), (1, other_text), (500, high_text)],
+        "doc_id long, text string",
     )
     index = str(tmp_path / "index")
     write_minhash_index(corpus, index)
 
     new = spark.createDataFrame(
         [
+            (7, high_text),              # near-dup of INDEX doc 500: key
+                                         # sorts FIRST but must still lose
             (100, corpus_text),          # near-dup of corpus doc 0
             (101, "fresh unique document with its own words and no overlap with anything"),
             (102, pair_text),            # within-batch pair, smaller key: kept
@@ -278,6 +282,7 @@ def test_streaming_neardup_ingest_gate(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "reject")).collect()
     }
     assert good == {101, 102}
-    assert set(rej) == {100, 103}
+    assert set(rej) == {7, 100, 103}
     assert rej[100][0] == 0 and rej[100][1] == 1.0   # matched the corpus doc
     assert rej[103][0] == 102 and rej[103][1] == 1.0  # within-batch pair
+    assert rej[7][0] == 500 and rej[7][1] == 1.0     # smaller key still loses

@@ -72,6 +72,10 @@ VALID_MIN = '<log xes.version="1.0"><trace><event><string key="a" value="x"/></e
          "Feb 30"),
         ('<log xes.version="1.0"><event><date key="k" value="2024-01-01 00:00:00"/></event></log>',
          "missing T separator"),
+        ('<log xes.version="1.0"><event><date key="k" value="0000-01-01T00:00:00Z"/></event></log>',
+         "year 0000 invalid in XSD 1.0"),
+        ('<log xes.version="1.0"><event><date key="k" value="2100-02-29T00:00:00Z"/></event></log>',
+         "2100 is not a leap year"),
         ('<log xes.version="1.0"><event><int key="k" value="1.5"/></event></log>',
          "non-integral long"),
         ('<log xes.version="1.0"><event><int key="k" value="9223372036854775808"/></event></log>',
@@ -116,6 +120,9 @@ def test_rejects(tmp_path, doc, reason):
         '<date key="d" value="2024-06-01T24:00:00Z"/>'
         '<int key="i" value="-42"/><float key="f" value="-1.5e-3"/>'
         "</event></log>",
+        # 5-digit leap year: valid proleptic-Gregorian Feb 29
+        '<log xes.version="1.0"><event>'
+        '<date key="d" value="10000-02-29T00:00:00Z"/></event></log>',
     ],
 )
 def test_accepts(tmp_path, doc):

@@ -27,8 +27,11 @@ _args = sys.argv[1:]
 ALL_ORACLED = "--all-oracled" in _args
 JSON_OUT = None
 if "--json" in _args:
-    JSON_OUT = _args[_args.index("--json") + 1]
-    del _args[_args.index("--json"): _args.index("--json") + 2]
+    i = _args.index("--json")
+    if i + 1 >= len(_args) or _args[i + 1].startswith("--"):
+        sys.exit("usage: --json requires an output path argument")
+    JSON_OUT = _args[i + 1]
+    del _args[i: i + 2]
 _args = [a for a in _args if a != "--all-oracled"]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
