@@ -234,3 +234,29 @@ def test_tpch_q3_broadcasts_filtered_dim(spark, sf):
     assert re.search(r"PushedFilters: \[.*c_mktsegment.*\]", plan) or \
         "c_mktsegment" in plan  # dim filter reaches the scan
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_round5_window_family_exchange_counts(spark, sf):
+    """Shuffle budgets of the round-5 oracled queries: line_dedup moves
+    the exploded lines once (fp window) and the doc rollup once;
+    rolling features and sessionization each share ONE user-key
+    exchange across their windows and rollup (hash(user_id) satisfies
+    the (user_id, session_id) clustering requirement)."""
+    from promi_spark.queries import QUERIES
+
+    for name, want in (
+        ("line_dedup_docs", 2),
+        ("rolling_user_activity", 1),
+        ("user_sessions", 1),
+    ):
+        plan = explain(QUERIES[name][0](spark, sf))
+        got = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert got == want, (name, got)
+
+
+def test_tpch_q14_broadcasts_dim(spark, sf):
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["tpch_q14"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1  # final agg only
