@@ -36,6 +36,8 @@ __all__ = [
     "weak_quality_labels",
     "train_quality_classifier",
     "score_quality",
+    "topic_clusters",
+    "cluster_profile",
 ]
 
 
@@ -137,4 +139,90 @@ def score_quality(
     keep = [c for c in df.columns]
     return scored.select(
         *keep, vector_to_array("probability").getItem(1).alias(out_col)
+    )
+
+
+def topic_clusters(
+    df: DataFrame,
+    k: int = 16,
+    num_features: int = 2**16,
+    seed: int = 0,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus map: assign every document to one of ``k`` content
+    clusters — hashed-TF vectors, L2-normalized (so k-means distance is
+    a cosine proxy), distributed MLlib k-means. The curation view a
+    pretraining pipeline uses to see WHAT is in a crawl, spot
+    over-represented content families, and set per-cluster sampling
+    weights (the clustering half of the SemDeDup recipe, here exposed
+    as its own operator).
+
+    All stages JVM-side; training state is k dense centroids
+    (``k * num_features`` doubles at worst, sparse in practice).
+    Returns (key_col, cluster)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import HashingTF, Normalizer, RegexTokenizer
+
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col, outputCol="__toks", pattern=r"\s+",
+                toLowercase=True,
+            ),
+            HashingTF(
+                inputCol="__toks", outputCol="__tf", numFeatures=num_features
+            ),
+            Normalizer(inputCol="__tf", outputCol="__features", p=2.0),
+            KMeans(
+                featuresCol="__features", predictionCol="cluster", k=k,
+                seed=seed,
+            ),
+        ]
+    )
+    model = pipe.fit(df)
+    return model.transform(df).select(key_col, "cluster")
+
+
+def cluster_profile(
+    df: DataFrame,
+    assignments: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-cluster curation profile: doc count, corpus share, mean doc
+    length, and the dominant source — one join on the doc key, one
+    map-side-combined rollup, a window over the (k-row) aggregate for
+    shares and the per-cluster top source."""
+    from pyspark.sql import Window
+
+    joined = df.join(assignments, key_col)
+    per_src = (
+        joined.groupBy("cluster", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+    )
+    w = Window.partitionBy("cluster")
+    ranked = per_src.select(
+        "cluster",
+        "n",
+        "chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n").desc(), "source"))
+        .alias("rk"),
+        F.first("source").over(w.orderBy(F.col("n").desc(), "source")).alias(
+            "top_source"
+        ),
+        F.sum("n").over(w).alias("n_docs"),
+        F.sum("chars").over(w).alias("cluster_chars"),
+    ).filter(F.col("rk") == 1)
+    total = Window.partitionBy()
+    return ranked.select(
+        "cluster",
+        F.col("n_docs").alias("n_docs"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 4).alias("share"),
+        F.round(F.col("cluster_chars") / F.col("n_docs"), 1).alias("mean_chars"),
+        "top_source",
     )

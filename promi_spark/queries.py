@@ -1820,6 +1820,20 @@ def q_dfg_alignment_fitness(spark, sf_dir):
     return dfg_alignment(test, model_edges=model)
 
 
+@q("topic_map", None)
+def q_topic_map(spark, sf_dir):
+    """Corpus map: hashed-TF + k-means content clusters with per-
+    cluster curation profile (count, share, mean length, dominant
+    source). Rows-only: k-means float centroids are not engine-
+    portable; separation behavior pinned on disjoint-vocabulary
+    corpora in tests."""
+    from promi_spark.operators.ml import cluster_profile, topic_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    assign = topic_clusters(docs, k=8, num_features=2**14)
+    return cluster_profile(docs, assign)
+
+
 @q("bpe_learned_tokens", None)
 def q_bpe_learned_tokens(spark, sf_dir):
     """Real BPE token budget: learn 300 merges from the corpus
@@ -2211,6 +2225,7 @@ _ORDER = [
     # genuinely oracle-less (iterative / mapInPandas media)
     "leakage_safe_split",  # NEW r5: component-routed split; local-oracled
     "bpe_learned_tokens",  # NEW r5: learned BPE tokenizer (rows-only)
+    "topic_map",  # NEW r5: k-means corpus map (rows-only)
     "dfg_alignment_fitness",  # NEW r5: alignment conformance (rows-only)
     "quality_classifier",  # NEW r5: MLlib weak-label quality model
     "alpha_places",

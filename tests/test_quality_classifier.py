@@ -115,3 +115,25 @@ def test_model_save_load_scores_identically(spark, tmp_path):
     a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, docs).collect()}
     b = {r["doc_id"]: r["quality_prob"] for r in score_quality(reloaded, docs).collect()}
     assert a == b
+
+
+def test_topic_clusters_separate_vocabularies(spark):
+    """Two disjoint vocabularies land in different clusters; the
+    profile accounts for every document."""
+    from promi_spark.operators.ml import cluster_profile, topic_clusters
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"python spark cluster shuffle partition job {i%3}", "code"))
+    for i in range(20, 40):
+        rows.append((i, f"recipe flour sugar butter oven bake whisk {i%3}", "food"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assign = topic_clusters(docs, k=2, num_features=2**12, seed=7)
+    got = {r["doc_id"]: r["cluster"] for r in assign.collect()}
+    code = {got[i] for i in range(20)}
+    food = {got[i] for i in range(20, 40)}
+    assert len(code) == 1 and len(food) == 1 and code != food
+    prof = cluster_profile(docs, assign).collect()
+    assert sum(r["n_docs"] for r in prof) == 40
+    assert {r["top_source"] for r in prof} == {"code", "food"}
+    assert abs(sum(r["share"] for r in prof) - 1.0) < 1e-6
