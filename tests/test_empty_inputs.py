@@ -93,3 +93,21 @@ def test_bpe_empty_corpus(spark, empty_docs):
     merges = train_bpe(empty_docs, num_merges=10)
     assert merges == []
     assert bpe_segment(empty_docs, merges).count() == 0
+
+
+def test_line_dedup_and_windows_empty(spark, empty_docs):
+    from promi_spark.operators.text import line_dedup
+
+    assert line_dedup(empty_docs).count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    assert empty_ev.select(F.count(F.lit(1)).over(w).alias("n")).count() == 0
