@@ -2122,13 +2122,16 @@ def q_media_embeddings(spark, sf_dir):
 # bpe_token_counts) get driver rows; the six rotated out all have
 # driver-green rows from rounds 1-4 AND an in-window family witness.
 _ORDER = [
-    # A1-A4 statistics + grouping sets
+    # A1-A4 statistics + grouping sets (per_trace_counts /
+    # activity_stats rotated out — driver-green r1-r4, family kept by
+    # stats_counts + activity_dow_cube; line_dedup_docs +
+    # user_sessions NEW r5 take their driver slots)
     "stats_counts",
-    "per_trace_counts",
     "trace_intervals",
     "classifier_counts",
-    "activity_stats",
     "activity_dow_cube",
+    "line_dedup_docs",
+    "user_sessions",
     # F1-F7 filters (one witness per family: eq + strict(F1) + org eq +
     # time containment + trace scope + CNF)
     "filter_concept_eq_strict",
@@ -2205,7 +2208,8 @@ _ORDER = [
     "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
     "source_mix",  # NEW r5 (per-source mixing report); local-oracled
     "incremental_dedup",  # NEW r5 (index-probe ingest dedup); local-oracled
-    "line_dedup_docs",  # NEW r5 (C4-style corpus line dedup); local-oracled
+    "per_trace_counts",  # A1 ⊂ stats family (driver-green r1-r4)
+    "activity_stats",  # A1 ⊂ stats family (driver-green r1-r4)
     "lm_quality",  # NEW r5 (bigram LM quality scores); local-oracled
     "filter_concept_in",  # F5 ⊂ filter_concept_eq(+strict)
     "filter_concept_match",  # F5 rlike sibling
@@ -2217,7 +2221,6 @@ _ORDER = [
     "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
     "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
     "rolling_user_activity",  # NEW r5: time-range window; local-oracled
-    "user_sessions",  # NEW r5: batch sessionization; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",
