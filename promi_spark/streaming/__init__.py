@@ -5,6 +5,7 @@ from promi_spark.streaming.engine import (
     run_to_memory,
     sessionize,
     stateful_dfg,
+    stream_interval_join,
     streaming_dfg,
     streaming_neardup_ingest,
     streaming_stats,
@@ -18,6 +19,7 @@ __all__ = [
     "run_to_memory",
     "sessionize",
     "stateful_dfg",
+    "stream_interval_join",
     "streaming_dfg",
     "streaming_neardup_ingest",
     "streaming_stats",

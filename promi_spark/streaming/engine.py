@@ -188,6 +188,50 @@ def write_with_dlq(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event joined
+    to the right-stream events of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the streaming enrichment shape
+    (purchases x recent signups, trades x recent quotes). INNER join:
+    Structured Streaming's state cleanup contract requires the time
+    bound + watermarks on both sides, which is exactly what bounds the
+    join state to the lookback window per key instead of stream
+    history.
+
+    Columns of the right side are suffixed; the left keeps its names.
+    Pure declarative plan — Spark manages the dual state stores, drops
+    rows older than the watermark, and emits as matches complete.
+    """
+    rc = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias(f"{on}{suffix}"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rc],
+    )
+    cond = (
+        (F.col(on) == F.col(f"{on}{suffix}"))
+        & (F.col(f"{right_ts}{suffix}") <= F.col(left_ts))
+        & (
+            F.col(f"{right_ts}{suffix}")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(f"{on}{suffix}")
+
+
 def streaming_neardup_ingest(
     docs: DataFrame,
     index_path: str,

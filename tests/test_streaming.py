@@ -286,3 +286,47 @@ def test_streaming_neardup_ingest_gate(spark, tmp_path):
     assert rej[100][0] == 0 and rej[100][1] == 1.0   # matched the corpus doc
     assert rej[103][0] == 102 and rej[103][1] == 1.0  # within-batch pair
     assert rej[7][0] == 500 and rej[7][1] == 1.0     # smaller key still loses
+
+
+def test_stream_interval_join_enriches_within_lookback(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases match signups
+    of the same user within the lookback window; older signups and
+    other users don't. Verified against the equivalent batch join."""
+    import datetime as dt
+
+    from promi_spark.streaming import run_to_memory, stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    purchases = [(1, 10, _t(0), 50.0), (2, 10, _t(90), 60.0), (3, 11, _t(10), 70.0)]
+    signups = [(10, _t(-30), "a"), (10, _t(80), "b"), (12, _t(0), "c")]
+    pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+    spark.createDataFrame(
+        purchases, "pid long, user_id long, ts timestamp, amount double"
+    ).write.parquet(pdir)
+    spark.createDataFrame(
+        signups, "user_id long, ts timestamp, tag string"
+    ).write.parquet(sdir)
+
+    lstream = spark.readStream.schema(
+        "pid long, user_id long, ts timestamp, amount double"
+    ).parquet(pdir)
+    rstream = spark.readStream.schema(
+        "user_id long, ts timestamp, tag string"
+    ).parquet(sdir)
+    joined = stream_interval_join(
+        lstream, rstream, on="user_id", lookback="1 hour"
+    )
+    q = run_to_memory(joined, "interval_join")
+    got = {
+        (r["pid"], r["tag_r"])
+        for r in spark.sql("select * from interval_join").collect()
+    }
+    q.stop()
+    # purchase 1 (t0): signup a (t-30) in window; purchase 2 (t90):
+    # signup b (t80) in window, a (t-30) outside 1h lookback;
+    # purchase 3: user 11 has no signups; user 12's signup matches no one
+    assert got == {(1, "a"), (2, "b")}
