@@ -591,6 +591,44 @@ def _decontaminate(ctx, df, n: int = 5, min_shared: int = 1,
     return df.join(clean, key_col, "left_semi")
 
 
+@register("AsofEnrich", "as-of temporal enrichment: attach the most "
+          "recent state row (received on the segment's stream_receiver "
+          "channel) at or before each event's timestamp — the "
+          "single-shuffle union-window as-of join", {"stream"},
+          params=[Param("on", str, description="join key column"),
+                  Param("left_ts", str, "ts"),
+                  Param("right_ts", str, None, "defaults to left_ts"),
+                  Param("direction", str, "backward"),
+                  Param("tolerance", str, None,
+                        "max staleness, e.g. '7 DAYS' — stale matches "
+                        "become NULL")])
+def _asof_enrich(ctx, df, on: str, left_ts: str = "ts",
+                 right_ts: str | None = None, direction: str = "backward",
+                 tolerance: str | None = None, _recv=None, **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.joins import asof_join
+
+    if not _recv:
+        raise FlowConfigError(
+            "AsofEnrich needs the state/right side on a stream_receiver "
+            "channel"
+        )
+    if direction not in ("backward", "forward"):
+        raise FlowConfigError(
+            f"AsofEnrich: direction must be backward|forward, got "
+            f"{direction!r}"
+        )
+    right = ctx.streams[_recv[0]]
+    right_df = right.df if hasattr(right, "df") else right
+    left_df = df.df if hasattr(df, "df") else df
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance else None
+    return asof_join(
+        left_df, right_df, on=on, left_ts=left_ts, right_ts=right_ts,
+        direction=direction, tolerance=tol,
+    )
+
+
 @register("ShardExport", "deterministic fixed-shard parquet export: "
           "stable md5 shard ids, repartitioned on the shard column so "
           "each task owns whole shards (one file per shard)", {"sink"},

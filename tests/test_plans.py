@@ -589,3 +589,36 @@ pipes:
     assert "quality_prob" in got.columns
     probs = [r["quality_prob"] for r in got.collect()]
     assert probs and all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_asof_enrich_segment(spark):
+    """AsofEnrich glue: right side from the receiver channel, interval
+    tolerance parsed from the YAML string, missing channel and bad
+    direction rejected."""
+    import datetime as dt
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from promi_spark.plans.registry import REGISTRY, FlowConfigError
+
+    entry = REGISTRY["AsofEnrich"]
+    left = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 1, 12))], "id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1, 11), "active")],
+        "user string, ts timestamp, state string",
+    )
+    ctx = SimpleNamespace(streams={"state": right})
+    out = entry.fn(ctx, left, on="user", _recv=["state"]).collect()
+    assert out[0]["state_r"] == "active"
+    # tolerance string parses and nulls stale matches
+    tol = entry.fn(
+        ctx, left, on="user", tolerance="30 MINUTES", _recv=["state"]
+    ).collect()
+    assert tol[0]["state_r"] is None  # 1h stale > 30min bound
+    with _pytest.raises(FlowConfigError, match="stream_receiver"):
+        entry.fn(ctx, left, on="user")
+    with _pytest.raises(FlowConfigError, match="direction"):
+        entry.fn(ctx, left, on="user", direction="sideways", _recv=["state"])
