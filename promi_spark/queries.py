@@ -968,6 +968,81 @@ def q_tpch_q3(spark, sf_dir):
 
 
 @q(
+    "funnel_counts",
+    """
+    WITH u1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND u1.t1 IS NOT NULL AND e.ts > u1.t1
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(u1.t1) AS BIGINT) AS n_signup,
+           CAST(count(u2.t2) AS BIGINT) AS n_click_after,
+           CAST(count(u3.t3) AS BIGINT) AS n_purchase_after
+    FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+    """,
+)
+def q_funnel_counts(spark, sf_dir):
+    """Ordered-step funnel (signup -> first later click -> first later
+    purchase): per user, ONE shuffle collects the sorted event array
+    and a single fold walks it carrying (t1, t2, t3) state — no
+    cascaded self-joins; the oracle replays the same semantics as
+    cascaded min CTEs."""
+    ev = load_table(spark, "events", sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp_ntz").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.lit(None).cast("timestamp_ntz").alias("t3"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            F.when(
+                acc["t1"].isNull() & (x["event_type"] == "signup"), x["ts"]
+            ).otherwise(acc["t1"]).alias("t1"),
+            F.when(
+                acc["t2"].isNull()
+                & acc["t1"].isNotNull()
+                & (x["event_type"] == "click")
+                & (x["ts"] > acc["t1"]),
+                x["ts"],
+            ).otherwise(acc["t2"]).alias("t2"),
+            F.when(
+                acc["t3"].isNull()
+                & acc["t2"].isNotNull()
+                & (x["event_type"] == "purchase")
+                & (x["ts"] > acc["t2"]),
+                x["ts"],
+            ).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        F.aggregate(arr, init, step).alias("f")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("f.t1").alias("n_signup"),
+        F.count("f.t2").alias("n_click_after"),
+        F.count("f.t3").alias("n_purchase_after"),
+    )
+
+
+@q(
     "rolling_user_activity",
     """
     SELECT event_id, user_id,
@@ -2221,6 +2296,7 @@ _ORDER = [
     "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
     "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
     "rolling_user_activity",  # NEW r5: time-range window; local-oracled
+    "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

@@ -163,3 +163,48 @@ def test_hex_threshold_bounds():
     assert hex_threshold(0.0) == "00000000"
     assert hex_threshold(1.0) > "ffffffff"  # keep-all sorts after any coin
     assert hex_threshold(0.5) == "80000000"
+
+
+def test_funnel_counts_hand_checked(spark, monkeypatch, tmp_path):
+    """Ordered-step semantics: a click BEFORE the signup doesn't count;
+    a purchase before the qualifying click doesn't count."""
+    import datetime as dt
+
+    from promi_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: full ordered funnel
+    rows += [(1, base, 1, "signup", 0.0, "{}"),
+             (2, base + dt.timedelta(hours=1), 1, "click", 0.0, "{}"),
+             (3, base + dt.timedelta(hours=2), 1, "purchase", 0.0, "{}")]
+    # user 2: click precedes signup -> no qualifying click
+    rows += [(4, base, 2, "click", 0.0, "{}"),
+             (5, base + dt.timedelta(hours=1), 2, "signup", 0.0, "{}")]
+    # user 3: purchase precedes the click -> signup+click only
+    rows += [(6, base, 3, "signup", 0.0, "{}"),
+             (7, base + dt.timedelta(hours=1), 3, "purchase", 0.0, "{}"),
+             (8, base + dt.timedelta(hours=2), 3, "click", 0.0, "{}")]
+    # user 4: never signs up
+    rows += [(9, base, 4, "click", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "events.parquet")
+    df.write.parquet(d)
+    import promi_spark.io as pio
+
+    orig = pio.load_table
+
+    def fake_load(spark_, name, sf_dir):
+        if name == "events":
+            return spark_.read.parquet(d)
+        return orig(spark_, name, sf_dir)
+
+    import promi_spark.queries as q
+    monkeypatch.setattr(q, "load_table", fake_load)
+    got = QUERIES["funnel_counts"][0](spark, "unused").collect()[0]
+    assert (got["n_users"], got["n_signup"], got["n_click_after"],
+            got["n_purchase_after"]) == (4, 3, 2, 1)
