@@ -615,6 +615,111 @@ def inductive_miner_df(log: EventLog) -> DataFrame:
     )
 
 
+def trace_profiles(log: EventLog) -> DataFrame:
+    """Activity-count profile relation: one row per (case_id, activity)
+    with the in-trace occurrence count — the sparse trace feature
+    vector every profile-based trace-clustering formulation starts
+    from (Song & van der Aalst, "Trace Clustering in Process Mining",
+    public formulation). One case-keyed shuffle with map-side combine.
+    """
+    return (
+        log.trace_events()
+        .filter(F.col("seq").isNotNull())
+        .groupBy("case_id", "activity")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def trace_clustering(log: EventLog, k: int = 4, n_iter: int = 0) -> DataFrame:
+    """Trace clustering over activity-count profiles: assign every
+    trace to the nearest of ``k`` centroids in Euclidean profile
+    space. Returns (case_id, cluster, dist2) — ``cluster`` is the
+    seeding trace's case_id, ``dist2`` the squared distance (an exact
+    BIGINT when ``n_iter=0``, since profiles are integer counts).
+
+    Seeding is deterministic (reference determinism contract,
+    ``lib.rs:11-22`` roadmap consumers): the ``k`` lexicographically
+    lowest case_ids are the initial centroids, so the n_iter=0 seeded
+    Voronoi partition is SQL-replayable (the oracle). ``n_iter>0``
+    runs Lloyd refinement with mean-profile centroids (floats).
+
+    Scale shape — no collect, no UDF, never a |traces| x |traces|
+    pairwise relation:
+
+        dist^2(T, C) = ||T||^2 + ||C||^2 - 2 * <T, C>
+
+    so the per-pair work is an *inner-product join on activity*
+    against a broadcast k x |alphabet| centroid relation, plus a
+    k-row broadcast cross join to surface orthogonal (inner = 0)
+    pairs. The profile relation is built once; the three consumers
+    (norms, centroid pick, inner products) share the same shuffle via
+    Spark's ReuseExchange. Tie-break: lowest (dist2, cluster) —
+    deterministic in both engines.
+    """
+    prof = trace_profiles(log)
+    cent_ids = (
+        prof.select("case_id")
+        .distinct()
+        .orderBy("case_id")
+        .limit(k)
+        .select(F.col("case_id").alias("cent_id"))
+    )
+    cent = prof.join(
+        F.broadcast(cent_ids), prof["case_id"] == cent_ids["cent_id"]
+    ).select("cent_id", "activity", F.col("c").cast("double").alias("cc"))
+
+    for it in range(n_iter + 1):
+        cnorm = cent.groupBy("cent_id").agg(
+            F.sum(F.col("cc") * F.col("cc")).alias("cn2")
+        )
+        norms = prof.groupBy("case_id").agg(
+            F.sum(F.col("c") * F.col("c")).cast("double").alias("n2")
+        )
+        ip = (
+            prof.join(F.broadcast(cent), "activity")
+            .groupBy("case_id", "cent_id")
+            .agg(F.sum(F.col("c") * F.col("cc")).alias("ip"))
+        )
+        d2 = F.col("n2") + F.col("cn2") - 2 * F.coalesce(F.col("ip"), F.lit(0.0))
+        assign = (
+            norms.crossJoin(F.broadcast(cnorm))
+            .join(ip, ["case_id", "cent_id"], "left")
+            .withColumn("d2", d2)
+            .groupBy("case_id")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("cent_id").alias("cluster"),
+                        F.col("d2").alias("dist2"),
+                    ),
+                    F.struct("d2", "cent_id"),
+                ).alias("m")
+            )
+            .select("case_id", "m.cluster", "m.dist2")
+        )
+        if it < n_iter:
+            # Lloyd step: mean profile per cluster (implicit zeros for
+            # activities absent from a trace matter — divide the SUM by
+            # the cluster's trace count, not avg over present rows).
+            sizes = assign.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n_traces")
+            )
+            cent = (
+                assign.join(prof, "case_id")
+                .groupBy("cluster", "activity")
+                .agg(F.sum("c").alias("s"))
+                .join(F.broadcast(sizes), "cluster")
+                .select(
+                    F.col("cluster").alias("cent_id"),
+                    "activity",
+                    (F.col("s") / F.col("n_traces")).alias("cc"),
+                )
+            )
+    if n_iter == 0:
+        assign = assign.withColumn("dist2", F.col("dist2").cast("bigint"))
+    return assign
+
+
 def fitness_summary(replayed: DataFrame) -> DataFrame:
     """Log-level conformance: trace-weighted average fitness + share of
     perfectly fitting traces."""

@@ -805,6 +805,52 @@ def q_trace_variants(spark, sf_dir):
     return trace_variants(_log(spark, sf_dir))
 
 
+@q(
+    "trace_clusters",
+    EV
+    + """
+    , prof AS (
+      SELECT case_id, activity, CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY case_id, activity
+    ),
+    cent_ids AS (
+      SELECT case_id AS cent_id
+      FROM (SELECT DISTINCT case_id FROM prof) ORDER BY case_id LIMIT 4
+    ),
+    centp AS (
+      SELECT cent_id, activity, c AS cc
+      FROM prof JOIN cent_ids ON case_id = cent_id
+    ),
+    cnorm AS (SELECT cent_id, sum(cc * cc) AS cn2 FROM centp GROUP BY cent_id),
+    norms AS (SELECT case_id, sum(c * c) AS n2 FROM prof GROUP BY case_id),
+    ip AS (
+      SELECT p.case_id, cp.cent_id, sum(p.c * cp.cc) AS ip
+      FROM prof p JOIN centp cp USING (activity)
+      GROUP BY p.case_id, cp.cent_id
+    ),
+    d AS (
+      SELECT n.case_id, c.cent_id,
+             n.n2 + c.cn2 - 2 * coalesce(ip.ip, 0) AS d2
+      FROM norms n CROSS JOIN cnorm c
+      LEFT JOIN ip ON ip.case_id = n.case_id AND ip.cent_id = c.cent_id
+    )
+    SELECT case_id, cent_id AS cluster, CAST(d2 AS BIGINT) AS dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY case_id
+                                       ORDER BY d2, cent_id) AS rn FROM d)
+    WHERE rn = 1
+    """,
+)
+def q_trace_clusters(spark, sf_dir):
+    """Profile-based trace clustering (seeded Voronoi, k=4): every
+    trace assigned to the nearest of the 4 lexicographically-lowest
+    traces in activity-count space. Inner-product-join decomposition —
+    never a pairwise |traces|^2 relation; oracle replays the same
+    ||T||^2 + ||C||^2 - 2<T,C> algebra."""
+    from promi_spark.operators.mining import trace_clustering
+
+    return trace_clustering(_log(spark, sf_dir), k=4)
+
+
 # ---------------------------------------------------------------------------
 # P1/P2 — split & sample (cross-engine deterministic md5 coin)
 # ---------------------------------------------------------------------------
@@ -2297,6 +2343,7 @@ _ORDER = [
     "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
     "rolling_user_activity",  # NEW r5: time-range window; local-oracled
     "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
+    "trace_clusters",  # NEW r5: profile trace clustering; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

@@ -93,3 +93,32 @@ def test_chronology_detects_violation(spark):
     log = EventLog.from_events(df)
     v = chronology_violations(log).collect()
     assert len(v) == 1 and v[0]["seq"] == 1
+
+
+def test_trace_clustering_voronoi(event_log):
+    from promi_spark.operators.mining import trace_clustering
+
+    out = trace_clustering(event_log, k=4).collect()
+    n_traces = event_log.traces().count()
+    assert len(out) == n_traces
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) <= 4
+    by_case = {r["case_id"]: r for r in out}
+    # each seed trace belongs to its own cluster at distance 0
+    seeds = sorted({r["case_id"] for r in out})[:4]
+    for s in seeds:
+        assert by_case[s]["cluster"] == s
+        assert by_case[s]["dist2"] == 0
+    assert all(r["dist2"] >= 0 for r in out)
+
+
+def test_trace_clustering_lloyd_refinement(event_log):
+    from promi_spark.operators.mining import trace_clustering
+
+    v0 = trace_clustering(event_log, k=4, n_iter=0)
+    v2 = trace_clustering(event_log, k=4, n_iter=2)
+    cost0 = v0.agg(F.sum("dist2")).first()[0]
+    cost2 = v2.agg(F.sum("dist2")).first()[0]
+    # Lloyd steps never increase total within-cluster squared distance
+    assert cost2 <= cost0 + 1e-6
+    assert v2.count() == v0.count()
