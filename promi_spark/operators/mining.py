@@ -630,7 +630,9 @@ def trace_profiles(log: EventLog) -> DataFrame:
     )
 
 
-def trace_clustering(log: EventLog, k: int = 4, n_iter: int = 0) -> DataFrame:
+def trace_clustering(
+    log: EventLog, k: int = 4, n_iter: int = 0, cache: bool = True
+) -> DataFrame:
     """Trace clustering over activity-count profiles: assign every
     trace to the nearest of ``k`` centroids in Euclidean profile
     space. Returns (case_id, cluster, dist2) — ``cluster`` is the
@@ -651,12 +653,20 @@ def trace_clustering(log: EventLog, k: int = 4, n_iter: int = 0) -> DataFrame:
     so the per-pair work is an *inner-product join on activity*
     against a broadcast k x |alphabet| centroid relation, plus a
     k-row broadcast cross join to surface orthogonal (inner = 0)
-    pairs. The profile relation is built once; the three consumers
-    (norms, centroid pick, inner products) share the same shuffle via
-    Spark's ReuseExchange. Tie-break: lowest (dist2, cluster) —
-    deterministic in both engines.
+    pairs. The profile relation has three consumers (norms, centroid
+    pick, inner products) whose column pruning makes the subtrees
+    non-identical — ReuseExchange does NOT fire — so ``cache=True``
+    (default) persists it and the event table is scanned ONCE; the
+    persisted relation is |traces| x |alphabet|-bounded (tiny next to
+    the log). Same lifecycle convention as ``minhash_dedup``: the
+    entry stays pinned until the session drops it — pass
+    ``cache=False`` to trade one scan per consumer for zero storage.
+    Tie-break: lowest (dist2, cluster) — deterministic in both
+    engines.
     """
     prof = trace_profiles(log)
+    if cache:
+        prof = prof.persist()
     cent_ids = (
         prof.select("case_id")
         .distinct()

@@ -89,3 +89,54 @@ def activity_dow_cube(log: EventLog) -> DataFrame:
             F.count_distinct("case_id").alias("n_cases"),
         )
     )
+
+
+def value_outliers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    z: float = 2.0,
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-key z-score outliers: events whose value sits more than
+    ``z`` population standard deviations from their key's mean.
+    Anomaly surface over the raw events table (the reference's
+    statistics artifact family, ``observer.rs:44-47``, extended to
+    per-entity dispersion).
+
+    Engine-portable float discipline: mean and variance derive from
+    DECIMAL-EXACT window sums (n, sum v, sum v^2 over the 2-dp cast),
+    cast to double only for the final IEEE-deterministic arithmetic —
+    so Spark and any ANSI engine compute bit-identical z-scores
+    regardless of aggregation order. ONE shuffle: all three sums share
+    the same unbounded per-key window; no join-back of a separate
+    aggregate. Keys with fewer than ``min_events`` rows or zero
+    variance emit nothing.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("decimal(18,2)")
+    base = (
+        events.filter(F.col(value_col).isNotNull())
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum(v).over(w).cast("double"))
+        .withColumn("s2", F.sum(v * v).over(w).cast("double"))
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    zscore = (F.col(value_col).cast("decimal(18,2)").cast("double") - mean) / F.sqrt(var)
+    return (
+        base.withColumn("zscore", zscore)
+        .filter(
+            (F.col("n") >= min_events)
+            & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1"))
+            & (F.abs(F.col("zscore")) > z)
+        )
+        .select(
+            "event_id",
+            F.col(key_col),
+            F.round(F.col(value_col).cast("decimal(18,2)").cast("double"), 2).alias("value"),
+            F.round("zscore", 6).alias("zscore"),
+        )
+    )

@@ -1014,6 +1014,56 @@ def q_tpch_q3(spark, sf_dir):
 
 
 @q(
+    "tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING aggregate
+    over lineitem is computed ONCE and reused as the quantity output —
+    no second lineitem scan; survivors (~0.5% of orders) join orders
+    on the already-grouped key and the customer dimension broadcasts.
+    Decimal-exact quantity sums; deterministic top-100 tiebreak."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+        )
+        .filter(F.col("q") > 200)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@q(
     "funnel_counts",
     """
     WITH u1 AS (
@@ -1123,6 +1173,38 @@ def q_rolling_user_activity(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
         ).alias("value_1h"),
     )
+
+
+@q(
+    "value_outliers",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id)
+    ),
+    zc AS (
+      SELECT event_id, user_id, CAST(v AS DOUBLE) AS value, n, s1, s2,
+             (CAST(v AS DOUBLE) - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)
+               AS zscore
+      FROM b
+    )
+    SELECT event_id, user_id, round(value, 2) AS value,
+           round(zscore, 6) AS zscore
+    FROM zc WHERE n >= 3 AND s2 * n > s1 * s1 AND abs(zscore) > 2
+    """,
+)
+def q_value_outliers(spark, sf_dir):
+    """Per-user z-score outliers: decimal-exact window sums, IEEE
+    double finish — bit-identical across engines, one user-key
+    exchange shared by all three window sums."""
+    from promi_spark.operators.stats import value_outliers
+
+    return value_outliers(load_table(spark, "events", sf_dir))
 
 
 @q(
@@ -2341,9 +2423,11 @@ _ORDER = [
     "dfg",
     "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
     "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
+    "tpch_q18",  # NEW r5: large-volume-customer having-join; local-oracled
     "rolling_user_activity",  # NEW r5: time-range window; local-oracled
     "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
     "trace_clusters",  # NEW r5: profile trace clustering; local-oracled
+    "value_outliers",  # NEW r5: per-user z-score anomalies; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

@@ -208,3 +208,15 @@ def test_funnel_counts_hand_checked(spark, monkeypatch, tmp_path):
     got = QUERIES["funnel_counts"][0](spark, "unused").collect()[0]
     assert (got["n_users"], got["n_signup"], got["n_click_after"],
             got["n_purchase_after"]) == (4, 3, 2, 1)
+
+
+def test_value_outliers_flags_known_anomaly(spark):
+    from promi_spark.operators.stats import value_outliers
+
+    rows = [(i, 1, float(v)) for i, v in enumerate([10, 10, 10, 10, 10, 100])]
+    rows += [(100 + i, 2, 10.0) for i in range(4)]  # zero variance: no output
+    rows += [(200, 3, 1.0), (201, 3, 99.0)]  # below min_events
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = value_outliers(df, min_events=3).collect()
+    assert [(r["event_id"], r["user_id"]) for r in out] == [(5, 1)]
+    assert out[0]["zscore"] > 2

@@ -248,6 +248,7 @@ def test_round5_window_family_exchange_counts(spark, sf):
         ("line_dedup_docs", 2),
         ("rolling_user_activity", 1),
         ("user_sessions", 1),
+        ("value_outliers", 1),
     ):
         plan = explain(QUERIES[name][0](spark, sf))
         got = len(re.findall(r"\(\d+\) Exchange\b", plan))
@@ -260,3 +261,15 @@ def test_tpch_q14_broadcasts_dim(spark, sf):
     plan = explain(QUERIES["tpch_q14"][0](spark, sf))
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1  # final agg only
+
+
+def test_tpch_q18_no_second_lineitem_scan(spark, sf):
+    """Q18 shape: the HAVING aggregate is reused as the output quantity
+    — lineitem is scanned once; the customer dim broadcasts; the
+    top-100 is a TakeOrdered, not a global sort exchange."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["tpch_q18"][0](spark, sf))
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
