@@ -786,3 +786,49 @@ def pack_index(
         key_col,
         "n_tokens",
     )
+
+
+def corpus_cardinality(
+    docs: DataFrame,
+    approx: bool = False,
+    rsd: float = 0.05,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source cardinality report: doc count, distinct texts (md5
+    fingerprint), total whitespace tokens, distinct tokens — the
+    corpus profile a mixing/dedup decision starts from.
+
+    ``approx=False`` (oracle mode) computes exact distincts: the token
+    explode shuffles the full token stream and multi-distinct planning
+    expands rows — correct, and affordable at test scale.
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct``
+    (HyperLogLog++, relative error ``rsd``) keeps the aggregation
+    map-side — the shuffle payload is |sources| x sketch bytes instead
+    of the token stream, and no expand. Empty texts contribute zero
+    tokens but still count as docs (explode_outer of an empty array).
+    """
+    c = F.col(text_col)
+    toks = F.when(F.length(F.trim(c)) == 0, F.array()).otherwise(tokens(c))
+    ex = docs.select(
+        group_col,
+        id_col,
+        F.md5(c).alias("h"),
+        F.explode_outer(toks).alias("tok"),
+    )
+    if approx:
+        aggs = [
+            F.approx_count_distinct(id_col, rsd).alias("n_docs"),
+            F.approx_count_distinct("h", rsd).alias("distinct_texts"),
+            F.count("tok").alias("total_tokens"),
+            F.approx_count_distinct("tok", rsd).alias("distinct_tokens"),
+        ]
+    else:
+        aggs = [
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count_distinct(F.col("h")).alias("distinct_texts"),
+            F.count("tok").alias("total_tokens"),
+            F.count_distinct(F.col("tok")).alias("distinct_tokens"),
+        ]
+    return ex.groupBy(group_col).agg(*aggs)

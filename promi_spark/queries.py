@@ -1499,6 +1499,32 @@ def q_source_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_cardinality",
+    r"""
+    WITH ex AS (
+      SELECT source, doc_id, md5(text) AS h,
+             unnest(CASE WHEN length(trim(text)) = 0
+                         THEN [CAST(NULL AS VARCHAR)]
+                         ELSE string_split_regex(trim(text), '\s+')
+                    END) AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+           CAST(count(tok) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+    FROM ex GROUP BY source
+    """,
+)
+def q_corpus_cardinality(spark, sf_dir):
+    """Per-source cardinality profile, exact mode (the oracle); the
+    ``approx=True`` HyperLogLog++ variant is the 100 TB path and is
+    unit-tested against this exact profile."""
+    return text.corpus_cardinality(load_table(spark, "documents", sf_dir))
+
+
+@q(
     "asof_attribution",
     """
     WITH purchases AS (
@@ -2428,6 +2454,7 @@ _ORDER = [
     "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
     "trace_clusters",  # NEW r5: profile trace clustering; local-oracled
     "value_outliers",  # NEW r5: per-user z-score anomalies; local-oracled
+    "corpus_cardinality",  # NEW r5: exact/HLL distinct profile; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

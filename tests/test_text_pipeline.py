@@ -340,3 +340,33 @@ def test_line_dedup_regex_special_separator(spark):
     out = {r["doc_id"]: r for r in line_dedup(docs, sep="|", min_count=3).collect()}
     assert out[0]["text"] == "keep me|more" and out[0]["n_removed"] == 1
     assert out[1]["text"] == "x|y"
+
+
+def test_corpus_cardinality_approx_within_rsd(spark, sf_dir):
+    from promi_spark.operators.text import corpus_cardinality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {r["source"]: r for r in corpus_cardinality(docs).collect()}
+    approx = {
+        r["source"]: r
+        for r in corpus_cardinality(docs, approx=True, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["total_tokens"] == e["total_tokens"]  # count stays exact
+        for c in ("n_docs", "distinct_texts", "distinct_tokens"):
+            assert abs(a[c] - e[c]) <= max(5, 0.15 * e[c]), (src, c, a[c], e[c])
+
+
+def test_corpus_cardinality_counts_empty_docs(spark):
+    from promi_spark.operators.text import corpus_cardinality
+
+    df = spark.createDataFrame(
+        [(1, "a b a", "s"), (2, "   ", "s"), (3, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    row = corpus_cardinality(df).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 3
+    assert row["distinct_tokens"] == 2
