@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_overlap_join"]
 
 
 def asof_join(
@@ -138,3 +138,69 @@ def asof_join(
     return out.select(
         *keys, F.col("__t").alias(left_ts), *lcols, ts_r, *rcols
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    right_start: str | None = None,
+    right_end: str | None = None,
+    bucket_seconds: int = 3600,
+    extra: Column | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join of interval rows whose [start, end] ranges overlap
+    (inclusive) — WITHOUT an equi key. Spark plans a bare range
+    predicate as a nested-loop/cartesian join; this rewrites it as an
+    equi-join on time buckets.
+
+    Scale shape: each interval explodes into the ``bucket_seconds``-
+    wide epoch buckets it spans, the join is a hash equi-join on
+    ``bucket``, and the exact overlap predicate filters within
+    buckets. A pair spanning several shared buckets would match once
+    per bucket; instead of a ``distinct`` (a second shuffle over the
+    matched pairs) the pair is kept only in the bucket containing the
+    LATER of the two starts — a point every overlapping pair shares by
+    definition — so output is exactly once per pair with no dedup
+    stage. Size ``bucket_seconds`` ~ the typical interval length:
+    wider buckets mean fewer exploded rows but more within-bucket
+    false candidates; at 100 TB the bucket key is the shuffle key, so
+    skewed hot hours split under AQE.
+
+    ``extra`` adds a residual predicate (e.g. ``left.user != right
+    .user``). Right columns are suffixed. ``overlap_us`` = inclusive
+    overlap length in microseconds.
+    """
+    rs, re_ = right_start or start_col, right_end or end_col
+    W = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def buckets(s, e):
+        return F.sequence(
+            F.floor(F.unix_micros(F.col(s)) / W),
+            F.floor(F.unix_micros(F.col(e)) / W),
+        )
+
+    l = left.withColumn("__b", F.explode(buckets(start_col, end_col)))
+    r = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    )
+    r = r.withColumn(
+        "__b", F.explode(buckets(f"{rs}{suffix}", f"{re_}{suffix}"))
+    )
+    ls, le = F.unix_micros(F.col(start_col)), F.unix_micros(F.col(end_col))
+    rs_c = F.unix_micros(F.col(f"{rs}{suffix}"))
+    re_c = F.unix_micros(F.col(f"{re_}{suffix}"))
+    later_start = F.greatest(ls, rs_c)
+    cond = (
+        (ls <= re_c)
+        & (rs_c <= le)
+        & (F.col("__b") == F.floor(later_start / W))
+    )
+    out = l.join(r, "__b").filter(cond)
+    if extra is not None:
+        out = out.filter(extra)
+    return out.withColumn(
+        "overlap_us", F.least(le, re_c) - later_start
+    ).drop("__b")

@@ -1176,6 +1176,62 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "session_overlaps",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM lagged
+    ),
+    s AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id, a.session_id,
+           b.user_id AS user_id_r, b.session_id AS session_id_r,
+           CAST(epoch_us(least(a.session_end, b.session_end))
+                - epoch_us(greatest(a.session_start, b.session_start))
+                AS BIGINT) AS overlap_us
+    FROM s a JOIN s b
+      ON a.session_start <= b.session_end
+     AND b.session_start <= a.session_end
+     AND a.user_id < b.user_id
+    """,
+)
+def q_session_overlaps(spark, sf_dir):
+    """Cross-user concurrent sessions: pure interval-overlap join (no
+    equi key) via the bucketized rewrite — hash join on hour buckets +
+    later-start bucket dedup, never a cartesian range join. Oracle is
+    the naive range self-join."""
+    from promi_spark.operators.joins import interval_overlap_join
+
+    sess = q_user_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    out = interval_overlap_join(
+        sess,
+        sess,
+        start_col="session_start",
+        end_col="session_end",
+        extra=F.col("user_id") < F.col("user_id_r"),
+    )
+    return out.select(
+        "user_id", "session_id", "user_id_r", "session_id_r", "overlap_us"
+    )
+
+
+@q(
     "value_outliers",
     """
     WITH b AS (
@@ -2455,6 +2511,7 @@ _ORDER = [
     "trace_clusters",  # NEW r5: profile trace clustering; local-oracled
     "value_outliers",  # NEW r5: per-user z-score anomalies; local-oracled
     "corpus_cardinality",  # NEW r5: exact/HLL distinct profile; local-oracled
+    "session_overlaps",  # NEW r5: bucketized interval join; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

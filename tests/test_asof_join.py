@@ -109,3 +109,59 @@ def test_matched_row_null_payload_survives(spark):
     r = rows[0]
     assert r["ts_r"] == _ts("2024-01-01T02:00:00")
     assert r["price_r"] is None  # NOT 100.0 from the older row
+
+
+def test_interval_overlap_join_exactly_once_multibucket(spark):
+    """A pair overlapping across many shared buckets must emit ONE row
+    (later-start bucket dedup), and disjoint intervals emit none."""
+    from promi_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", "2024-01-01 05:00:00"),
+         (2, "2024-01-02 00:00:00", "2024-01-02 01:00:00")],
+        "lid long, start_ts string, end_ts string",
+    ).selectExpr("lid", "CAST(start_ts AS TIMESTAMP) start_ts",
+                 "CAST(end_ts AS TIMESTAMP) end_ts")
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 01:00:00", "2024-01-01 09:00:00"),  # 4 shared hrs
+         (11, "2024-01-01 05:00:00", "2024-01-01 05:10:00"),  # touches end
+         (12, "2024-01-03 00:00:00", "2024-01-03 01:00:00")],  # disjoint
+        "rid long, start_ts string, end_ts string",
+    ).selectExpr("rid", "CAST(start_ts AS TIMESTAMP) start_ts",
+                 "CAST(end_ts AS TIMESTAMP) end_ts")
+    out = interval_overlap_join(left, right, bucket_seconds=3600).collect()
+    pairs = sorted((r["lid"], r["rid_r"], r["overlap_us"]) for r in out)
+    assert pairs == [(1, 10, 4 * 3600 * 1_000_000), (1, 11, 0)]
+
+
+def test_interval_overlap_join_matches_naive_cross(spark, sf_dir):
+    """Bucketized result == naive cross-join range filter on real
+    session intervals, across a bucket width smaller than many
+    sessions (forces multi-bucket spans)."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.joins import interval_overlap_join
+    from promi_spark.queries import q_user_sessions
+
+    sess = (
+        q_user_sessions(spark, sf_dir)
+        .select("user_id", "session_id", "session_start", "session_end")
+        .cache()
+    )
+    fast = interval_overlap_join(
+        sess, sess, start_col="session_start", end_col="session_end",
+        bucket_seconds=120,
+        extra=F.col("user_id") < F.col("user_id_r"),
+    ).select("user_id", "session_id", "user_id_r", "session_id_r")
+    r = sess.select(*[F.col(c).alias(c + "_r") for c in sess.columns])
+    naive = (
+        sess.crossJoin(r)
+        .filter(
+            (F.col("session_start") <= F.col("session_end_r"))
+            & (F.col("session_start_r") <= F.col("session_end"))
+            & (F.col("user_id") < F.col("user_id_r"))
+        )
+        .select("user_id", "session_id", "user_id_r", "session_id_r")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+    sess.unpersist()
