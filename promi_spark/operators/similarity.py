@@ -103,6 +103,67 @@ def knn_join(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Majority-vote k-NN classification: predict each query's label
+    from its ``k`` nearest corpus vectors (cosine). Returns
+    (query_id, pred_label, n_votes, best_sim).
+
+    The neighbor label rides the scored relation through the rank
+    window — no join-back to the corpus after ranking. ONE shuffle on
+    query_id: the vote rollup groups on (query_id, label), which
+    hash(query_id) partitioning already satisfies. Deterministic
+    tie-breaks at every stage: rank ties by corpus_id, vote ties by
+    (more votes, higher best similarity, lower label) — the exact
+    ordering the SQL oracle replays.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).alias("nb_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        "corpus_id",
+        "nb_label",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.col("corpus_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = ranked.groupBy(query_id_col, "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cosine_sim").alias("best_sim"),
+    )
+    return (
+        votes.groupBy(query_id_col)
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("nb_label").alias("pred_label"),
+                    F.col("n_votes").alias("n_votes"),
+                    F.col("best_sim").alias("best_sim"),
+                ),
+                F.struct(-F.col("n_votes"), -F.col("best_sim"), F.col("nb_label")),
+            ).alias("m")
+        )
+        .select(query_id_col, "m.pred_label", "m.n_votes", "m.best_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes)
 # ---------------------------------------------------------------------------

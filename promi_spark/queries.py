@@ -566,6 +566,54 @@ def q_knn_join_topk(spark, sf_dir):
     return similarity.knn_join(corpus, queries_df, k=5)
 
 
+@q(
+    "knn_classify",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS corpus_id, e.label AS nb_label,
+             round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 10
+    ), ranked AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ), votes AS (
+      SELECT query_id, nb_label,
+             CAST(count(*) AS BIGINT) AS n_votes,
+             max(cosine_sim) AS best_sim
+      FROM ranked GROUP BY query_id, nb_label
+    )
+    SELECT query_id, nb_label AS pred_label, n_votes, best_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY n_votes DESC, best_sim DESC, nb_label) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_classify(spark, sf_dir):
+    """Majority-vote k-NN classification of the 10 lowest vec_ids
+    against the labeled remainder — label rides the scored relation
+    (no corpus join-back); one query_id shuffle covers rank window,
+    vote rollup, and argmax."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.knn_classify(corpus, queries_df, k=10)
+
+
 # ---------------------------------------------------------------------------
 # W1–W3 / V1 — windows & validation
 # ---------------------------------------------------------------------------
@@ -2512,6 +2560,7 @@ _ORDER = [
     "value_outliers",  # NEW r5: per-user z-score anomalies; local-oracled
     "corpus_cardinality",  # NEW r5: exact/HLL distinct profile; local-oracled
     "session_overlaps",  # NEW r5: bucketized interval join; local-oracled
+    "knn_classify",  # NEW r5: majority-vote neighbor labels; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

@@ -210,3 +210,47 @@ def test_ivf_indexed_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     m = re.search(r"partitions read: (\d+)", plan)
     if m:  # count printed only post-pruning listing
         assert int(m.group(1)) <= 3
+
+
+def test_knn_classify_single_shuffle_and_labels(spark, sf_dir):
+    """knn_classify: the query_id hash exchange is the ONLY shuffle —
+    rank window, vote rollup, and argmax all reuse it — and on a
+    corpus with geometrically separated labels every query gets its
+    cluster's label."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    out = knn_classify(corpus, queries, k=10)
+    je = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = je.explainString(mode.fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert out.count() == 20
+
+    # separable case: axis-aligned clusters -> perfect neighbor vote
+    rows = []
+    for lab, axis in ((0, 0), (1, 1), (2, 2)):
+        for i in range(8):
+            v = [0.01 * i] * 3
+            v[axis] = 1.0
+            rows.append((lab * 10 + i, v, lab))
+    toy = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    tq = toy.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tc = toy.filter(F.col("vec_id") % 10 != 0)
+    preds = {
+        r["query_id"]: (r["pred_label"], r["n_votes"])
+        for r in knn_classify(tc, tq, k=5).collect()
+    }
+    assert preds == {0: (0, 5), 10: (1, 5), 20: (2, 5)}
