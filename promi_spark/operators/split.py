@@ -19,7 +19,7 @@ retried tasks must route rows identically).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from promi_spark.log import EventLog
@@ -103,3 +103,33 @@ def sample(
     (reference ``split.rs:121-144``)."""
     train, _ = split(log, ratio, seed=seed, key=key, salt=salt)
     return train
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-key cap: keep at most ``n`` rows per key,
+    selected by md5-coin order — the domain-cap step of C4/RefinedWeb-
+    style corpus curation ("no domain contributes more than n docs"),
+    with the same engine-portable coin family as :func:`split` so the
+    kept set is stable across engines, row order, and partitioning.
+
+    One shuffle on the key for the rank window. A pathologically hot
+    key concentrates its rows in one task — the usual window-skew
+    remedy applies (AQE skew handling; or pre-filter hot keys by an
+    approximate count and cap them with a coin-threshold pass instead
+    of a rank). Ties cannot occur: the coin is salted with the row id
+    and the id itself breaks any residual equality.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        coin_hex(F.col(id_col), seed, salt="cap"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

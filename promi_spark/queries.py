@@ -1224,6 +1224,28 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "per_source_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':0:cap'), 1, 8),
+                 doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def q_per_source_cap(spark, sf_dir):
+    """Domain-cap curation step: at most 50 docs per source, chosen by
+    the engine-portable md5 coin so the kept set is stable across
+    engines and partitionings. One source-key shuffle."""
+    from promi_spark.operators.split import per_key_cap
+
+    docs = load_table(spark, "documents", sf_dir)
+    return per_key_cap(docs, "source", 50, "doc_id").select("doc_id", "source")
+
+
+@q(
     "session_overlaps",
     """
     WITH lagged AS (
@@ -2561,6 +2583,7 @@ _ORDER = [
     "corpus_cardinality",  # NEW r5: exact/HLL distinct profile; local-oracled
     "session_overlaps",  # NEW r5: bucketized interval join; local-oracled
     "knn_classify",  # NEW r5: majority-vote neighbor labels; local-oracled
+    "per_source_cap",  # NEW r5: domain-cap curation step; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

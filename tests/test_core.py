@@ -220,3 +220,24 @@ def test_value_outliers_flags_known_anomaly(spark):
     out = value_outliers(df, min_events=3).collect()
     assert [(r["event_id"], r["user_id"]) for r in out] == [(5, 1)]
     assert out[0]["zscore"] > 2
+
+
+def test_per_key_cap_deterministic_and_bounded(spark):
+    from promi_spark.operators.split import per_key_cap
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    kept = per_key_cap(df, "source", 10, "doc_id")
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10}
+    # same selection under a different partitioning
+    again = per_key_cap(df.repartition(7), "source", 10, "doc_id")
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+    # different seed -> (almost surely) different kept set for the fat key
+    other = per_key_cap(df, "source", 10, "doc_id", seed=1)
+    a_ids = {r["doc_id"] for r in kept.collect() if r["source"] == "a"}
+    b_ids = {r["doc_id"] for r in other.collect() if r["source"] == "a"}
+    assert a_ids != b_ids
