@@ -273,3 +273,38 @@ def test_tpch_q18_no_second_lineitem_scan(spark, sf):
     assert len(re.findall(r"Location:.*lineitem", plan)) == 1
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_overlap_join_no_cartesian(spark, sf):
+    """The bucketized interval join plans as a hash equi-join on the
+    bucket key — never BroadcastNestedLoop/Cartesian — and needs no
+    distinct aggregate for pair dedup."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["session_overlaps"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Functions: \[\]", plan) is None  # no distinct stage
+
+
+def test_corpus_cardinality_approx_is_sketch_shaped(spark, sf):
+    """approx=True: HyperLogLog++ sketches merge through a partial/final
+    aggregate pair around ONE exchange, with NO multi-distinct Expand
+    node — the exact mode needs Expand, the sketch mode must not."""
+    from promi_spark.operators.text import corpus_cardinality
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = explain(corpus_cardinality(docs, approx=True))
+    assert "Expand" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    exact = explain(corpus_cardinality(docs))
+    assert "Expand" in exact  # the shape approx exists to avoid
+
+
+def test_per_source_cap_single_shuffle(spark, sf):
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["per_source_cap"][0](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "md5" in plan
