@@ -832,3 +832,46 @@ def corpus_cardinality(
             F.count_distinct(F.col("tok")).alias("distinct_tokens"),
         ]
     return ex.groupBy(group_col).agg(*aggs)
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk_chars: int = 512,
+    stride: int = 384,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap
+    (``stride`` < ``chunk_chars`` overlaps adjacent chunks) — the
+    chunking pass feeding embedding / retrieval indexing. Returns
+    (doc_id, chunk_id, chunk_start, chunk_text, n_chunk_chars).
+
+    Narrow plan: offsets come from ``sequence(0, len-1, stride)``
+    exploded JVM-side and sliced with ``substring`` — no UDF, no
+    shuffle; chunk rows are born in the same task as their document.
+    Empty documents emit zero chunks. The final short window is kept
+    (standard chunker semantics); ``chunk_id`` is the 0-based window
+    index, so (doc_id, chunk_id) is a stable global key.
+    """
+    if stride <= 0 or chunk_chars <= 0:
+        raise ValueError("chunk_chars and stride must be positive")
+    c = F.col(text_col)
+    n = F.length(c)
+    offs = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.filter(n > 0)
+        .select(
+            id_col,
+            c.alias("__t"),
+            F.posexplode(offs).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.substring(F.col("__t"), F.col("chunk_start") + 1, chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text"))
+    )

@@ -1224,6 +1224,38 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "chunk_docs",
+    """
+    WITH ch AS (
+      SELECT doc_id,
+             CAST(u.s // 384 AS INTEGER) AS chunk_id,
+             CAST(u.s AS INTEGER) AS chunk_start,
+             substring(text, CAST(u.s AS INTEGER) + 1, 512) AS chunk_text
+      FROM documents, unnest(range(0, length(text), 384)) AS u(s)
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_id, chunk_start, md5(chunk_text) AS chunk_md5,
+           CAST(length(chunk_text) AS INTEGER) AS n_chunk_chars
+    FROM ch
+    """,
+)
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping 512-char chunking (stride 384) — the narrow
+    explode-and-substring pass feeding embedding indexers; chunk text
+    hashed for the compare surface."""
+    from promi_spark.operators.text import chunk_docs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_docs(docs, chunk_chars=512, stride=384).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunk_chars",
+    )
+
+
+@q(
     "per_source_cap",
     """
     SELECT doc_id, source FROM (
@@ -2584,6 +2616,7 @@ _ORDER = [
     "session_overlaps",  # NEW r5: bucketized interval join; local-oracled
     "knn_classify",  # NEW r5: majority-vote neighbor labels; local-oracled
     "per_source_cap",  # NEW r5: domain-cap curation step; local-oracled
+    "chunk_docs",  # NEW r5: overlapping char-window chunking; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

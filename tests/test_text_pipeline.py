@@ -370,3 +370,30 @@ def test_corpus_cardinality_counts_empty_docs(spark):
     assert row["n_docs"] == 3
     assert row["total_tokens"] == 3
     assert row["distinct_tokens"] == 2
+
+
+def test_chunk_docs_windows_and_narrow_plan(spark):
+    import re
+
+    from promi_spark.operators.text import chunk_docs
+
+    text = "".join(chr(97 + (i % 26)) for i in range(1000))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_docs(df, chunk_chars=512, stride=384)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_text"])
+        for r in out.collect()
+    )
+    # doc 1: starts 0, 384, 768; doc 2: one short chunk; doc 3: none
+    assert [(d, c, s) for d, c, s, _ in rows] == [
+        (1, 0, 0), (1, 1, 384), (1, 2, 768), (2, 0, 0)
+    ]
+    for d, c, s, t in rows:
+        src = text if d == 1 else "short"
+        assert t == src[s:s + 512]
+    je = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = je.explainString(mode.fromString("formatted"))
+    assert "Exchange" not in plan  # chunks born in the doc's own task
