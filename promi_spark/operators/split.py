@@ -133,3 +133,47 @@ def per_key_cap(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight,
+    id_col: str,
+    key_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis A-ES, public formulation): keep the ``k`` rows with the
+    largest ``u^(1/w)``, where ``u`` is an engine-portable uniform
+    derived from the md5 coin (first 8 hex digits -> (int + 0.5)/2^32)
+    and ``w`` the row's positive weight — e.g. quality- or
+    length-proportional inclusion for mixture building. Rows with
+    ``w <= 0`` are excluded (A-ES precondition).
+
+    Ranking uses the monotone-equivalent ``ln(u)/w`` (u < 1 so ln(u)
+    is negative; larger w pulls the key toward 0 = better), computed
+    from exact inputs with IEEE arithmetic — both engines order
+    identically, and the row id breaks any residual tie.
+
+    Scale shape: with ``key_col`` it is k-per-key via the rank window
+    (one key shuffle); without, the global top-k plans as
+    TakeOrdered — per-partition heaps merged once, never a full sort.
+    Like :func:`split`, the kept set is invariant to row order and
+    partitioning.
+    """
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = (
+        F.conv(coin_hex(F.col(id_col), seed, salt="ws"), 16, 10).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    base = df.filter(w > 0).withColumn("__rk", F.log(u) / w)
+    if key_col is not None:
+        win = Window.partitionBy(key_col).orderBy(
+            F.desc("__rk"), F.col(id_col)
+        )
+        out = base.withColumn("__rn", F.row_number().over(win)).filter(
+            F.col("__rn") <= k
+        )
+        return out.drop("__rk", "__rn")
+    return base.orderBy(F.desc("__rk"), F.col(id_col)).limit(k).drop("__rk")

@@ -1224,6 +1224,40 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "weighted_sample_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             ln((CAST(('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || ':0:ws'), 1, 8)) AS UBIGINT)
+                 + 0.5) / 4294967296.0)
+             / greatest(n_chars, 1) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source ORDER BY rk DESC, doc_id) AS rn
+      FROM w
+    ) WHERE rn <= 20
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Length-weighted sampling without replacement, 20 docs per
+    source (A-ES with the engine-portable md5-derived uniform) — the
+    quality/length-proportional mixture-building primitive."""
+    from promi_spark.operators.split import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(
+        docs,
+        20,
+        F.greatest(F.col("n_chars"), F.lit(1)),
+        "doc_id",
+        key_col="source",
+    ).select("doc_id", "source")
+
+
+@q(
     "chunk_docs",
     """
     WITH ch AS (
@@ -2617,6 +2651,7 @@ _ORDER = [
     "knn_classify",  # NEW r5: majority-vote neighbor labels; local-oracled
     "per_source_cap",  # NEW r5: domain-cap curation step; local-oracled
     "chunk_docs",  # NEW r5: overlapping char-window chunking; local-oracled
+    "weighted_sample_docs",  # NEW r5: A-ES weighted sampling; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",

@@ -241,3 +241,40 @@ def test_per_key_cap_deterministic_and_bounded(spark):
     a_ids = {r["doc_id"] for r in kept.collect() if r["source"] == "a"}
     b_ids = {r["doc_id"] for r in other.collect() if r["source"] == "a"}
     assert a_ids != b_ids
+
+
+def test_weighted_sample_biased_and_deterministic(spark):
+    from promi_spark.operators.split import weighted_sample
+
+    # weight 100 vs 1: heavy rows should dominate the kept set
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = weighted_sample(df, 40, "w", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert len(ids) == 40
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 25, heavy  # 50 heavy rows at 100x weight dominate
+    # partitioning-invariant
+    again = {r["doc_id"] for r in weighted_sample(df.repartition(13), 40, "w", "doc_id").collect()}
+    assert ids == again
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double"
+    )
+    assert [r["doc_id"] for r in weighted_sample(df2, 3, "w", "doc_id").collect()] == [3]
+
+
+def test_weighted_sample_global_topk_plan(spark):
+    import re
+
+    from promi_spark.operators.split import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("w")
+    )
+    out = weighted_sample(df, 10, "w", "doc_id")
+    je = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = je.explainString(mode.fromString("formatted"))
+    assert "TakeOrderedAndProject" in plan  # heap-merge, not a global sort
+    assert not re.search(r"\(\d+\) Sort\b", plan)
