@@ -111,3 +111,46 @@ def test_line_dedup_and_windows_empty(spark, empty_docs):
         .rangeBetween(-3_600_000_000, 0)
     )
     assert empty_ev.select(F.count(F.lit(1)).over(w).alias("n")).count() == 0
+
+
+def test_round5_new_operators_empty(spark, empty_docs, empty_emb):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from promi_spark.log import EventLog
+    from promi_spark.operators.joins import interval_overlap_join
+    from promi_spark.operators.mining import trace_clustering
+    from promi_spark.operators.similarity import knn_classify
+    from promi_spark.operators.split import per_key_cap, weighted_sample
+    from promi_spark.operators.stats import value_outliers
+    from promi_spark.operators.text import chunk_docs, corpus_cardinality
+
+    assert chunk_docs(empty_docs).count() == 0
+    assert corpus_cardinality(empty_docs).count() == 0
+    assert corpus_cardinality(empty_docs, approx=True).count() == 0
+    assert per_key_cap(empty_docs, "source", 5, "doc_id").count() == 0
+    assert weighted_sample(empty_docs, 5, F.lit(1.0), "doc_id").count() == 0
+    assert weighted_sample(
+        empty_docs, 5, F.lit(1.0), "doc_id", key_col="source"
+    ).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert value_outliers(empty_ev).count() == 0
+    log = EventLog.from_generic(empty_ev, "user_id", "event_type", "ts")
+    assert trace_clustering(log, k=4).count() == 0
+
+    iv = spark.createDataFrame([], "id long, start_ts timestamp, end_ts timestamp")
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "id long, start_ts timestamp, end_ts timestamp",
+    )
+    assert interval_overlap_join(one, iv).count() == 0
+    assert interval_overlap_join(iv, one).count() == 0
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    assert knn_classify(empty_emb, q).count() == 0
