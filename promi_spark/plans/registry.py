@@ -296,7 +296,9 @@ def _parquet_reader(ctx, log, path: str, **_):
                   Param("partition_by", str, None)])
 def _parquet_writer(ctx, log, path: str, mode: str = "overwrite",
                     partition_by: str | None = None, **_):
-    w = log.df.write.mode(mode)
+    # sinks both log pipes (EventLog) and document pipes (DataFrame)
+    df = log.df if hasattr(log, "df") else log
+    w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by.split(","))
     w.parquet(ctx.path(path))
@@ -491,6 +493,67 @@ def _mixture_sample(ctx, df, rates: dict, strata_col: str = "source",
         df, {s: float(r) for s, r in rates.items()}, strata_col=strata_col,
         key_col=key, seed=seed, default_rate=default_rate,
     )
+
+
+@register("PerKeyCap", "domain cap: keep at most n rows per key by "
+          "md5-coin rank (C4/RefinedWeb-style 'no domain contributes "
+          "more than n docs'; partitioning-invariant kept set)",
+          {"stream"},
+          params=[Param("n", int, description="max rows kept per key"),
+                  Param("key_col", str, "source"),
+                  Param("id_col", str, "doc_id"),
+                  Param("seed", int, 0)])
+def _per_key_cap(ctx, df, n: int, key_col: str = "source",
+                 id_col: str = "doc_id", seed: int = 0, **_):
+    from promi_spark.operators.split import per_key_cap
+
+    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
+        raise FlowConfigError(f"PerKeyCap: n must be a positive int, got {n!r}")
+    return per_key_cap(df, key_col, n, id_col, seed=seed)
+
+
+@register("WeightedSample", "weighted sampling without replacement "
+          "(Efraimidis-Spirakis A-ES on the engine-portable md5 "
+          "uniform); k per key, or global top-k when key_col is unset",
+          {"stream"},
+          params=[Param("k", int, description="rows kept (per key)"),
+                  Param("weight_col", str,
+                        description="positive weight column"),
+                  Param("id_col", str, "doc_id"),
+                  Param("key_col", str, None, "stratify key; None = global"),
+                  Param("seed", int, 0)])
+def _weighted_sample(ctx, df, k: int, weight_col: str,
+                     id_col: str = "doc_id", key_col: str | None = None,
+                     seed: int = 0, **_):
+    from promi_spark.operators.split import weighted_sample
+
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise FlowConfigError(
+            f"WeightedSample: k must be a positive int, got {k!r}"
+        )
+    return weighted_sample(df, k, weight_col, id_col, key_col=key_col,
+                           seed=seed)
+
+
+@register("ChunkDocs", "overlapping fixed-size character chunking "
+          "(narrow sequence-explode + substring; feeds embedding / "
+          "retrieval indexing)",
+          {"stream"},
+          params=[Param("chunk_chars", int, 512),
+                  Param("stride", int, 384),
+                  Param("text_col", str, "text"),
+                  Param("id_col", str, "doc_id")])
+def _chunk_docs(ctx, df, chunk_chars: int = 512, stride: int = 384,
+                text_col: str = "text", id_col: str = "doc_id", **_):
+    from promi_spark.operators.text import chunk_docs
+
+    for nm, v in (("chunk_chars", chunk_chars), ("stride", stride)):
+        if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+            raise FlowConfigError(
+                f"ChunkDocs: {nm} must be a positive int, got {v!r}"
+            )
+    return chunk_docs(df, chunk_chars=chunk_chars, stride=stride,
+                      text_col=text_col, id_col=id_col)
 
 
 @register("LeakageSafeSplit", "train/test split routed by near-dup "

@@ -622,3 +622,64 @@ def test_asof_enrich_segment(spark):
         entry.fn(ctx, left, on="user")
     with _pytest.raises(FlowConfigError, match="direction"):
         entry.fn(ctx, left, on="user", direction="sideways", _recv=["state"])
+
+
+def test_round5_curation_segments(spark, tmp_path):
+    """PerKeyCap / WeightedSample / ChunkDocs as flow segments: a
+    curation flow caps each source, samples length-weighted survivors,
+    and chunks them; bad params fail at flow-build time."""
+    import yaml
+
+    import pytest
+
+    from promi_spark.plans import execute, load_flow
+    from promi_spark.plans.registry import FlowConfigError
+
+    out = str(tmp_path / "chunks")
+    flow = yaml.safe_load(f"""
+pipes:
+  - name: Curate
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: PerKeyCap
+        attributes: {{n: 30, key_col: source}}
+      - name: WeightedSample
+        attributes: {{k: 10, weight_col: n_chars, key_col: source}}
+      - name: ChunkDocs
+        attributes: {{chunk_chars: 256, stride: 192}}
+    sink:
+      name: ParquetWriter
+      attributes: {{path: {out}}}
+""")
+    execute(spark, flow)
+    got = spark.read.parquet(out)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    kept = got.select("doc_id").distinct().count()
+    assert 0 < kept <= 10 * n_sources
+    assert set(got.columns) >= {"doc_id", "chunk_id", "chunk_start", "chunk_text"}
+
+    bad = yaml.safe_load("""
+pipes:
+  - name: Curate
+    source: {name: DocumentsTable, attributes: {sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: PerKeyCap
+        attributes: {n: 0}
+    sink: {name: Void}
+""")
+    with pytest.raises(FlowConfigError, match="PerKeyCap: n must be"):
+        execute(spark, bad)
+    bad2 = yaml.safe_load("""
+pipes:
+  - name: Curate
+    source: {name: DocumentsTable, attributes: {sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: ChunkDocs
+        attributes: {stride: -1}
+    sink: {name: Void}
+""")
+    with pytest.raises(FlowConfigError, match="ChunkDocs: stride"):
+        execute(spark, bad2)
