@@ -2543,80 +2543,69 @@ def q_media_embeddings(spark, sf_dir):
 # bpe_token_counts) get driver rows; the six rotated out all have
 # driver-green rows from rounds 1-4 AND an in-window family witness.
 _ORDER = [
-    # A1-A4 statistics + grouping sets (per_trace_counts /
-    # activity_stats rotated out — driver-green r1-r4, family kept by
-    # stats_counts + activity_dow_cube; line_dedup_docs +
-    # user_sessions NEW r5 take their driver slots)
     "stats_counts",
     "trace_intervals",
     "classifier_counts",
     "activity_dow_cube",
     "line_dedup_docs",
     "user_sessions",
-    # F1-F7 filters (one witness per family: eq + strict(F1) + org eq +
-    # time containment + trace scope + CNF)
     "filter_concept_eq_strict",
-    "filter_org_eq",
-    "filter_time_contained",
     "filter_trace_scope",
     "cnf_filter",
-    # O4 ordering
-    "top_traces_by_events",
-    # S1/S2 XES round-trip, S8 Arrow-IPC binary frames
     "xes_roundtrip",
     "arrow_roundtrip",
-    # W1-W3, J2/A3 validation
-    "event_gaps",
     "chronology_violations_injected",
     "validation_globals",
-    # A5/A6, §2.12 mining (heuristic_net in-window for the first time)
     "dfg_endpoints",
     "heuristic_dependency",
     "heuristic_net",
-    "trace_variants",
-    # P1/P2 split & sample (mixture_sample NEW r5: stratified md5-coin
-    # sampling; sample_events rotated out — driver-green r1-r4, same
-    # coin family)
-    "split_train",
     "mixture_sample",
-    # J4 joins + as-of temporal join (NEW r5)
-    "tpch_q1",
     "revenue_by_nation",
     "asof_attribution",
-    # dedup & text (§2.9 + LLM-pipeline ops; bpe_token_counts in-window
-    # for the first time)
     "dedup_exact_docs",
     "bpe_token_counts",
     "text_quality",
     "lang_id_docs",
-    "repetition_stats",
     "decontaminate",
-    "props_json_stats",
     "pii_scrub",
     "pack_index",
     "doc_length_quantiles",
     "shard_assignment",
-    # embeddings / similarity (knn_cosine + ann_lsh_topk in-window for
-    # the first time)
-    "embedding_norms",
     "knn_join_topk",
-    "knn_cosine",
-    "cosine_near_dups_exact",
     "lsh_near_dups",
     "ann_lsh_topk",
     "ivf_topk",
-    # hash-based dedup in oracle mode (+ the component clustering step;
-    # mllib_minhash_near_dups + simhash_near_dups in-window for the
-    # first time)
     "minhash_near_dups",
     "mllib_minhash_near_dups",
     "dedup_components",
     "simhash_near_dups",
     "winnow_fingerprints",
     "cross_doc_substrings",
-    # ---- out of the 50-slot window from here: oracled redundant
-    # family siblings (in-window coverage noted), locally re-checked;
-    # every entry here has a driver-green row from an earlier round
+    "trace_clusters",  # NEW r5: profile trace clustering; local-oracled
+    "value_outliers",  # NEW r5: per-user z-score anomalies; local-oracled
+    "corpus_cardinality",  # NEW r5: exact/HLL distinct profile; local-oracled
+    "session_overlaps",  # NEW r5: bucketized interval join; local-oracled
+    "knn_classify",  # NEW r5: majority-vote neighbor labels; local-oracled
+    "per_source_cap",  # NEW r5: domain-cap curation step; local-oracled
+    "chunk_docs",  # NEW r5: overlapping char-window chunking; local-oracled
+    "weighted_sample_docs",  # NEW r5: A-ES weighted sampling; local-oracled
+    "tpch_q18",  # NEW r5: large-volume-customer having-join; local-oracled
+    "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
+    "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
+    "rolling_user_activity",  # NEW r5: time-range window; local-oracled
+    # ---- out of the 50-slot driver window: local-oracled ----
+    "filter_org_eq",
+    "filter_time_contained",
+    "top_traces_by_events",
+    "trace_variants",
+    "tpch_q1",
+    "knn_cosine",
+    "cosine_near_dups_exact",
+    "repetition_stats",
+    "props_json_stats",
+    "embedding_norms",
+    "event_gaps",
+    "split_train",
     "sample_events",  # P2 ⊂ split_train md5-coin family (driver-green r1-r4)
     "filter_concept_eq",  # F5 ⊂ filter_concept_eq_strict (driver-green r1-r4)
     "simhash_signatures",  # ⊂ simhash_near_dups (driver-green r4)
@@ -2626,7 +2615,6 @@ _ORDER = [
     "footprint",  # A6 ⊂ dfg_endpoints (driver-green r1-r4)
     "token_counts_docs",  # §2.9 ⊂ bpe_token_counts (driver-green r1-r4)
     "doc_fingerprint",  # §2.9 ⊂ winnow_fingerprints (driver-green r1-r4)
-    "semantic_dedup",  # NEW r5 (SemDeDup cluster-bucketed); local-oracled
     "source_mix",  # NEW r5 (per-source mixing report); local-oracled
     "incremental_dedup",  # NEW r5 (index-probe ingest dedup); local-oracled
     "per_trace_counts",  # A1 ⊂ stats family (driver-green r1-r4)
@@ -2641,22 +2629,10 @@ _ORDER = [
     "dfg",
     "tpch_q3",  # NEW r5: 3-way broadcast-join top-k; local-oracled
     "tpch_q14",  # NEW r5: promo-share conditional agg; local-oracled
-    "tpch_q18",  # NEW r5: large-volume-customer having-join; local-oracled
-    "rolling_user_activity",  # NEW r5: time-range window; local-oracled
-    "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
-    "trace_clusters",  # NEW r5: profile trace clustering; local-oracled
-    "value_outliers",  # NEW r5: per-user z-score anomalies; local-oracled
-    "corpus_cardinality",  # NEW r5: exact/HLL distinct profile; local-oracled
-    "session_overlaps",  # NEW r5: bucketized interval join; local-oracled
-    "knn_classify",  # NEW r5: majority-vote neighbor labels; local-oracled
-    "per_source_cap",  # NEW r5: domain-cap curation step; local-oracled
-    "chunk_docs",  # NEW r5: overlapping char-window chunking; local-oracled
-    "weighted_sample_docs",  # NEW r5: A-ES weighted sampling; local-oracled
     "tpch_q6",
     "order_priority_counts",
     "part_brand_volume",
     "chronology_violations",
-    # genuinely oracle-less (iterative / mapInPandas media)
     "leakage_safe_split",  # NEW r5: component-routed split; local-oracled
     "bpe_learned_tokens",  # NEW r5: learned BPE tokenizer (rows-only)
     "topic_map",  # NEW r5: k-means corpus map (rows-only)
