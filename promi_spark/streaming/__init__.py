@@ -5,6 +5,7 @@ from promi_spark.streaming.engine import (
     run_to_memory,
     sessionize,
     stateful_dfg,
+    stateful_funnel,
     stream_interval_join,
     streaming_dfg,
     streaming_neardup_ingest,
@@ -19,6 +20,7 @@ __all__ = [
     "run_to_memory",
     "sessionize",
     "stateful_dfg",
+    "stateful_funnel",
     "stream_interval_join",
     "streaming_dfg",
     "streaming_neardup_ingest",

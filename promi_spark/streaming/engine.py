@@ -416,6 +416,76 @@ def stateful_dfg(
     )
 
 
+def stateful_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming ordered-step funnel — the stateful twin of the batch
+    ``funnel_counts`` fold: per-user state is the tuple of completed
+    step timestamps (micros), each batch advances it with exactly the
+    batch fold's pre-event-state semantics (an event can complete only
+    the first step it matches against the state BEFORE that event, and
+    step i requires ts strictly after step i-1), and a (user, stage)
+    row is emitted per batch. Stage is monotone, so ``max(stage)`` per
+    user after a drain equals the batch verdict.
+
+    State is ``len(steps)`` longs per open user — bounded;
+    ``timeout_minutes`` expires idle users for continuous deployments
+    (leave None for availableNow drains, same re-arm caveat as
+    :func:`stateful_dfg`).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    out_schema = "case_id string, stage int"
+    state_schema = ", ".join(f"t{i} long" for i in range(n))
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "seq"])
+        t = list(state.get) if state.exists else [None] * n
+        ts_us = rows["ts"].astype("int64") // 1000
+        for ts_v, act in zip(ts_us, rows["activity"]):
+            ts_v = int(ts_v)
+            new_t = list(t)
+            if t[0] is None and act == steps[0]:
+                new_t[0] = ts_v
+            for i in range(1, n):
+                if (
+                    t[i] is None
+                    and t[i - 1] is not None
+                    and act == steps[i]
+                    and ts_v > t[i - 1]
+                ):
+                    new_t[i] = ts_v
+            t = new_t
+        state.update(tuple(t))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        stage = 0
+        for v in t:
+            if v is None:
+                break
+            stage += 1
+        yield pd.DataFrame([[key[0], stage]], columns=["case_id", "stage"])
+
+    return events.groupBy("case_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
     """Test/debug helper: drain an availableNow stream into an
     in-memory table and return the finished query."""

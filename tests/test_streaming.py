@@ -330,3 +330,61 @@ def test_stream_interval_join_enriches_within_lookback(spark, tmp_path):
     # signup b (t80) in window, a (t-30) outside 1h lookback;
     # purchase 3: user 11 has no signups; user 12's signup matches no one
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_stateful_funnel_matches_batch(spark, stream_dir):
+    """Single drain: max(stage) per user == the batch funnel fold's
+    per-user completed-step count, and the global stage histogram
+    reproduces funnel_counts."""
+    from promi_spark.queries import QUERIES
+    from promi_spark.streaming import read_event_stream, run_to_memory, stateful_funnel
+
+    sdf = stateful_funnel(read_event_stream(spark, stream_dir))
+    run_to_memory(sdf, "sfunnel", output_mode="append")
+    got = (
+        spark.table("sfunnel")
+        .groupBy("case_id")
+        .agg(F.max("stage").alias("stage"))
+    )
+    by_stage = {r["stage"]: r["n"] for r in
+                got.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = QUERIES["funnel_counts"][0](spark, "/root/testdata/sf0.001").first()
+    n_ge = lambda k: sum(v for s, v in by_stage.items() if s >= k)
+    assert n_ge(0) == want["n_users"]
+    assert n_ge(1) == want["n_signup"]
+    assert n_ge(2) == want["n_click_after"]
+    assert n_ge(3) == want["n_purchase_after"]
+
+
+def test_stateful_funnel_state_survives_batches(spark, tmp_path):
+    """Two time-ordered micro-batches: a signup in batch 1 and a later
+    click+purchase in batch 2 only complete the funnel if state carried
+    across batches."""
+    import datetime as dt
+
+    from promi_spark.streaming import read_event_stream, run_to_memory, stateful_funnel
+
+    d = str(tmp_path / "src")
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    b1 = [(1, ts(0), 1, "signup", 0.0, None)]
+    b2 = [(2, ts(1), 1, "click", 0.0, None),
+          (3, ts(2), 1, "purchase", 0.0, None)]
+    from promi_spark.io import load_event_log
+    from promi_spark.log import EventLog
+
+    for i, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        EventLog.from_generic(
+            df, "user_id", "event_type", "ts", keep=["event_id", "value", "props"]
+        ).df.coalesce(1).write.mode("append").parquet(d)
+    sdf = stateful_funnel(
+        read_event_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory(sdf, "sfunnel2", output_mode="append")
+    stages = [r["stage"] for r in spark.table("sfunnel2")
+              .filter(F.col("case_id") == "1").orderBy("stage").collect()]
+    assert stages[-1] == 3, stages
