@@ -875,3 +875,43 @@ def chunk_docs(
         )
         .withColumn("n_chunk_chars", F.length("chunk_text"))
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by occurrence count — the
+    boilerplate/stopword-phrase discovery pass that feeds line-dedup
+    thresholds and filter lists. Returns (gram, n_occurrences),
+    deterministically ordered (count desc, gram asc).
+
+    Scale shape: the gram explode feeds a map-side-combining count
+    aggregate (partial + final around one gram-key exchange — the
+    shuffle carries one row per DISTINCT gram per task, not the gram
+    stream), and the top-k is TakeOrdered (per-partition heaps), not a
+    global sort. Normalization matches :func:`~promi_spark.operators.
+    dedup.norm_text` so counts line up with the dedup family.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from promi_spark.operators.dedup import norm_text
+
+    toks = tokens(norm_text(text_col))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .filter(F.size(toks) >= n)
+        .select(F.explode(gram).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(k)
+    )

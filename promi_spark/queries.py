@@ -1224,6 +1224,35 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "top_bigrams",
+    r"""
+    WITH t AS (
+      SELECT string_split_regex(
+               trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT unnest(list_transform(
+               range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 50
+    """,
+)
+def q_top_bigrams(spark, sf_dir):
+    """Corpus-level top-50 bigrams: explode -> map-side-combining count
+    -> TakeOrdered; boilerplate-phrase discovery over the shared
+    norm_text normalization."""
+    from promi_spark.operators.text import top_ngrams
+
+    return top_ngrams(load_table(spark, "documents", sf_dir), n=2, k=50)
+
+
+@q(
     "weighted_sample_docs",
     """
     WITH w AS (
@@ -2594,6 +2623,7 @@ _ORDER = [
     "funnel_counts",  # NEW r5: ordered-step funnel fold; local-oracled
     "rolling_user_activity",  # NEW r5: time-range window; local-oracled
     # ---- out of the 50-slot driver window: local-oracled ----
+    "top_bigrams",  # NEW r5: corpus-level top-k n-grams; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

@@ -397,3 +397,19 @@ def test_chunk_docs_windows_and_narrow_plan(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     plan = je.explainString(mode.fromString("formatted"))
     assert "Exchange" not in plan  # chunks born in the doc's own task
+
+
+def test_top_ngrams_counts_and_order(spark):
+    from promi_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "THE  cat  ran"), (3, "a cat sat here"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = [(r["gram"], r["n_occurrences"]) for r in top_ngrams(df, n=2, k=3).collect()]
+    # normalization folds case/spacing; ties order gram-ascending
+    assert out[0] == ("cat sat", 2)
+    assert out[1] == ("the cat", 2)
+    assert len(out) == 3 and out[2][1] == 1
+    uni = {r["gram"]: r["n_occurrences"] for r in top_ngrams(df, n=1, k=10).collect()}
+    assert uni["cat"] == 3 and uni["the"] == 2
