@@ -140,3 +140,30 @@ def value_outliers(
             F.round("zscore", 6).alias("zscore"),
         )
     )
+
+
+def value_histogram(
+    events: DataFrame,
+    bin_width: float = 10.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per group: (group, bin, lo, n) with
+    ``bin = floor(value / bin_width)`` — the profile behind dashboards
+    and outlier thresholds. One map-side-combining aggregate on
+    (group, bin); bin edges computed from the 2-dp decimal cast so
+    boundary values land in the same bin in every engine.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    b = F.floor(v / F.lit(bin_width)).cast("bigint")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("grp").alias(group_col),
+            "bin",
+            F.round((F.col("bin") * bin_width).cast("double"), 2).alias("lo"),
+            "n",
+        )
+    )

@@ -1224,6 +1224,27 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) / 25.0)
+                AS BIGINT) AS bin,
+           round(CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+                            / 25.0) AS BIGINT) * 25.0, 2) AS lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width (25-unit) value histogram per event type — one
+    map-side-combining (type, bin) aggregate."""
+    from promi_spark.operators.stats import value_histogram
+
+    return value_histogram(load_table(spark, "events", sf_dir), bin_width=25.0)
+
+
+@q(
     "top_bigrams",
     r"""
     WITH t AS (
@@ -2624,6 +2645,7 @@ _ORDER = [
     "rolling_user_activity",  # NEW r5: time-range window; local-oracled
     # ---- out of the 50-slot driver window: local-oracled ----
     "top_bigrams",  # NEW r5: corpus-level top-k n-grams; local-oracled
+    "value_histogram",  # NEW r5: fixed-width per-type histogram; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

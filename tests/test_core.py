@@ -278,3 +278,21 @@ def test_weighted_sample_global_topk_plan(spark):
     plan = je.explainString(mode.fromString("formatted"))
     assert "TakeOrderedAndProject" in plan  # heap-merge, not a global sort
     assert not re.search(r"\(\d+\) Sort\b", plan)
+
+
+def test_value_histogram_bins(spark):
+    from promi_spark.operators.stats import value_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 9.99), (3, "a", 10.0), (4, "a", -0.01),
+         (5, "b", 25.0), (6, "b", None)],
+        "event_id long, event_type string, value double",
+    )
+    got = {(r["event_type"], r["bin"]): (r["lo"], r["n"])
+           for r in value_histogram(df, bin_width=10.0).collect()}
+    assert got == {
+        ("a", 0): (0.0, 2),     # 0.0 and 9.99
+        ("a", 1): (10.0, 1),    # 10.0 starts the next bin
+        ("a", -1): (-10.0, 1),  # negatives floor downward
+        ("b", 2): (20.0, 1),
+    }
