@@ -249,6 +249,11 @@ def test_round5_window_family_exchange_counts(spark, sf):
         ("rolling_user_activity", 1),
         ("user_sessions", 1),
         ("value_outliers", 1),
+        ("weighted_sample_docs", 1),
+        ("value_histogram", 1),
+        ("top_bigrams", 1),
+        ("session_overlaps", 2),  # user window + bucket join
+        ("chunk_docs", 0),  # fully narrow
     ):
         plan = explain(QUERIES[name][0](spark, sf))
         got = len(re.findall(r"\(\d+\) Exchange\b", plan))
