@@ -1224,6 +1224,39 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "zorder_events",
+    """
+    WITH b AS (
+      SELECT event_id,
+             CAST(user_id & 65535 AS BIGINT) AS x,
+             CAST((epoch_us(ts) // 60000000) & 65535 AS BIGINT) AS y
+      FROM events
+    )
+    SELECT event_id,
+           CAST((((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) | (((x >> 8) & 1) << 16) | (((y >> 8) & 1) << 17) | (((x >> 9) & 1) << 18) | (((y >> 9) & 1) << 19) | (((x >> 10) & 1) << 20) | (((y >> 10) & 1) << 21) | (((x >> 11) & 1) << 22) | (((y >> 11) & 1) << 23) | (((x >> 12) & 1) << 24) | (((y >> 12) & 1) << 25) | (((x >> 13) & 1) << 26) | (((y >> 13) & 1) << 27) | (((x >> 14) & 1) << 28) | (((y >> 14) & 1) << 29) | (((x >> 15) & 1) << 30) | (((y >> 15) & 1) << 31)
+                AS BIGINT) AS zval
+    FROM b
+    """,
+)
+def q_zorder_events(spark, sf_dir):
+    """Morton curve values over (user bucket, minute bucket) — the
+    multi-dimensional clustering key behind write_zordered's
+    row-group-skipping layout; pure shift/and/or codegen, narrow."""
+    from promi_spark.operators.scale import zorder_value
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = F.floor(F.unix_micros(F.col("ts")) / F.lit(60000000)).cast(
+        "long"
+    ).bitwiseAND(F.lit(65535))
+    return ev.select(
+        "event_id", zorder_value([x, y], bits=16).alias("zval")
+    )
+
+
+@q(
     "value_histogram",
     """
     SELECT event_type,
@@ -2646,6 +2679,7 @@ _ORDER = [
     # ---- out of the 50-slot driver window: local-oracled ----
     "top_bigrams",  # NEW r5: corpus-level top-k n-grams; local-oracled
     "value_histogram",  # NEW r5: fixed-width per-type histogram; local-oracled
+    "zorder_events",  # NEW r5: Morton clustering key; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

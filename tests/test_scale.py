@@ -154,3 +154,60 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 10000
     # byte accounting is real filesystem data, not an estimate
     assert stats["input_bytes"] > 0
+
+
+def test_zorder_value_matches_reference(spark):
+    from promi_spark.operators.scale import zorder_value
+
+    rows = [(i, (i * 37) % 1000, (i * 91) % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"]: r["z"] for r in df.select(
+        "id", zorder_value([F.col("x"), F.col("y")], bits=10).alias("z")
+    ).collect()}
+
+    def morton(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for i, x, y in rows:
+        assert got[i] == morton(x, y)
+
+
+def test_write_zordered_layout(spark, tmp_path):
+    """Files carry disjoint z ranges (range partitioning survives the
+    write) and each file covers a tight slice of BOTH dimensions —
+    the property row-group min/max skipping relies on."""
+    import glob
+
+    from promi_spark.operators.scale import write_zordered, zorder_value
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, [F.col("x"), F.col("y")], bits=6, n_files=8)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 4
+    spans, xr, yr = [], [], []
+    for f in files:
+        part = spark.read.parquet(f).withColumn(
+            "z", zorder_value([F.col("x"), F.col("y")], bits=6)
+        )
+        row = part.agg(
+            F.min("z"), F.max("z"), F.min("x"), F.max("x"),
+            F.min("y"), F.max("y"),
+        ).first()
+        spans.append((row[0], row[1]))
+        xr.append(row[3] - row[2])
+        yr.append(row[5] - row[4])
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint z ranges across files
+    # locality: average per-file spread well under the global 0..63
+    assert sum(xr) / len(xr) < 48 and sum(yr) / len(yr) < 48
