@@ -915,3 +915,59 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), "gram")
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (ln-smoothed:
+    ``tf * ln((1 + N) / (1 + df))``) — the keyword/topic signal feeding
+    search and near-dup triage. Returns (doc_id, term, tf, score)
+    with deterministic (score desc, term asc) ranking.
+
+    Shape: one explode into (doc, term) counts (map-side combine), a
+    vocab-sized document-frequency aggregate joined back on the term
+    key (vocab << corpus; AQE picks broadcast when it fits), the
+    corpus size attached as a broadcast 1-row cross join — no driver
+    round-trip — and a per-doc rank window. IDF is computed from
+    exact integer counts with IEEE ln, so both engines rank
+    identically.
+    """
+    from pyspark.sql import Window
+
+    from promi_spark.operators.dedup import norm_text
+
+    toks = tokens(norm_text(text_col))
+    tf = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.filter(
+        F.length(F.trim(F.col(text_col))) > 0
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((1 + F.col("n_docs")) / (1 + F.col("df"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )

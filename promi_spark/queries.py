@@ -1224,6 +1224,46 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "tfidf_terms",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM d
+    ),
+    tfc AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tf GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    s AS (
+      SELECT tfc.doc_id, tfc.term, tfc.tf,
+             round(tfc.tf * ln((1 + n.n_docs) / CAST(1 + dfc.df AS DOUBLE)),
+                   6) AS score
+      FROM tfc JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM s
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — exact integer counts, IEEE ln,
+    deterministic (score, term) ranking in both engines."""
+    from promi_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, "documents", sf_dir), k=3)
+
+
+@q(
     "zorder_events",
     """
     WITH b AS (
@@ -2680,6 +2720,7 @@ _ORDER = [
     "top_bigrams",  # NEW r5: corpus-level top-k n-grams; local-oracled
     "value_histogram",  # NEW r5: fixed-width per-type histogram; local-oracled
     "zorder_events",  # NEW r5: Morton clustering key; local-oracled
+    "tfidf_terms",  # NEW r5: top TF-IDF terms per doc; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

@@ -413,3 +413,21 @@ def test_top_ngrams_counts_and_order(spark):
     assert len(out) == 3 and out[2][1] == 1
     uni = {r["gram"]: r["n_occurrences"] for r in top_ngrams(df, n=1, k=10).collect()}
     assert uni["cat"] == 3 and uni["the"] == 2
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    import math
+
+    from promi_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common zebra zebra"), (2, "common yak"), (3, "common emu")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["score"])
+           for r in tfidf_top_terms(df, k=1).collect()}
+    # 'common' appears in all docs (idf ln(4/4)=0); uniques win
+    assert set(out) == {(1, "zebra"), (2, "yak"), (3, "emu")}
+    tf, score = out[(1, "zebra")]
+    assert tf == 2
+    assert abs(score - round(2 * math.log(4 / 2), 6)) < 1e-9
