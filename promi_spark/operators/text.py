@@ -971,3 +971,45 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "score")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional phrase search: exact consecutive-token match count
+    per document, via an inverted-index join rather than a substring
+    scan. Returns (doc_id, n_matches) for docs with >= 1 match.
+
+    Shape: the (doc, pos, term) posting relation is filtered to each
+    phrase term BEFORE joining — the join inputs are term-selective
+    posting lists, not the corpus — and occurrence i must sit at
+    anchor position + i, so an m-word phrase is m-1 equi-joins on
+    (doc, pos). Catalyst pushes the term filters into the explode
+    scan; positions are unique within a doc, so no dedup stage is
+    needed. For a standing corpus, persist the posting relation
+    partitioned by term and these probes prune to the phrase's
+    partitions.
+    """
+    from promi_spark.operators.dedup import norm_text
+
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    posting = docs.filter(
+        F.length(F.trim(F.col(text_col))) > 0
+    ).select(
+        id_col,
+        F.posexplode(tokens(norm_text(text_col))).alias("pos", "term"),
+    )
+    anchors = posting.filter(F.col("term") == words[0]).select(id_col, "pos")
+    for i, w in enumerate(words[1:], start=1):
+        nxt = posting.filter(F.col("term") == w).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        anchors = anchors.join(nxt, [id_col, "pos"])
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -1224,6 +1224,39 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "phrase_search_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    posting AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS term
+      FROM d
+    )
+    SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM posting p0
+    JOIN posting p1
+      ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+     AND p1.term = 'value'
+    WHERE p0.term = 'table'
+    GROUP BY p0.doc_id
+    """,
+)
+def q_phrase_search_docs(spark, sf_dir):
+    """Exact-phrase occurrence counts for 'table value' via the
+    inverted-index join — term-filtered posting lists, not a substring
+    scan."""
+    from promi_spark.operators.text import phrase_search
+
+    return phrase_search(load_table(spark, "documents", sf_dir), "table value")
+
+
+@q(
     "tfidf_terms",
     r"""
     WITH d AS (
@@ -2721,6 +2754,7 @@ _ORDER = [
     "value_histogram",  # NEW r5: fixed-width per-type histogram; local-oracled
     "zorder_events",  # NEW r5: Morton clustering key; local-oracled
     "tfidf_terms",  # NEW r5: top TF-IDF terms per doc; local-oracled
+    "phrase_search_docs",  # NEW r5: inverted-index phrase match; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

@@ -431,3 +431,23 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     tf, score = out[(1, "zebra")]
     assert tf == 2
     assert abs(score - round(2 * math.log(4 / 2), 6)) < 1e-9
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    from promi_spark.operators.text import phrase_search
+
+    df = _docs(spark, [
+        "a b a b a b",          # 'a b' occurs 3 times (overlapping starts)
+        "b a b a",              # 'a b' once (pos 2)
+        "a a a",                # 'a a' twice but 'a b' never
+        "",
+    ])
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "a b").collect()}
+    assert got == {0: 3, 1: 1}
+    tri = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "a b a").collect()}
+    assert tri == {0: 2, 1: 1}
+    aa = {r["doc_id"]: r["n_matches"]
+          for r in phrase_search(df, "a a").collect()}
+    assert aa == {2: 2}
