@@ -313,3 +313,35 @@ def test_per_source_cap_single_shuffle(spark, sf):
     plan = explain(QUERIES["per_source_cap"][0](spark, sf))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert "md5" in plan
+
+
+def test_zorder_values_fully_narrow_codegen(spark, sf):
+    """Morton keys are pure shift/and/or arithmetic: no exchange, no
+    UDF, whole-stage codegen."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["zorder_events"][0](spark, sf))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+    assert "EvalPython" not in plan
+
+
+def test_phrase_search_term_filtered_postings(spark, sf):
+    """Phrase search joins term-FILTERED posting lists — the term
+    predicates sit below the joins, and there is no cartesian
+    fallback."""
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["phrase_search_docs"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("table") >= 1 and plan.count("value") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3
+
+
+def test_tfidf_bounded_exchanges(spark, sf):
+    from promi_spark.queries import QUERIES
+
+    plan = explain(QUERIES["tfidf_terms"][0](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 5
+    assert "CartesianProduct" not in plan
