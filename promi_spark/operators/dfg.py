@@ -164,3 +164,29 @@ def trace_variants(log: EventLog) -> DataFrame:
         )
     )
     return per_case.groupBy("variant").agg(F.count(F.lit(1)).alias("n_cases"))
+
+
+def handover_network(
+    log: EventLog,
+    resource_col: str = "resource",
+    include_self: bool = False,
+) -> DataFrame:
+    """Handover-of-work social network (organizational mining, van der
+    Aalst & Song public formulation): (from_resource, to_resource, n)
+    counting adjacent in-trace events performed by the two resources —
+    who passes work to whom. ``include_self=False`` (default) drops
+    self-handovers. Identical scale shape to the DFG: one
+    hashpartitioning(case_id) exchange feeds the lead window, the
+    |resources|^2-bounded edge aggregate combines map-side.
+    """
+    w = Window.partitionBy("case_id").orderBy("seq")
+    real = log.trace_events().filter(
+        F.col("seq").isNotNull() & F.col(resource_col).isNotNull()
+    )
+    pairs = real.withColumn("to_resource", F.lead(resource_col).over(w))
+    out = pairs.filter(F.col("to_resource").isNotNull())
+    if not include_self:
+        out = out.filter(F.col("to_resource") != F.col(resource_col))
+    return out.groupBy(
+        F.col(resource_col).alias("from_resource"), "to_resource"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -1224,6 +1224,35 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "handover_network",
+    EV
+    + f"""
+    , o AS (
+      SELECT case_id, seq, {_ORG_RES_SQL} AS resource FROM ev
+    ),
+    p AS (
+      SELECT resource,
+             lead(resource) OVER (PARTITION BY case_id ORDER BY seq)
+               AS to_resource
+      FROM o
+    )
+    SELECT resource AS from_resource, to_resource,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p
+    WHERE to_resource IS NOT NULL AND to_resource <> resource
+    GROUP BY resource, to_resource
+    """,
+)
+def q_handover_network(spark, sf_dir):
+    """Handover-of-work social network over the derived org:resource
+    attribute — the DFG's lead-window shape applied to resources
+    (organizational mining)."""
+    from promi_spark.operators.dfg import handover_network
+
+    return handover_network(_org_log(spark, sf_dir))
+
+
+@q(
     "phrase_search_docs",
     r"""
     WITH d AS (
@@ -2755,6 +2784,7 @@ _ORDER = [
     "zorder_events",  # NEW r5: Morton clustering key; local-oracled
     "tfidf_terms",  # NEW r5: top TF-IDF terms per doc; local-oracled
     "phrase_search_docs",  # NEW r5: inverted-index phrase match; local-oracled
+    "handover_network",  # NEW r5: org-mining handover edges; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

@@ -122,3 +122,27 @@ def test_trace_clustering_lloyd_refinement(event_log):
     # Lloyd steps never increase total within-cluster squared distance
     assert cost2 <= cost0 + 1e-6
     assert v2.count() == v0.count()
+
+
+def test_handover_network_edges(spark):
+    from promi_spark.log import EventLog
+    from promi_spark.operators.dfg import handover_network
+
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, i), 1, f"a{i}", ["ann", "ann", "bob", "cat"][i])
+        for i in range(4)
+    ] + [(10, dt.datetime(2024, 1, 2), 2, "x", "bob"),
+         (11, dt.datetime(2024, 1, 2, 1), 2, "y", "ann")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, case long, act string, resource string"
+    )
+    log = EventLog.from_generic(df, "case", "act", "ts", keep=["event_id", "resource"])
+    got = {(r["from_resource"], r["to_resource"]): r["n"]
+           for r in handover_network(log).collect()}
+    # ann->ann self-loop dropped; ann->bob, bob->cat in case 1; bob->ann in case 2
+    assert got == {("ann", "bob"): 1, ("bob", "cat"): 1, ("bob", "ann"): 1}
+    with_self = {(r["from_resource"], r["to_resource"]): r["n"]
+                 for r in handover_network(log, include_self=True).collect()}
+    assert with_self[("ann", "ann")] == 1
