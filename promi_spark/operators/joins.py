@@ -173,6 +173,8 @@ def interval_overlap_join(
     .user``). Right columns are suffixed. ``overlap_us`` = inclusive
     overlap length in microseconds.
     """
+    if int(bucket_seconds) < 1:
+        raise ValueError("bucket_seconds must be a positive integer")
     rs, re_ = right_start or start_col, right_end or end_col
     W = F.lit(int(bucket_seconds) * 1_000_000)
 

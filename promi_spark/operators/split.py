@@ -125,6 +125,8 @@ def per_key_cap(
     of a rank). Ties cannot occur: the coin is salted with the row id
     and the id itself breaks any residual equality.
     """
+    if n < 1:
+        raise ValueError("per_key_cap: n must be >= 1")
     w = Window.partitionBy(key_col).orderBy(
         coin_hex(F.col(id_col), seed, salt="cap"), F.col(id_col)
     )
@@ -162,6 +164,8 @@ def weighted_sample(
     Like :func:`split`, the kept set is invariant to row order and
     partitioning.
     """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
     w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
     u = (
         F.conv(coin_hex(F.col(id_col), seed, salt="ws"), 16, 10).cast("double")

@@ -296,3 +296,22 @@ def test_value_histogram_bins(spark):
         ("a", -1): (-10.0, 1),  # negatives floor downward
         ("b", 2): (20.0, 1),
     }
+
+
+def test_curation_operator_argument_guards(spark):
+    import pytest
+
+    from promi_spark.operators.joins import interval_overlap_join
+    from promi_spark.operators.split import per_key_cap, weighted_sample
+    from promi_spark.operators.text import chunk_docs
+
+    df = spark.createDataFrame([(1, "x", 1.0)], "doc_id long, source string, w double")
+    with pytest.raises(ValueError, match="n must be"):
+        per_key_cap(df, "source", 0, "doc_id")
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0, "w", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        chunk_docs(df.selectExpr("doc_id", "'t' AS text"), chunk_chars=0)
+    iv = spark.createDataFrame([], "id long, start_ts timestamp, end_ts timestamp")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_join(iv, iv, bucket_seconds=0)
