@@ -314,3 +314,24 @@ def test_leakage_safe_split_never_straddles(spark):
     }
     assert sides == again
     out.labels_cache.unpersist()
+
+
+def test_capped_and_weighted_sample_nested_in_size(spark):
+    """Rank-based selections are prefix-nested: the kept set at size k
+    is a subset of the kept set at k+1 (deterministic retuning — raise
+    the budget, keep everything already selected)."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.split import per_key_cap, weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(1 + i % 7)) for i in range(300)],
+        "doc_id long, source string, w double",
+    )
+    prev_cap, prev_ws = set(), set()
+    for k in (5, 10, 20):
+        cap = {r["doc_id"] for r in per_key_cap(df, "source", k, "doc_id").collect()}
+        ws = {r["doc_id"] for r in
+              weighted_sample(df, k, "w", "doc_id", key_col="source").collect()}
+        assert prev_cap <= cap and prev_ws <= ws
+        prev_cap, prev_ws = cap, ws
