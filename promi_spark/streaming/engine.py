@@ -486,6 +486,78 @@ def stateful_funnel(
     )
 
 
+def streaming_outliers(
+    events: DataFrame,
+    z: float = 2.0,
+    min_events: int = 3,
+    key_col: str = "case_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming per-key anomaly detection — the real-time twin of the
+    batch ``value_outliers``: per-user running (count, mean, M2) via
+    Welford's online algorithm as ``applyInPandasWithState`` state
+    (three numbers per key, bounded), flagging each event more than
+    ``z`` population standard deviations from the mean of everything
+    seen BEFORE it. Emits (case_id, event_id, value, zscore).
+
+    Unlike the batch operator (two-sided stats over the whole key),
+    the streaming score is prefix-causal — an alert can fire the
+    moment the event arrives, using only past state — so the two
+    operators answer different questions by design and the tests pin
+    the streaming semantics on a hand-computed sequence.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "case_id string, event_id long, value double, zscore double"
+    state_schema = "n long, mean double, m2 double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", id_col])
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for _, r in rows.iterrows():
+            v = r[value_col]
+            if v is not None and not pd.isna(v):
+                v = float(v)
+                if n >= min_events and m2 > 0:
+                    sd = math.sqrt(m2 / n)
+                    score = (v - mean) / sd
+                    if abs(score) > z:
+                        out.append(
+                            (str(key[0]), int(r[id_col]), v, round(score, 6))
+                        )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((int(n), float(mean), float(m2)))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            out, columns=["case_id", "event_id", "value", "zscore"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
     """Test/debug helper: drain an availableNow stream into an
     in-memory table and return the finished query."""

@@ -388,3 +388,37 @@ def test_stateful_funnel_state_survives_batches(spark, tmp_path):
     stages = [r["stage"] for r in spark.table("sfunnel2")
               .filter(F.col("case_id") == "1").orderBy("stage").collect()]
     assert stages[-1] == 3, stages
+
+
+def test_streaming_outliers_prefix_causal(spark, tmp_path):
+    """Welford state: the spike is flagged against stats of everything
+    before it; warm-up events (fewer than min_events prior) never
+    flag, and state carries across micro-batches."""
+    import datetime as dt
+
+    from promi_spark.streaming import read_event_stream, run_to_memory, streaming_outliers
+
+    d = str(tmp_path / "src")
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    b1 = [(i, ts(i), 1, "e", 10.0, None) for i in range(4)]   # steady
+    b2 = [(4, ts(4), 1, "e", 10.2, None),                     # benign
+          (5, ts(5), 1, "e", 99.0, None)]                     # spike
+    raw_schema = ("event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, raw_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    sdf = streaming_outliers(
+        read_event_stream(
+            spark, d, max_files_per_trigger=1, schema=raw_schema
+        ),
+        z=2.0,
+        key_col="user_id",
+    )
+    run_to_memory(sdf, "souts", output_mode="append")
+    got = [(r["event_id"], r["zscore"]) for r in spark.table("souts").collect()]
+    # identical warm-up values -> zero variance -> no flags until 4;
+    # event 4 (10.2 vs all-10s, sd=0) cannot score; spike 5 flags
+    assert [e for e, _ in got] == [5]
+    assert got[0][1] > 2
