@@ -1224,6 +1224,134 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST(date_diff('week', date_trunc('week', f.first_ts),
+                            date_trunc('week', e.ts)) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted distinct in each subsequent week offset. One user
+    shuffle for the first-event aggregate (reused by the join — same
+    key), then a (cohort, offset)-keyed distinct count."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    week = F.date_trunc("week", F.col("ts"))
+    act = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.to_date(cohort).alias("cohort_week"),
+        (F.datediff(week, cohort) / 7).cast("bigint").alias("week_offset"),
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@q(
+    "state_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grp AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS island
+      FROM marked
+    )
+    SELECT user_id, island, event_type,
+           min(ts) AS valid_from, max(ts) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM grp GROUP BY user_id, island, event_type
+    """,
+)
+def q_state_islands(spark, sf_dir):
+    """Gaps-and-islands / SCD2 construction: consecutive same-state
+    runs per user become validity intervals (change marker -> running
+    island id -> one rollup). All three steps share ONE user-key
+    exchange — the standard CDC snapshot-to-intervals shape."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    marked = ev.select("user_id", "ts", "event_id", "event_type",
+                       chg.alias("chg"))
+    island = F.sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.select("user_id", "ts", "event_type",
+                      island.alias("island"))
+        .groupBy("user_id", "island", "event_type")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@q(
+    "path_prefixes",
+    EV
+    + """
+    , v AS (
+      SELECT case_id,
+             array_to_string((list(activity ORDER BY seq))[:3], ',')
+               AS prefix3
+      FROM ev GROUP BY case_id
+    )
+    SELECT prefix3, CAST(count(*) AS BIGINT) AS n_cases
+    FROM v GROUP BY prefix3
+    """,
+)
+def q_path_prefixes(spark, sf_dir):
+    """Common path openings: the first three activities of each trace
+    as a prefix string, counted across cases — the Sankey-style path
+    analysis cut of trace_variants. One case shuffle builds the sorted
+    array; the prefix rollup combines map-side."""
+    log = _log(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("seq"), F.col("activity")))
+    )
+    prefix = F.array_join(
+        F.slice(F.transform(arr, lambda x: x["activity"]), 1, 3), ","
+    )
+    return (
+        log.trace_events()
+        .filter(F.col("seq").isNotNull())
+        .groupBy("case_id")
+        .agg(prefix.alias("prefix3"))
+        .groupBy("prefix3")
+        .agg(F.count(F.lit(1)).alias("n_cases"))
+    )
+
+
+@q(
     "handover_network",
     EV
     + f"""
@@ -2785,6 +2913,9 @@ _ORDER = [
     "tfidf_terms",  # NEW r5: top TF-IDF terms per doc; local-oracled
     "phrase_search_docs",  # NEW r5: inverted-index phrase match; local-oracled
     "handover_network",  # NEW r5: org-mining handover edges; local-oracled
+    "cohort_retention",  # NEW r5: weekly cohort matrix; local-oracled
+    "state_islands",  # NEW r5: gaps-and-islands SCD2 intervals; local-oracled
+    "path_prefixes",  # NEW r5: Sankey-style path openings; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

@@ -254,6 +254,9 @@ def test_round5_window_family_exchange_counts(spark, sf):
         ("top_bigrams", 1),
         ("session_overlaps", 2),  # user window + bucket join
         ("chunk_docs", 0),  # fully narrow
+        ("state_islands", 1),  # change marker + island id + rollup share it
+        ("path_prefixes", 2),  # case collect + prefix rollup
+        ("cohort_retention", 3),  # firsts agg + join + 2-phase distinct
     ):
         plan = explain(QUERIES[name][0](spark, sf))
         got = len(re.findall(r"\(\d+\) Exchange\b", plan))
