@@ -190,3 +190,58 @@ def handover_network(
     return out.groupBy(
         F.col(resource_col).alias("from_resource"), "to_resource"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def eventually_follows(log: EventLog) -> DataFrame:
+    """Eventually-follows graph (EFG): (activity, later_activity, n)
+    counting traces where some occurrence of ``activity`` precedes
+    some occurrence of ``later_activity`` — the long-range companion
+    of the directly-follows graph (same public process-mining
+    formulation family as the DFG/footprint).
+
+    Never a per-event self-join: one case shuffle aggregates each
+    trace's (activity, min_seq, max_seq) profile — |alphabet|-bounded
+    — and the alphabet x alphabet pair generation happens INSIDE the
+    collected per-trace array with ``transform``/``flatten`` (no
+    second exchange; the per-trace work is |alphabet|^2, independent
+    of trace length). A self-pair (a, a) counts only traces with two
+    occurrences (min_seq < max_seq).
+    """
+    per = (
+        log.trace_events()
+        .filter(F.col("seq").isNotNull())
+        .groupBy("case_id", "activity")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"))
+    )
+    arr = per.groupBy("case_id").agg(
+        F.collect_list(F.struct("activity", "mn", "mx")).alias("acts")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("acts"),
+                lambda a: F.transform(
+                    F.col("acts"),
+                    lambda b: F.struct(
+                        a["activity"].alias("activity"),
+                        b["activity"].alias("later_activity"),
+                        F.when(
+                            a["activity"] == b["activity"],
+                            a["mn"] < a["mx"],
+                        )
+                        .otherwise(a["mn"] < b["mx"])
+                        .alias("ok"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["ok"],
+    )
+    return (
+        arr.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.activity").alias("activity"),
+            F.col("p.later_activity").alias("later_activity"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1224,6 +1224,90 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "eventually_follows",
+    EV
+    + """
+    , per AS (
+      SELECT case_id, activity, min(seq) AS mn, max(seq) AS mx
+      FROM ev GROUP BY case_id, activity
+    )
+    SELECT a.activity, b.activity AS later_activity,
+           CAST(count(*) AS BIGINT) AS n
+    FROM per a JOIN per b ON a.case_id = b.case_id
+    WHERE CASE WHEN a.activity = b.activity THEN a.mn < a.mx
+               ELSE a.mn < b.mx END
+    GROUP BY a.activity, b.activity
+    """,
+)
+def q_eventually_follows(spark, sf_dir):
+    """Eventually-follows graph: long-range ordering counts per
+    activity pair. One case shuffle; pair generation inside the
+    collected alphabet-bounded per-trace array (no self-join)."""
+    from promi_spark.operators.dfg import eventually_follows
+
+    return eventually_follows(_log(spark, sf_dir))
+
+
+@q(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, frequency, round(monetary, 2) AS monetary,
+             CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS INT) AS r,
+             CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS INT) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS INT) AS m
+      FROM rfm
+    )
+    SELECT user_id, frequency, monetary, r, f, m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary quartiles
+    (ntile over deterministic orderings — identical across engines)
+    concatenated into the classic 3-digit segment code. The per-user
+    rollup is one shuffle; the quartile windows rank a |users|-sized
+    relation (already reduced ~events/users-fold; a 100 TB log with
+    modest user cardinality ranks a small relation — for extreme key
+    counts swap ntile for percentile_approx bucketing)."""
+    ev = load_table(spark, "events", sf_dir)
+    rfm = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy("last_ts", "user_id"))
+    f = F.ntile(4).over(Window.orderBy("frequency", "user_id"))
+    m = F.ntile(4).over(Window.orderBy("monetary", "user_id"))
+    return rfm.select(
+        "user_id",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        r.alias("r"),
+        f.alias("f"),
+        m.alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+@q(
     "cohort_retention",
     """
     WITH firsts AS (
@@ -2916,6 +3000,8 @@ _ORDER = [
     "cohort_retention",  # NEW r5: weekly cohort matrix; local-oracled
     "state_islands",  # NEW r5: gaps-and-islands SCD2 intervals; local-oracled
     "path_prefixes",  # NEW r5: Sankey-style path openings; local-oracled
+    "eventually_follows",  # NEW r5: long-range EFG; local-oracled
+    "rfm_segments",  # NEW r5: RFM quartile segmentation; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

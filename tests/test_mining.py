@@ -146,3 +146,20 @@ def test_handover_network_edges(spark):
     with_self = {(r["from_resource"], r["to_resource"]): r["n"]
                  for r in handover_network(log, include_self=True).collect()}
     assert with_self[("ann", "ann")] == 1
+
+
+def test_eventually_follows_counts(spark):
+    import datetime as dt
+
+    from promi_spark.log import EventLog
+    from promi_spark.operators.dfg import eventually_follows
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), c, a) for i, (c, a) in
+            enumerate([(1, "a"), (1, "b"), (1, "a"),
+                       (2, "b"), (2, "a")])]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, c long, act string")
+    log = EventLog.from_generic(df, "c", "act", "ts", keep=["event_id"])
+    got = {(r["activity"], r["later_activity"]): r["n"]
+           for r in eventually_follows(log).collect()}
+    # trace 1 = a,b,a: a->b, b->a, a->a (two a's); trace 2 = b,a: b->a
+    assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 1}
