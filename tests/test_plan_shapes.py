@@ -257,6 +257,7 @@ def test_round5_window_family_exchange_counts(spark, sf):
         ("state_islands", 1),  # change marker + island id + rollup share it
         ("path_prefixes", 2),  # case collect + prefix rollup
         ("cohort_retention", 3),  # firsts agg + join + 2-phase distinct
+        ("eventually_follows", 2),  # case shuffle (profile+collect share it) + edge agg
     ):
         plan = explain(QUERIES[name][0](spark, sf))
         got = len(re.findall(r"\(\d+\) Exchange\b", plan))
