@@ -154,3 +154,29 @@ def test_round5_new_operators_empty(spark, empty_docs, empty_emb):
         [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
     )
     assert knn_classify(empty_emb, q).count() == 0
+
+
+def test_round5_batch3_operators_empty(spark, empty_docs):
+    from pyspark.sql import functions as F
+
+    from promi_spark.log import EventLog
+    from promi_spark.operators.dfg import eventually_follows, handover_network
+    from promi_spark.operators.text import phrase_search, tfidf_top_terms, top_ngrams
+    from promi_spark.operators.scale import zorder_value
+
+    assert top_ngrams(empty_docs).count() == 0
+    assert tfidf_top_terms(empty_docs).count() == 0
+    assert phrase_search(empty_docs, "a b").count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, resource string"
+    )
+    log = EventLog.from_generic(
+        empty_ev, "user_id", "event_type", "ts",
+        keep=["event_id", "value", "resource"],
+    )
+    assert eventually_follows(log).count() == 0
+    assert handover_network(log).count() == 0
+    z = empty_ev.select(zorder_value([F.col("user_id")], bits=4).alias("z"))
+    assert z.count() == 0
