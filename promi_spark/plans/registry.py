@@ -398,6 +398,23 @@ def _corpus_stats(ctx, df, text_col: str = "text", **_):
     return df, row.asDict()
 
 
+@register("DfgArtifact", "pass-through directly-follows artifact: the "
+          "alphabet^2-bounded DFG edge list released on an artifact "
+          "channel (reference observer family, observer.rs:44-47 — "
+          "the model-mining analog of Statistics)", {"stream"},
+          params=[Param("endpoints", bool, False)])
+def _dfg_artifact(ctx, log, endpoints: bool = False, **_):
+    from promi_spark.operators.dfg import directly_follows
+
+    edges = directly_follows(log, with_endpoints=endpoints).collect()
+    return log, {
+        "n_edges": len(edges),
+        "edges": sorted(
+            (r["activity"], r["next_activity"], r["n"]) for r in edges
+        ),
+    }
+
+
 @register("PiiScrub", "replace emails/IPv4s/phone numbers with typed "
           "placeholders in-place (narrow codegen regexp pass)",
           {"stream"},

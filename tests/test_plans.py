@@ -683,3 +683,32 @@ pipes:
 """)
     with pytest.raises(FlowConfigError, match="ChunkDocs: stride"):
         execute(spark, bad2)
+
+
+def test_dfg_artifact_segment(spark):
+    """DfgArtifact releases the batch DFG edge list on an artifact
+    channel while passing the log through untouched."""
+    import yaml
+
+    from promi_spark.io import load_event_log
+    from promi_spark.operators.dfg import directly_follows
+    from promi_spark.plans import execute
+
+    flow = yaml.safe_load("""
+pipes:
+  - name: Mine
+    source: {name: EventsTable, attributes: {sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: DfgArtifact
+        artifact_sender: [dfg_model]
+    sink: {name: Void}
+""")
+    res = execute(spark, flow)
+    art = res.artifacts["dfg_model"]
+    want = sorted(
+        (r["activity"], r["next_activity"], r["n"])
+        for r in directly_follows(
+            load_event_log(spark, "/root/testdata/sf0.001")
+        ).collect()
+    )
+    assert art["edges"] == want and art["n_edges"] == len(want)
