@@ -167,3 +167,47 @@ def value_histogram(
             "n",
         )
     )
+
+
+def value_hour_correlation(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group Pearson correlation between hour-of-day and value —
+    daily-seasonality detection. Returns (group, n, corr).
+
+    Engine-portable float discipline (same contract as
+    ``value_outliers``): the six sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy²) accumulate as EXACT integers/decimals — so shuffle
+    and combine order cannot perturb them — and the correlation is one
+    IEEE double expression over those exact inputs, bit-identical in
+    any ANSI engine. A built-in ``corr`` aggregate would stream float
+    co-moments in partition order and hash-mismatch across engines.
+    One map-side-combining aggregate; zero-variance groups yield NULL.
+    """
+    x = F.hour(F.col(ts_col).cast("timestamp")).cast("long")
+    y = F.col(value_col).cast("decimal(18,2)")
+    agg = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return agg.select(group_col, "n", F.round(corr, 6).alias("corr"))

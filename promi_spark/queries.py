@@ -1224,6 +1224,41 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "value_hour_corr",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hour(ts)) AS BIGINT) AS sx,
+             CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+             sum(CAST(value AS DECIMAL(18,2))) AS sy,
+             sum(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS syy,
+             sum(hour(ts) * CAST(value AS DECIMAL(18,2))) AS sxy
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                       AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                 THEN (n * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END, 6) AS corr
+    FROM s
+    """,
+)
+def q_value_hour_corr(spark, sf_dir):
+    """Daily-seasonality check: Pearson corr(hour-of-day, value) per
+    event type from exact sufficient statistics — order-independent,
+    engine-identical floats (a built-in corr aggregate would not be)."""
+    from promi_spark.operators.stats import value_hour_correlation
+
+    return value_hour_correlation(load_table(spark, "events", sf_dir))
+
+
+@q(
     "eventually_follows",
     EV
     + """
@@ -3002,6 +3037,7 @@ _ORDER = [
     "path_prefixes",  # NEW r5: Sankey-style path openings; local-oracled
     "eventually_follows",  # NEW r5: long-range EFG; local-oracled
     "rfm_segments",  # NEW r5: RFM quartile segmentation; local-oracled
+    "value_hour_corr",  # NEW r5: exact-sums Pearson correlation; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",

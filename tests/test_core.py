@@ -315,3 +315,23 @@ def test_curation_operator_argument_guards(spark):
     iv = spark.createDataFrame([], "id long, start_ts timestamp, end_ts timestamp")
     with pytest.raises(ValueError, match="bucket_seconds"):
         interval_overlap_join(iv, iv, bucket_seconds=0)
+
+
+def test_value_hour_correlation_known_values(spark):
+    import datetime as dt
+
+    from promi_spark.operators.stats import value_hour_correlation
+
+    rows = []
+    for h in range(6):
+        ts = dt.datetime(2024, 1, 1, h)
+        rows.append((len(rows), ts, "up", float(10 + 2 * h)))     # corr +1
+        rows.append((len(rows), ts, "down", float(50 - 3 * h)))   # corr -1
+        rows.append((len(rows), ts, "flat", 7.0))                 # zero var
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["event_type"]: r["corr"] for r in value_hour_correlation(df).collect()}
+    assert got["up"] == 1.0
+    assert got["down"] == -1.0
+    assert got["flat"] is None
