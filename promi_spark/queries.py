@@ -1224,6 +1224,70 @@ def q_rolling_user_activity(spark, sf_dir):
 
 
 @q(
+    "user_event_pivot",
+    """
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS click,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+             AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_pivot(spark, sf_dir):
+    """Wide per-user activity profile via PIVOT with an explicit value
+    list — explicit values keep the schema static (no extra
+    distinct-values job, a driver round-trip the implicit form pays).
+    Spark plans it as the standard two-phase pivot ((user, type)
+    partial counts, then the per-user pivot aggregate — both
+    map-side-combining); the oracle is the equivalent CASE form."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "signup", "view"])
+    )
+
+
+@q(
+    "lineitem_unpivot_stats",
+    """
+    SELECT measure, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+    ) GROUP BY measure
+    """,
+)
+def q_lineitem_unpivot_stats(spark, sf_dir):
+    """Long-form measure stats via UNPIVOT/melt: the three numeric
+    lineitem measures melted to (measure, v) rows in the scan task (no
+    shuffle until the 3-group rollup; decimal-exact sums)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "v",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
+@q(
     "value_hour_corr",
     """
     WITH s AS (
@@ -3038,6 +3102,8 @@ _ORDER = [
     "eventually_follows",  # NEW r5: long-range EFG; local-oracled
     "rfm_segments",  # NEW r5: RFM quartile segmentation; local-oracled
     "value_hour_corr",  # NEW r5: exact-sums Pearson correlation; local-oracled
+    "user_event_pivot",  # NEW r5: explicit-values PIVOT; local-oracled
+    "lineitem_unpivot_stats",  # NEW r5: UNPIVOT/melt rollup; local-oracled
     "filter_org_eq",
     "filter_time_contained",
     "top_traces_by_events",
