@@ -335,3 +335,20 @@ def test_value_hour_correlation_known_values(spark):
     assert got["up"] == 1.0
     assert got["down"] == -1.0
     assert got["flat"] is None
+
+
+def test_driver_window_all_oracled_and_sized():
+    """The first 50 registry entries form the driver's correctness
+    window: every one must carry a DuckDB oracle, and an insertion
+    that accidentally shifts the window boundary (pushing an intended
+    member out) is caught by pinning the 50th entry."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    window = names[:50]
+    assert all(n in oracles for n in window), [
+        n for n in window if n not in oracles
+    ]
+    # boundary pin: update deliberately when rotating the window
+    assert names[49] == "rolling_user_activity"
