@@ -712,3 +712,24 @@ pipes:
         ).collect()
     )
     assert art["edges"] == want and art["n_edges"] == len(want)
+
+
+def test_example_flows_execute(spark, tmp_path, monkeypatch):
+    """The shipped example flows must stay runnable verbatim: rewrite
+    only their output paths into the test sandbox and execute both."""
+    import yaml
+
+    from promi_spark.plans import execute
+
+    for name, sink_attr in (
+        ("examples/clean_corpus.yml", "path"),
+        ("examples/curate_corpus.yml", "path"),
+    ):
+        flow = yaml.safe_load(open(f"/root/repo/{name}"))
+        for pipe in flow["pipes"]:
+            attrs = pipe.get("sink", {}).get("attributes", {})
+            if sink_attr in attrs:
+                attrs[sink_attr] = str(tmp_path / pipe["name"])
+        res = execute(spark, flow)
+        out = spark.read.parquet(str(tmp_path / flow["pipes"][-1]["name"]))
+        assert out.count() > 0
