@@ -178,13 +178,19 @@ def handover_network(
     self-handovers. Identical scale shape to the DFG: one
     hashpartitioning(case_id) exchange feeds the lead window, the
     |resources|^2-bounded edge aggregate combines map-side.
+
+    NULL-resource events STAY in the window (an anonymous event still
+    breaks the adjacency — no edge is invented across it); the two
+    edges touching it are dropped afterward. This matches the SQL
+    oracle, where ``to_resource <> resource`` is NULL-rejecting on
+    both sides.
     """
     w = Window.partitionBy("case_id").orderBy("seq")
-    real = log.trace_events().filter(
-        F.col("seq").isNotNull() & F.col(resource_col).isNotNull()
-    )
+    real = log.trace_events().filter(F.col("seq").isNotNull())
     pairs = real.withColumn("to_resource", F.lead(resource_col).over(w))
-    out = pairs.filter(F.col("to_resource").isNotNull())
+    out = pairs.filter(
+        F.col("to_resource").isNotNull() & F.col(resource_col).isNotNull()
+    )
     if not include_self:
         out = out.filter(F.col("to_resource") != F.col(resource_col))
     return out.groupBy(

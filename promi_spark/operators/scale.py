@@ -257,6 +257,13 @@ def zorder_value(cols: list[Column], bits: int = 16) -> Column:
     n = len(cols)
     if n < 1:
         raise ValueError("zorder_value needs at least one column")
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_value: bits * len(cols) = {bits * n} exceeds the 63 "
+            "usable bits of a signed long — high bits would shift past the "
+            "word and silently corrupt (sign-flip) the curve value; lower "
+            "`bits` or interleave fewer columns"
+        )
     terms = []
     for c_idx, c in enumerate(cols):
         x = c.cast("long")

@@ -810,7 +810,13 @@ def corpus_cardinality(
     tokens but still count as docs (explode_outer of an empty array).
     """
     c = F.col(text_col)
-    toks = F.when(F.length(F.trim(c)) == 0, F.array()).otherwise(tokens(c))
+    # NULL text is explicitly the empty token set so the doc still
+    # counts in n_docs (explode_outer keeps the row, tok = NULL). The
+    # DuckDB oracle mirrors this with a `text IS NULL` CASE branch —
+    # a bare unnest(NULL) there would emit zero rows and drop the doc.
+    toks = F.when(
+        c.isNull() | (F.length(F.trim(c)) == 0), F.array().cast("array<string>")
+    ).otherwise(tokens(c))
     ex = docs.select(
         group_col,
         id_col,

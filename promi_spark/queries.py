@@ -1359,9 +1359,11 @@ def q_eventually_follows(spark, sf_dir):
     ),
     scored AS (
       SELECT user_id, frequency, round(monetary, 2) AS monetary,
-             CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS INT) AS r,
+             CAST(ntile(4) OVER (ORDER BY last_ts NULLS LAST, user_id)
+               AS INT) AS r,
              CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS INT) AS f,
-             CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS INT) AS m
+             CAST(ntile(4) OVER (ORDER BY monetary NULLS LAST, user_id)
+               AS INT) AS m
       FROM rfm
     )
     SELECT user_id, frequency, monetary, r, f, m,
@@ -1386,9 +1388,13 @@ def q_rfm_segments(spark, sf_dir):
         .cast("double")
         .alias("monetary"),
     )
-    r = F.ntile(4).over(Window.orderBy("last_ts", "user_id"))
+    # Null placement is explicit on both sides: Spark default-sorts
+    # NULLS FIRST ascending, DuckDB NULLS LAST — a user whose values
+    # are all NULL (monetary) or timestamps all NULL (last_ts) would
+    # land in opposite quartiles under engine defaults.
+    r = F.ntile(4).over(Window.orderBy(F.asc_nulls_last("last_ts"), "user_id"))
     f = F.ntile(4).over(Window.orderBy("frequency", "user_id"))
-    m = F.ntile(4).over(Window.orderBy("monetary", "user_id"))
+    m = F.ntile(4).over(Window.orderBy(F.asc_nulls_last("monetary"), "user_id"))
     return rfm.select(
         "user_id",
         "frequency",
@@ -2191,7 +2197,7 @@ def q_source_mix(spark, sf_dir):
     r"""
     WITH ex AS (
       SELECT source, doc_id, md5(text) AS h,
-             unnest(CASE WHEN length(trim(text)) = 0
+             unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0
                          THEN [CAST(NULL AS VARCHAR)]
                          ELSE string_split_regex(trim(text), '\s+')
                     END) AS tok

@@ -34,6 +34,11 @@ def get_spark(app_name: str = "promi_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars write \r-terminated updates that interleave with
+        # stdout when the process is run under a pipe (the per-round bench
+        # driver captures a merged tail) and can corrupt the one-line JSON
+        # protocol bench.py speaks. Nothing in this repo reads them.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp, so read as long and convert at ingest

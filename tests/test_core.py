@@ -352,3 +352,36 @@ def test_driver_window_all_oracled_and_sized():
     ]
     # boundary pin: update deliberately when rotating the window
     assert names[49] == "rolling_user_activity"
+
+
+def test_ntile_null_placement_matches_duckdb(spark):
+    """rfm_segments orders quartile windows with explicit NULLS LAST on
+    both engines (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST —
+    a silent cross-engine quartile divergence for all-NULL users,
+    round-5 ADVICE item). Pin the explicit form to DuckDB's output."""
+    import duckdb
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, 5.0), (2, None), (3, 1.0), (4, 9.0), (5, None), (6, 3.0)]
+    df = spark.createDataFrame(rows, "user_id long, monetary double")
+    got = {
+        r["user_id"]: r["m"]
+        for r in df.select(
+            "user_id",
+            F.ntile(4)
+            .over(Window.orderBy(F.asc_nulls_last("monetary"), "user_id"))
+            .alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (user_id BIGINT, monetary DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT user_id, ntile(4) OVER "
+            "(ORDER BY monetary NULLS LAST, user_id) FROM t"
+        ).fetchall()
+    )
+    assert got == want

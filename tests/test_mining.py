@@ -163,3 +163,34 @@ def test_eventually_follows_counts(spark):
            for r in eventually_follows(log).collect()}
     # trace 1 = a,b,a: a->b, b->a, a->a (two a's); trace 2 = b,a: b->a
     assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 1}
+
+
+def test_handover_network_null_resource_breaks_adjacency(spark):
+    """An anonymous (NULL-resource) event in the middle of a trace must
+    NOT be skipped over — no handover edge is invented across it, and
+    the two edges touching it are dropped. This matches the SQL oracle,
+    whose `to_resource <> resource` predicate is NULL-rejecting on both
+    sides of the lead window (round-5 ADVICE item)."""
+    import datetime as dt
+
+    from promi_spark.log import EventLog
+    from promi_spark.operators.dfg import handover_network
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "a", "ann"),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 1, "b", None),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 1, "c", "bob"),
+        (4, dt.datetime(2024, 1, 1, 0, 3), 1, "d", "cat"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, case long, act string, resource string"
+    )
+    log = EventLog.from_generic(
+        df, "case", "act", "ts", keep=["event_id", "resource"]
+    )
+    got = {
+        (r["from_resource"], r["to_resource"]): r["n"]
+        for r in handover_network(log).collect()
+    }
+    # ann->(null) and (null)->bob are dropped; ann->bob is NOT invented.
+    assert got == {("bob", "cat"): 1}

@@ -211,3 +211,17 @@ def test_write_zordered_layout(spark, tmp_path):
         assert hi1 <= lo2  # disjoint z ranges across files
     # locality: average per-file spread well under the global 0..63
     assert sum(xr) / len(xr) < 48 and sum(yr) / len(yr) < 48
+
+
+def test_zorder_value_rejects_overflowing_bit_budget(spark):
+    """bits * len(cols) > 63 would shift high bits past the signed-long
+    width and silently sign-flip the curve value — must raise instead."""
+    import pytest
+
+    from promi_spark.operators.scale import zorder_value
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with pytest.raises(ValueError, match="63"):
+        zorder_value(cols, bits=16)  # 64 bits > 63
+    # 60 bits across 4 columns is fine
+    zorder_value(cols, bits=15)

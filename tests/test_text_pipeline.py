@@ -451,3 +451,39 @@ def test_phrase_search_positions_and_overlaps(spark):
     aa = {r["doc_id"]: r["n_matches"]
           for r in phrase_search(df, "a a").collect()}
     assert aa == {2: 2}
+
+
+def test_corpus_cardinality_null_text_parity_with_oracle(spark, tmp_path):
+    """A NULL-text doc must count in n_docs on BOTH engines: Spark's
+    explode_outer keeps the row, and the oracle CASE has an explicit
+    `text IS NULL` branch (a bare unnest(NULL) would emit zero rows and
+    silently drop the doc — round-5 ADVICE item)."""
+    import duckdb
+
+    from promi_spark.operators.text import corpus_cardinality
+    from promi_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(1, "a b a", "s"), (2, None, "s"), (3, "", "s"), (4, None, "t")],
+        "doc_id long, text string, source string",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+
+    got = {r["source"]: r for r in corpus_cardinality(df).collect()}
+    assert got["s"]["n_docs"] == 3 and got["t"]["n_docs"] == 1
+    assert got["s"]["total_tokens"] == 3 and got["t"]["total_tokens"] == 0
+
+    sql = QUERIES["corpus_cardinality"][1]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(sql).fetchall()
+    }
+    for src in ("s", "t"):
+        g, o = got[src], oracle[src]
+        assert (g["n_docs"], g["distinct_texts"], g["total_tokens"],
+                g["distinct_tokens"]) == (o[1], o[2], o[3], o[4]), (src, g, o)

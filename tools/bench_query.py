@@ -24,11 +24,27 @@ sys.path.insert(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Hand-rolled so `--runs N` and `--runs=N` both work (the bare N
+    # after a space must be consumed as the flag's value, not left to
+    # become a positional sf_dir).
+    argv = sys.argv[1:]
+    args: list[str] = []
     runs = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1]) if "=" in a else runs
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                runs = int(argv[i])
+            else:
+                print("--runs needs a value", file=sys.stderr)
+                return 2
+        else:
+            args.append(a)
+        i += 1
     if not args:
         print(__doc__)
         return 2
