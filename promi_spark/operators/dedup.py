@@ -464,7 +464,9 @@ def minhash_dedup_incremental(
     return out
 
 
-def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame, max_iter: int = 30, checkpoint_every: int = 5
+) -> DataFrame:
     """(doc_id, component): connected components of the near-dup pair
     graph — the canonical clustering step after pair generation in a
     production dedup pipeline (keep ``min(doc_id)`` per component, drop
@@ -491,6 +493,19 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     ``out.labels_cache.unpersist()`` when done, or
     ``spark.catalog.clearCache()`` between corpora — as with
     :func:`minhash_dedup`.
+
+    Every ``checkpoint_every`` rounds the label relation is
+    ``localCheckpoint``-ed: although each round's inputs are persisted,
+    the LOGICAL plan still nests the previous round's join, so a
+    high-diameter graph (a long chain of near-dups) would otherwise
+    build an O(diameter)-deep lineage with a superlinear planning tail
+    near ``max_iter``. The checkpoint truncates lineage to the
+    materialized label rows; plan depth stays O(checkpoint_every)
+    regardless of diameter. (On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` if
+    executor loss during the loop matters; localCheckpoint trades that
+    fault-tolerance for zero-copy speed, the right call for an
+    interactive dedup pass.)
     """
     edges = pairs.select("a", "b")
     sym = edges.unionByName(
@@ -543,6 +558,13 @@ def dedup_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             if changed == 0:
                 converged = True
                 break
+            if checkpoint_every and n_rounds % checkpoint_every == 0:
+                # truncate the round-over-round join lineage (see
+                # docstring); eager so the persisted new_labels can be
+                # released immediately after.
+                cp = labels.localCheckpoint(eager=True)
+                labels.unpersist()
+                labels = cp
         if not converged:
             raise RuntimeError(
                 f"dedup_components did not converge in {max_iter} rounds "

@@ -355,6 +355,25 @@ def ivf_centroids(
     replays (the probe-pruned search plan is identical either way)."""
     import numpy as np
 
+    def _rand_sample(n: int) -> list:
+        # A bare .limit(n) takes the FIRST partitions — whatever file
+        # sorts first — so a partition-skewed corpus would hand k-means
+        # a sample (and hence centroids) covering only one region of
+        # the space. Ordering by a seeded xxhash64 of the id instead is
+        # a uniform pseudo-random draw that is deterministic AND
+        # partition-layout-independent; orderBy+limit plans as
+        # TakeOrderedAndProject (per-partition top-n, driver merge),
+        # no full sort shuffle.
+        return (
+            df.select(
+                _as_double(F.col(vec_col)).alias("v"),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+            )
+            .orderBy("__h", id_col)
+            .limit(n)
+            .collect()
+        )
+
     if init == "lowest_ids":
         rows = (
             df.select(_as_double(F.col(vec_col)).alias("v"))
@@ -364,17 +383,12 @@ def ivf_centroids(
         )
         cent = np.array([r["v"] for r in rows])
     else:
-        rows = (
-            df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
-        )
+        rows = _rand_sample(sample)
         X = np.array([r["v"] for r in rows])
         rng = np.random.default_rng(seed)
         cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
     if init == "lowest_ids" and n_iter:
-        rows_all = (
-            df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
-        )
-        X = np.array([r["v"] for r in rows_all])
+        X = np.array([r["v"] for r in _rand_sample(sample)])
     elif init == "lowest_ids":
         X = cent
     for _ in range(n_iter):
