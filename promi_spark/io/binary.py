@@ -95,3 +95,77 @@ def to_avro_frames(df: DataFrame, value_cols: list[str] | None = None) -> DataFr
         return df.select(to_avro(F.struct(*cols)).alias("value"))
     except Exception as e:  # pragma: no cover - classpath probe
         raise NotImplementedError(f"spark-avro not on classpath: {e}") from e
+
+
+_AVRO_PRIMS = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def avro_schema_json(schema: StructType, name: str = "row") -> str:
+    """Avro record schema (JSON) for a flat Spark schema — what
+    ``from_avro`` needs to decode frames produced by
+    :func:`to_avro_frames`. Nullable fields become the standard
+    ``["null", T]`` union; timestamps map to the ``timestamp-micros``
+    logical type (Spark's own to_avro encoding). Nested/array columns
+    are out of scope for the wire path — raise rather than mis-declare.
+    """
+    import json as _json
+
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in _AVRO_PRIMS:
+            a: object = _AVRO_PRIMS[t]
+        elif t == "timestamp":
+            a = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t == "date":
+            a = {"type": "int", "logicalType": "date"}
+        elif t == "decimal":
+            a = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": f.dataType.precision,
+                "scale": f.dataType.scale,
+            }
+        else:
+            raise NotImplementedError(
+                f"avro wire schema: unsupported column type {t!r} "
+                f"({f.name}); flatten or cast before framing"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", a] if f.nullable else a}
+        )
+    return _json.dumps(
+        {"type": "record", "name": name, "fields": fields}
+    )
+
+
+def from_avro_frames(frames: DataFrame, schema: StructType) -> DataFrame:
+    """Decode ``value`` blobs written by :func:`to_avro_frames` back to
+    typed rows — the consumer half of the Avro wire. Same classpath
+    gate as the encoder; exercised by the capability-gated roundtrip
+    test the moment spark-avro is on the classpath (no code change
+    needed on a real cluster: add ``--packages
+    org.apache.spark:spark-avro_2.13:<spark-version>``)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("spark-avro package not available") from e
+    try:
+        dec = frames.select(
+            from_avro(F.col("value"), avro_schema_json(schema)).alias("r")
+        )
+        return dec.select("r.*")
+    except NotImplementedError:
+        raise
+    except Exception as e:  # pragma: no cover - classpath probe
+        raise NotImplementedError(f"spark-avro not on classpath: {e}") from e

@@ -219,7 +219,7 @@ def parse_xes(source) -> tuple[Meta, list[dict]]:
     yields one marker row with ``seq`` NULL.
     """
     if isinstance(source, (str, os.PathLike)):
-        source = open(source, "rb")
+        source = _open_xes(source)
     meta = Meta()
     rows: list[dict] = []
     payload_started = False
@@ -325,8 +325,24 @@ def _event_row(
     return row
 
 
+def _open_xes(path):
+    """Binary reader over a (possibly gzip-compressed) XES file. Sniffs
+    the gzip magic rather than trusting the extension, so ``.xes`` files
+    that are secretly compressed (a common corpus-mirror artifact) parse
+    too."""
+    import gzip
+
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
 def read_xes(spark: SparkSession, path: str) -> EventLog:
-    """XES file -> EventLog (driver-side parse; see module docstring)."""
+    """XES file (plain or ``.xes.gz``) -> EventLog (driver-side parse;
+    see module docstring)."""
     meta, rows = parse_xes(path)
     df = spark.createDataFrame(rows, schema=EVENTS_SCHEMA) if rows else (
         spark.createDataFrame([], schema=EVENTS_SCHEMA)
@@ -343,6 +359,17 @@ def read_xes_distributed(spark: SparkSession, path: str) -> EventLog:
     element rules as :func:`read_xes` inside ``mapInPandas``
     (Arrow-batched; the per-trace XML subtrees are independent).
 
+    ``path`` may be a single file, a ``.xes.gz`` file, a directory, or
+    a glob — the realistic corpus layout (the reference parses single
+    plain files only, ``/root/reference/src/stream/xes.rs:812-823``).
+    Spark's text source lists directories/globs and decompresses gzip
+    natively; gz files are unsplittable so they parallelize per-file
+    (one task each), plain files also split WITHIN the file at trace
+    boundaries. For a directory/glob the Meta header is taken from the
+    lexicographically FIRST file — multi-file corpora are presumed
+    header-consistent shards of one log (the usual export layout);
+    parse per-file with :func:`read_xes` when headers genuinely differ.
+
     The XML source cannot enforce the reference's whole-document
     element-order state machine (e.g. a ``<classifier>`` after the first
     trace); use :func:`read_xes` when strict corpus semantics matter.
@@ -351,7 +378,7 @@ def read_xes_distributed(spark: SparkSession, path: str) -> EventLog:
     import pandas as pd
     from pyspark.sql import functions as F
 
-    meta, _ = parse_xes(_header_only(path))
+    meta, _ = parse_xes(_header_only(_first_xes_file(path)))
     # Split the file at </trace> boundaries with the text source's
     # lineSep — a distributed, splittable scan (each "line" is one
     # trace block plus whatever preceded it; the header lands in the
@@ -388,11 +415,37 @@ def read_xes_distributed(spark: SparkSession, path: str) -> EventLog:
     return EventLog(df=df, meta=meta)
 
 
+def _first_xes_file(path: str) -> str:
+    """Resolve a file/dir/glob ingest path to the single file whose
+    header supplies the log Meta (lexicographically first for
+    multi-file layouts)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        cands = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "*"))
+            if p.endswith((".xes", ".xes.gz"))
+        )
+    elif any(ch in path for ch in "*?["):
+        cands = sorted(_glob.glob(path))
+    else:
+        return path
+    if not cands:
+        raise XesParseError(f"no .xes/.xes.gz files under {path!r}")
+    return cands[0]
+
+
 def _header_only(path: str):
     """A file-like over the log header (everything before the first
-    <trace>/<event>) closed with </log> — driver reads O(header) bytes."""
+    <trace>/<event>) closed with </log> — driver reads O(header) bytes
+    (gzip: O(header) decompressed)."""
+    import io as _tio
+
     buf = []
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
+    with _tio.TextIOWrapper(
+        _open_xes(path), encoding="utf-8", errors="replace"
+    ) as f:
         for line in f:
             s = line.lstrip()
             if s.startswith("<trace") or s.startswith("<event"):

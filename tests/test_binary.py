@@ -133,3 +133,43 @@ def test_frames_stream_exactly_once_under_restart(spark, tmp_path):
     # value-level parity with the source
     assert decoded.exceptAll(ev).count() == 0
     assert ev.exceptAll(decoded).count() == 0
+
+
+def test_avro_roundtrip_when_classpath_allows(spark):
+    """Full Avro wire roundtrip (encode -> decode -> value parity).
+    Runs for real the day the session has spark-avro on the classpath
+    (any cluster launched with --packages org.apache.spark:spark-avro);
+    in this container it must skip with the classpath reason printed —
+    the schema generator itself is exercised unconditionally."""
+    from promi_spark.io.binary import (
+        avro_schema_json,
+        from_avro_frames,
+        to_avro_frames,
+    )
+
+    df = load_table(spark, "region", SF)
+    # schema generation is pure python — always verified
+    import json
+
+    sch = json.loads(avro_schema_json(df.schema))
+    assert sch["type"] == "record"
+    assert [f["name"] for f in sch["fields"]] == df.columns
+
+    try:
+        wire = to_avro_frames(df)
+        back = from_avro_frames(wire, df.schema)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+    except NotImplementedError as e:
+        pytest.skip(f"spark-avro not available: {e}")
+
+
+def test_avro_schema_rejects_nested_columns(spark):
+    import pytest as _pytest
+
+    from promi_spark.io.binary import avro_schema_json
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<int>")
+    with _pytest.raises(NotImplementedError, match="xs"):
+        avro_schema_json(df.schema)

@@ -338,3 +338,54 @@ def test_writers_agree_on_null_seq_attr_marker(spark, tmp_path):
         d, x = a.read(), b.read()
     assert d == x
     assert "acme" in d and "WRONG" not in d
+
+
+def test_distributed_reader_multifile_and_gzip(spark, tmp_path):
+    """Directory / glob / .xes.gz ingest (the realistic corpus layout;
+    the reference parses single plain files only — xes.rs:812-823):
+    a directory holding one plain and one gzip-compressed book log must
+    read as the UNION of the per-file driver-side reads, content-exact,
+    and the gz file alone must round-trip identically to its plain
+    twin."""
+    import gzip
+    import shutil
+
+    from promi_spark.io.xes import read_xes, read_xes_distributed
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    shutil.copy(f"{CORPUS}/book/L1.xes", d / "a_L1.xes")
+    with open(f"{CORPUS}/book/L2.xes", "rb") as src, gzip.open(
+        d / "b_L2.xes.gz", "wb"
+    ) as dst:
+        shutil.copyfileobj(src, dst)
+
+    cols = ["activity", "ts", "resource", "lifecycle"]
+
+    def payload(df):
+        # case_id embeds a per-read trace counter, so compare the
+        # per-trace event payloads (order inside trace via seq)
+        return sorted(
+            tuple(r)
+            for r in df.select("seq", *cols).collect()
+        )
+
+    # gz alone == plain twin (driver parse sniffs the gzip magic)
+    plain = read_xes(spark, f"{CORPUS}/book/L2.xes").df
+    gz = read_xes(spark, str(d / "b_L2.xes.gz")).df
+    assert payload(gz) == payload(plain)
+
+    # distributed gz read == plain driver read
+    dist_gz = read_xes_distributed(spark, str(d / "b_L2.xes.gz")).df
+    assert payload(dist_gz) == payload(plain)
+
+    # directory read == union of per-file driver reads
+    both = read_xes_distributed(spark, str(d)).df
+    l1 = read_xes(spark, f"{CORPUS}/book/L1.xes").df
+    assert payload(both) == sorted(payload(l1) + payload(plain))
+
+    # glob read matches the directory read; meta comes from the first
+    # file (a_L1.xes sorts before b_L2.xes.gz)
+    g = read_xes_distributed(spark, str(d / "*.xes*"))
+    assert payload(g.df) == payload(both)
+    assert g.meta is not None
