@@ -113,6 +113,15 @@ def bench_streaming(spark) -> dict:
             q.stop()
             out[f"{name}_sec"] = round(sec, 3)
             out[f"{name}_rows_per_sec"] = round(n_rows / sec)
+        # Amortized shape: one availableNow batch (r6 profiling found
+        # per-trigger fixed cost, not per-row Python, bounds the 4-file
+        # numbers above; this records the steady-state per-node rate).
+        ev = read_event_stream(spark, replay)
+        t0 = time.time()
+        q = run_to_memory(stateful_dfg(ev), "bench_dfg_1batch")
+        sec = time.time() - t0
+        q.stop()
+        out["stateful_dfg_1batch_rows_per_sec"] = round(n_rows / sec)
         return out
     finally:
         shutil.rmtree(replay, ignore_errors=True)

@@ -377,6 +377,7 @@ def stateful_dfg(
     timeout re-arms on every batch, so an availableNow query would spin
     forever waiting to deliver expirations.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -391,17 +392,29 @@ def stateful_dfg(
         last_seq, last_act = (
             state.get if state.exists else (None, None)
         )
-        edges = []
-        for _, r in rows.iterrows():
-            if last_act is not None:
-                edges.append((key[0], last_act, r["activity"]))
-            last_seq, last_act = r["seq"], r["activity"]
+        # Vectorized adjacent-pair construction: the batch's edge list
+        # is (shifted activities, activities) with the carried state as
+        # the first predecessor — no per-row Python loop (iterrows here
+        # was the dominant per-core cost of the whole streaming family).
+        acts = rows["activity"].to_numpy()
+        n_rows = len(acts)
+        edges = pd.DataFrame(
+            {
+                "case_id": key[0],
+                "activity": np.concatenate(([last_act], acts[:-1]))
+                if n_rows
+                else acts,
+                "next_activity": acts,
+            }
+        )
+        if n_rows and last_act is None:
+            edges = edges.iloc[1:]
+        if n_rows:
+            last_seq, last_act = rows["seq"].iloc[-1], acts[-1]
         state.update((int(last_seq), str(last_act)))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        yield pd.DataFrame(
-            edges, columns=["case_id", "activity", "next_activity"]
-        )
+        yield edges
 
     return events.groupBy("case_id").applyInPandasWithState(
         update,
@@ -523,8 +536,14 @@ def streaming_outliers(
         rows = pd.concat(list(pdfs)).sort_values(["ts", id_col])
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out = []
-        for _, r in rows.iterrows():
-            v = r[value_col]
+        # zip over materialized columns, not iterrows: the Welford
+        # recurrence is inherently sequential (each score uses the
+        # prefix state) but per-row Series construction isn't — this
+        # keeps the arithmetic bit-identical while dropping the
+        # dominant pandas overhead.
+        for v, rid in zip(
+            rows[value_col].to_numpy(), rows[id_col].to_numpy()
+        ):
             if v is not None and not pd.isna(v):
                 v = float(v)
                 if n >= min_events and m2 > 0:
@@ -532,7 +551,7 @@ def streaming_outliers(
                     score = (v - mean) / sd
                     if abs(score) > z:
                         out.append(
-                            (str(key[0]), int(r[id_col]), v, round(score, 6))
+                            (str(key[0]), int(rid), v, round(score, 6))
                         )
                 n += 1
                 d = v - mean
