@@ -378,15 +378,25 @@ def ngram_overlap(
     Results are identical to the broadcast mode (the bloom only
     prunes; the join stays exact).
     """
-    toks = tokens(F.col(text_col))
+    # Two-step projection, same reason as dedup.shingle_arrays: ``toks``
+    # is materialized as its own column and the gram transform slices
+    # THAT attribute. Higher-order functions evaluate interpreted, so a
+    # split expression written inline under the lambda is re-executed
+    # per gram index — O(tokens^2) regex work per document (measured:
+    # this exact shape made decontaminate the slowest query in the
+    # registry, 171 s at sf0.1 / ~28 min single-task at sf1, vs ~2 s
+    # fixed). The column boundary survives CollapseProject because it
+    # is referenced more than once.
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    gr = F.when(F.size(toks) < n, F.array()).otherwise(
+    gr = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
         )
     )
     bench_grams = (
-        bench.select(F.explode(gr).alias("g"))
+        bench.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(gr).alias("g"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -394,8 +404,11 @@ def ngram_overlap(
     # broadcast join marks hits, one map-side-combined aggregation
     # rebuilds the per-doc verdict. The only exchange is the final
     # groupBy on the doc key.
-    ex = train.select(
-        F.col(key_col).alias("k"),
+    train_toks = train.select(
+        F.col(key_col).alias("k"), tokens(F.col(text_col)).alias("__toks")
+    )
+    ex = train_toks.select(
+        "k",
         F.size(gr).alias("n_grams"),
         F.explode_outer(gr).alias("g"),
     )
@@ -409,7 +422,7 @@ def ngram_overlap(
             )
         )
     else:
-        base = train.select(F.col(key_col).alias("k"), F.size(gr).alias("n_grams"))
+        base = train_toks.select("k", F.size(gr).alias("n_grams"))
         hits = (
             ex.select("k", "g")
             .join(bench_grams.select("g"), "g", "semi")

@@ -187,6 +187,20 @@ def test_decontaminate_single_exchange_broadcast(spark, sf):
     assert len(shuffles) == 2, shuffles
 
 
+def test_decontaminate_tokenize_once_per_side(spark, sf):
+    """Regression (r6 soak find): the gram transform must slice a
+    MATERIALIZED tokens column, not an inline split expression —
+    higher-order functions evaluate interpreted, so split written
+    under the lambda re-executes per gram index (O(tokens^2) regex
+    work per doc; measured 1708 s -> 4 s at sf1). Exactly one split
+    per side (corpus + benchmark) may appear in the executed plan."""
+    from promi_spark.queries import QUERIES
+
+    df = QUERIES["decontaminate"][0](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 2, plan.count("split(")
+
+
 def test_shard_assignment_is_narrow(spark, sf):
     """Shard ids compute per-row — no exchange anywhere in the plan."""
     from promi_spark.queries import QUERIES
