@@ -282,16 +282,26 @@ def repetition_stats(
     back to the narrow stats on the doc key. At 100 TB the explode is
     the unavoidable cost of an exact mode; swap in a per-partition
     count-min sketch when approximate top-grams suffice."""
-    toks = tokens(F.col(text_col))
+    # Two-step projection (same reason as dedup.shingle_arrays /
+    # ngram_overlap): the gram transforms slice a MATERIALIZED token
+    # column. Higher-order functions evaluate interpreted, so a split
+    # written inline under the lambda re-executes per gram index —
+    # O(tokens^2) regex work per document (the sf1 soak measured this
+    # exact shape at 79 s vs ~3 s fixed). The boundary survives
+    # CollapseProject because __toks is referenced more than once.
+    toks_df = df.select(
+        F.col(key_col).alias("k"), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     def grams(n: int) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        return F.when(F.size(toks) < n, F.array()).otherwise(
+        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
         )
 
-    base = df.select(
-        F.col(key_col).alias("k"),
+    base = toks_df.select(
+        "k",
         F.size(toks).alias("n_tokens"),
         grams(2).alias("g2"),
         grams(3).alias("g3"),
@@ -918,17 +928,28 @@ def top_ngrams(
         raise ValueError("n must be >= 1")
     from promi_spark.operators.dedup import norm_text
 
-    toks = tokens(norm_text(text_col))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+    # Materialize the token array before the gram transform (same
+    # two-step shape as repetition_stats / ngram_overlap): an inline
+    # split under the interpreted higher-order lambda re-tokenizes per
+    # gram index, O(tokens^2) per document.
+    toks_df = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        tokens(norm_text(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    # Short docs fold into the gram expression as an empty array (which
+    # explode drops) rather than a separate size() filter: a filter
+    # would be pushed through the projection by substitution and
+    # re-evaluate the split once more per row.
+    gram = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
     )
     return (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .filter(F.size(toks) >= n)
-        .select(F.explode(gram).alias("gram"))
+        toks_df.select(F.explode(gram).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "gram")

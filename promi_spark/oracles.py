@@ -137,16 +137,32 @@ def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
     """
 
 
-def semantic_dedup_sql(n_clusters: int, threshold: float) -> str:
+def semantic_dedup_sql(
+    n_clusters: int, threshold: float, per_cluster: int | None = None
+) -> str:
     """Replay of similarity.semantic_dedup with init='lowest_ids',
     n_iter=0: seeds are the ``n_clusters`` lowest-id vectors; assignment
     is argmax(2 v.c - c.c) with first-max (lowest seed index) tie-break;
-    exact cosine within clusters only."""
+    exact cosine within clusters only.
+
+    With ``per_cluster`` set, the seed count scales with the corpus —
+    ``greatest(n_clusters, ceil(N / per_cluster))`` — replaying the
+    query-side sizing rule so the within-cluster verify stays ~linear
+    in N instead of quadratic at a frozen cluster count."""
+    k_expr = (
+        str(n_clusters)
+        if per_cluster is None
+        else (
+            f"(SELECT greatest({n_clusters}, "
+            f"CAST(ceil(count(*) / {per_cluster}.0) AS BIGINT)) FROM e)"
+        )
+    )
     return f"""
     WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (
-      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c
-      FROM e ORDER BY k LIMIT {n_clusters}
+      SELECT c_idx, c FROM (
+        SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c FROM e
+      ) WHERE c_idx < {k_expr}
     ),
     scored AS (
       SELECT e.k, e.v, cent.c_idx,

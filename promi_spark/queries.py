@@ -2549,18 +2549,29 @@ def q_lm_quality(spark, sf_dir):
     return text.bigram_lm_scores(load_table(spark, "documents", sf_dir))
 
 
-@q("semantic_dedup", oracles.semantic_dedup_sql(n_clusters=8, threshold=0.35))
+@q(
+    "semantic_dedup",
+    oracles.semantic_dedup_sql(n_clusters=8, threshold=0.35, per_cluster=250),
+)
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-bucketed embedding dedup in its
     oracle-checkable configuration: seeded-Voronoi coarse quantizer
-    (seeds = 8 lowest-id vectors, no Lloyd iterations) so DuckDB
+    (seeds = lowest-id vectors, no Lloyd iterations) so DuckDB
     replays the same assignment; within-cluster exact cosine verify.
-    The operator's production default trains k-means (or takes
-    ivf_centroids_mllib centroids) — same plan shape either way."""
+    The cluster count scales with the corpus — greatest(8, N/250),
+    the docstring's n_clusters ~ N/target_cluster_size rule — so the
+    within-cluster verify stays ~linear in N (a frozen count made the
+    sf1 soak quadratic: 92.7x for 10x data). At sf0.01 (500 vecs) and
+    sf0.1 (2000) the computed count is still 8, so correctness rows
+    and bench timings are unchanged. The operator's production default
+    trains k-means (or takes ivf_centroids_mllib centroids) — same
+    plan shape either way."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = max(8, -(-emb.count() // 250))
     return similarity.semantic_dedup(
-        load_table(spark, "embeddings", sf_dir),
+        emb,
         threshold=0.35,
-        n_clusters=8,
+        n_clusters=k,
         init="lowest_ids",
         n_iter=0,
     )

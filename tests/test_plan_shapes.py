@@ -201,6 +201,30 @@ def test_decontaminate_tokenize_once_per_side(spark, sf):
     assert plan.count("split(") == 2, plan.count("split(")
 
 
+def test_repetition_stats_tokenize_once(spark, sf):
+    """Regression (r6 soak find, same shape as decontaminate): the
+    2/3-gram transforms must slice a MATERIALIZED tokens column —
+    an inline split under the interpreted higher-order lambda
+    re-tokenizes per gram index (O(tokens^2); measured 79 s -> ~3 s
+    at sf1). The stats side and the exploded top-gram side each
+    tokenize once: exactly two splits in the executed plan."""
+    from promi_spark.queries import QUERIES
+
+    df = QUERIES["repetition_stats"][0](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 2, plan.count("split(")
+
+
+def test_top_bigrams_tokenize_once(spark, sf):
+    """Regression (r6 soak find): the gram transform slices a
+    materialized token column; exactly one split in the plan."""
+    from promi_spark.queries import QUERIES
+
+    df = QUERIES["top_bigrams"][0](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1, plan.count("split(")
+
+
 def test_shard_assignment_is_narrow(spark, sf):
     """Shard ids compute per-row — no exchange anywhere in the plan."""
     from promi_spark.queries import QUERIES

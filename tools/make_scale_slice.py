@@ -30,14 +30,24 @@ and make soak timings unrepresentative):
   geometry.
 
 Everything is hash-based (xxhash64/md5) — no rand(), so output is
-bit-reproducible run to run and partition-layout independent. Each
-table lands as ONE parquet file named `{table}.parquet` (DuckDB's
-read_parquet and Spark both take the single-file path; Spark still
-parallelizes the scan by row groups).
+bit-reproducible run to run and partition-layout independent.
+
+Two output layouts (the scan-parallelism knob — at these table sizes
+every table fits inside one `spark.sql.files.maxPartitionBytes` split,
+so layout decides whether a scan stage gets 1 task or many):
+
+- `single` (default): ONE parquet file named `{table}.parquet` —
+  DuckDB's read_parquet takes the path directly; Spark scan stages of
+  sub-128MB tables run as a single task (pessimistic but simple).
+- `parallel`: big tables land as a DIRECTORY named `{table}.parquet`
+  holding N part files (the realistic lake layout); Spark reads the
+  directory transparently and scan stages parallelize per file;
+  DuckDB needs the `{table}.parquet/*.parquet` glob (tools/soak.py
+  handles both).
 
 Usage:
-    python tools/make_scale_slice.py OUT_DIR [SRC_DIR] [K]
-    # defaults: SRC_DIR=/root/testdata/sf0.1  K=10
+    python tools/make_scale_slice.py OUT_DIR [SRC_DIR] [K] [LAYOUT]
+    # defaults: SRC_DIR=/root/testdata/sf0.1  K=10  LAYOUT=single
 """
 
 from __future__ import annotations
@@ -80,6 +90,19 @@ SHIFTS = {
     "embeddings": {"vec_id": "vec_id"},
 }
 SHARED_DIMS = ("region", "nation")
+
+# parallel-layout file counts (sized so every worker in a local[32]
+# session gets scan work on the hot tables)
+FILES = {
+    "lineitem": 16,
+    "orders": 8,
+    "events": 16,
+    "documents": 8,
+    "embeddings": 4,
+    "customer": 4,
+    "part": 4,
+    "supplier": 1,
+}
 
 
 def _perturb_text(df: DataFrame, i: int) -> DataFrame:
@@ -127,13 +150,19 @@ def _perturb_embedding(df: DataFrame, i: int) -> DataFrame:
     )
 
 
-def build(out_dir: str, src_dir: str, k: int) -> None:
+def build(out_dir: str, src_dir: str, k: int, layout: str = "single") -> None:
     from promi_spark.session import get_spark
 
     spark = get_spark("make_scale_slice")
     os.makedirs(out_dir, exist_ok=True)
 
     def write_single(df: DataFrame, name: str) -> None:
+        n_files = FILES.get(name, 1) if layout == "parallel" else 1
+        if n_files > 1:
+            df.repartition(n_files).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+            return
         tmp = os.path.join(out_dir, f"_tmp_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -175,4 +204,5 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.soak/sf1"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    build(out, src, k)
+    layout = sys.argv[4] if len(sys.argv) > 4 else "single"
+    build(out, src, k, layout)
