@@ -57,6 +57,28 @@ def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
     assert len(approx) / len(exact) > 0.3
 
 
+def test_cosine_near_dups_blocked_matches_expression(spark, sf_dir):
+    """The blocked numpy kernel (default) is bit-identical to the
+    width-agnostic expression variant (block_size=None): the kernel
+    accumulates dimension-by-dimension in the fold's IEEE order and
+    replays Java's HALF_UP round. Forced multi-block (block_size=64 on
+    a 500-vector corpus -> 8 blocks, 36 block pairs) so within-block,
+    cross-block, and orientation paths all execute."""
+    from promi_spark.operators.similarity import cosine_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    blocked = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in cosine_near_dups(emb, threshold=0.3, block_size=64).collect()
+    }
+    expr = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in cosine_near_dups(emb, threshold=0.3, block_size=None).collect()
+    }
+    assert blocked == expr  # exact equality, values included
+    assert all(a < b for a, b in blocked)
+
+
 def test_semantic_dedup_subset_of_exact_with_high_recall(spark, sf_dir):
     """Cluster-bucketed pairs are exact-cosine-verified, so every
     reported pair appears in the all-pairs result with the same
