@@ -586,6 +586,143 @@ def dedup_components(
     return out
 
 
+def dedup_components_stars(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, component): connected components via alternating
+    large-star / small-star edge rewriting (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — public
+    formulation). Same output contract as :func:`dedup_components`
+    (``component`` = smallest reachable doc id; only paired nodes
+    appear — degenerate self-pairs (a == b) carry no connectivity and
+    are dropped entirely), different round complexity: O(log n)
+    rounds instead of
+    O(graph diameter), which is the right trade on adversarial
+    pair graphs — a chain of 10^6 chained near-dups converges in ~20
+    star rounds where min-label propagation needs 10^6. For the
+    shallow star-shaped clusters real near-dup graphs produce,
+    :func:`dedup_components` converges in 2-3 cheaper rounds — keep it
+    as the default and reach for this on high-diameter graphs.
+
+    Round shape: edges live canonically as (u, v) with u > v.
+    Large-star connects every neighbor LARGER than a node to the min
+    of its neighborhood (one symmetric groupBy + join); small-star
+    connects each node and its smaller neighbors to the neighborhood
+    min (one groupBy + join on the canonical list). Both strictly
+    shrink the component's potential and preserve connectivity; at the
+    fixed point the edge set is a union of stars centered on each
+    component's minimum. State per round is the edge list itself —
+    bounded by the input pair count, shuffled on node keys, AQE
+    splitting skew (a giant component's center is by construction a
+    hot key; the star rewrite is exactly the transformation that keeps
+    its degree bounded per round). Lineage is truncated with an EAGER
+    ``localCheckpoint`` of the input edge list and of EVERY round's
+    output — structural here, not the periodic optimization it is in
+    :func:`dedup_components`: each star operation references its input
+    relation several times (the symmetric union, the min join), so an
+    un-truncated plan grows EXPONENTIALLY in rounds — ~6^r copies of
+    the upstream pair-generation pipeline — and Catalyst plan
+    canonicalization alone OOMs the JVM by round 3 on a minhash pair
+    graph (observed at the sf1 soak). The checkpoint materializes rows
+    the convergence check needs anyway, so it costs nothing extra.
+
+    Exposes ``.n_rounds`` (full large+small rounds to stability),
+    ``.labels_cache`` (the checkpointed final star edges — unpersist is
+    a harmless no-op; the RDD is GC-released) and ``.nodes_cache``
+    (persisted node set — release it when done, or
+    ``spark.catalog.clearCache()`` between corpora). Raises
+    ``RuntimeError`` if not stable after ``max_iter`` rounds.
+    """
+    # canonical (u > v) edge list; self-pairs dropped. The eager
+    # localCheckpoint cuts the upstream pair-generation plan off the
+    # loop (see docstring).
+    edges = (
+        pairs.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def large_star(E: DataFrame) -> DataFrame:
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mv")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(E: DataFrame) -> DataFrame:
+        mins = E.groupBy("u").agg(F.min("v").alias("m"))
+        to_min = (
+            E.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        center = mins.select("u", F.col("m").alias("v"))
+        return to_min.union(center).distinct()
+
+    n_rounds = 0
+    stable = False
+    try:
+        for _ in range(max_iter):
+            n_rounds += 1
+            # eager checkpoint each round: truncates the exponential
+            # star lineage AND materializes the rows the convergence
+            # check reads; superseded round RDDs are released by the
+            # ContextCleaner once unreferenced.
+            new_edges = small_star(large_star(edges)).localCheckpoint(
+                eager=True
+            )
+            changed = not (
+                new_edges.exceptAll(edges)
+                .union(edges.exceptAll(new_edges))
+                .isEmpty()
+            )
+            edges = new_edges
+            if not changed:
+                stable = True
+                break
+        if not stable:
+            raise RuntimeError(
+                f"dedup_components_stars not stable after {max_iter} "
+                "rounds; raise max_iter"
+            )
+    finally:
+        if not stable:
+            nodes.unpersist()
+    # at the fixed point every non-center node has exactly one star
+    # edge (u -> component min); centers map to themselves
+    out = (
+        nodes.join(
+            edges.select(F.col("u").alias("id"), F.col("v").alias("comp")),
+            "id",
+            "left",
+        )
+        .groupBy("id")
+        .agg(F.min(F.coalesce(F.col("comp"), F.col("id"))).alias("component"))
+        .select(F.col("id").alias("doc_id"), "component")
+    )
+    out.labels_cache = edges
+    out.nodes_cache = nodes
+    out.n_rounds = n_rounds
+    return out
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -2680,6 +2680,21 @@ def q_dedup_components(spark, sf_dir):
     return dedup.dedup_components(pairs)
 
 
+@q("dedup_components_stars", oracles.dedup_components_sql(threshold=0.5))
+def q_dedup_components_stars(spark, sf_dir):
+    """Same clustering contract as dedup_components, computed by the
+    O(log n)-round large-star/small-star edge rewrite instead of
+    O(diameter) label propagation — the algorithm to reach for when
+    the pair graph chains (adversarial near-dup corpora). Checked
+    against the identical DuckDB recursive transitive-closure oracle,
+    so both distributed CC algorithms are hash-verified cross-engine
+    against one declarative spec."""
+    pairs = dedup.minhash_dedup(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )
+    return dedup.dedup_components_stars(pairs)
+
+
 @q("simhash_signatures", oracles.simhash_signatures_sql())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(
@@ -3081,7 +3096,7 @@ _ORDER = [
     "per_source_cap",
     "chunk_docs",
     "weighted_sample_docs",
-    "tpch_q18",
+    "dedup_components_stars",  # new in r6 — first driver witness
     "semantic_dedup",
     "funnel_counts",
     "rolling_user_activity",
@@ -3111,6 +3126,7 @@ _ORDER = [
     # ---- out of the driver window: every entry below is either
     # driver-green from rounds 1-5 or re-checked locally by
     # tools/check_oracle.py cross-scale sweeps ----
+    "tpch_q18",  # rotated out for dedup_components_stars (driver row r5)
     "stats_counts",
     "trace_intervals",
     "classifier_counts",

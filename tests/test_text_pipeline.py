@@ -138,6 +138,43 @@ def test_dedup_components_chain_and_isolation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_components_stars_matches_label_propagation(spark):
+    """Both CC algorithms produce the identical (doc_id, component)
+    map on a graph mixing a chain, a star, an isolated pair, and a
+    cycle; and the star variant converges in O(log n) rounds on a
+    path graph where label propagation needs O(diameter) — path of
+    diameter 200 must stabilize in <= 12 large+small rounds."""
+    from promi_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_stars,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 5), (7, 6), (7, 8), (10, 11), (20, 21),
+         (21, 22), (22, 20)],
+        "a long, b long",
+    )
+    lp = dedup_components(mixed)
+    st = dedup_components_stars(mixed)
+    got_lp = {r["doc_id"]: r["component"] for r in lp.collect()}
+    got_st = {r["doc_id"]: r["component"] for r in st.collect()}
+    assert got_lp == got_st
+    assert got_st[22] == 20 and got_st[8] == 5 and got_st[3] == 1
+    lp.labels_cache.unpersist()
+    st.labels_cache.unpersist()
+    st.nodes_cache.unpersist()
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    )
+    out = dedup_components_stars(chain, max_iter=15)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(201)}
+    assert out.n_rounds <= 12, out.n_rounds
+    out.labels_cache.unpersist()
+    out.nodes_cache.unpersist()
+
+
 def test_bigram_lm_scores_rank_noise_below_fluent(spark):
     """Cross-entropy under the corpus-trained bigram LM ranks a
     gibberish document above (= less probable than) the fluent
