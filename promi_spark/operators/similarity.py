@@ -573,20 +573,77 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
+_ASSIGN_JOIN_THRESHOLD = 128
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Corpus -> (id, vector, cluster): the build side of an IVF index.
     At scale this is written out partitioned by ``cluster`` so probes
-    read only their clusters' files (partition pruning)."""
-    v = _as_double(F.col(vec_col))
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _nearest_centroid(v, centroids).alias("cluster"),
+    read only their clusters' files (partition pruning).
+
+    Two physical strategies, identical semantics (argmax of
+    ``2 v.c - ||c||^2``, ties to the lowest centroid index — the exact
+    scores match bit-for-bit because both paths run the same
+    sequential dot fold and take ``||c||^2`` from the same Python
+    double):
+
+    - up to 128 centroids: the unrolled literal expression — zero
+      joins, the right shape for a coarse quantizer;
+    - above that: the centroid table broadcast-joins the corpus and a
+      map-side-combined ``min_by`` picks the argmax per vector.
+      Literal unrolling at this size is a PLAN-scale failure, not a
+      data-scale one (k x dim literal nodes: an 800-centroid codebook
+      puts ~51k expression nodes in every operator that references the
+      cluster column, and analysis/canonicalization cost grows with
+      it); the join keeps the plan O(1) in k and streams k scored
+      rows per vector through a partial aggregate — the shape that
+      holds for the 10^4-10^5-cell codebooks real IVF uses.
+
+    ``strategy`` pins a path explicitly ('unrolled' | 'join');
+    'auto' switches on the 128-centroid threshold.
+    """
+    if strategy not in ("auto", "unrolled", "join"):
+        raise ValueError(f"unknown ivf_assign strategy: {strategy!r}")
+    if strategy == "unrolled" or (
+        strategy == "auto" and len(centroids) <= _ASSIGN_JOIN_THRESHOLD
+    ):
+        v = _as_double(F.col(vec_col))
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid(v, centroids).alias("cluster"),
+        )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c], float(sum(x * x for x in c)))
+            for i, c in enumerate(centroids)
+        ],
+        "c_idx int, c array<double>, c2 double",
+    )
+    scored = (
+        df.select(
+            F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            id_col,
+            vec_col,
+            "c_idx",
+            (2.0 * dot(F.col("__v"), F.col("c")) - F.col("c2")).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.min_by(
+            F.col("c_idx"), F.struct((-F.col("__s")).alias("s"), F.col("c_idx"))
+        ).alias("cluster"),
     )
 
 

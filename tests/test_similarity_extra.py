@@ -57,6 +57,27 @@ def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
     assert len(approx) / len(exact) > 0.3
 
 
+def test_ivf_assign_join_matches_unrolled(spark, sf_dir):
+    """The broadcast-join assign (the >128-centroid plan-scale path)
+    produces the identical (id -> cluster) map as the unrolled literal
+    expression — same sequential dot fold, same ||c||^2 double, same
+    lowest-index tie-break — on a 40-centroid seeded-Voronoi codebook."""
+    from promi_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = ivf_centroids(emb, n_clusters=40, init="lowest_ids", n_iter=0)
+    unrolled = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cent, strategy="unrolled").collect()
+    }
+    joined = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cent, strategy="join").collect()
+    }
+    assert unrolled == joined
+    assert len(set(joined.values())) > 1
+
+
 def test_cosine_near_dups_blocked_matches_expression(spark, sf_dir):
     """The blocked numpy kernel (default) is bit-identical to the
     width-agnostic expression variant (block_size=None): the kernel

@@ -22,7 +22,12 @@ allows ("hash-verify where DuckDB can keep up").
 
 Usage:
     python tools/soak.py [--sf1 DIR] [--out FILE] [--oracle-budget S]
-                         [query ...]
+                         [--no-oracle] [query ...]
+
+``--no-oracle`` records rows+runtime only (for scales where DuckDB
+cannot be asked to replay the quadratic oracles at all — e.g. the
+sf10 slice); hash verification at sf0.01/sf0.1/sf1 stands as the
+correctness witness.
 """
 
 from __future__ import annotations
@@ -82,6 +87,8 @@ def main() -> int:
     sf1 = opt("--sf1", "/root/repo/.soak/sf1")
     out_path = opt("--out", "CROSSSCALE_sf1_r6.json")
     budget = float(opt("--oracle-budget", "120"))
+    no_oracle = "--no-oracle" in args
+    args = [a for a in args if a != "--no-oracle"]
     only = set(args)
 
     spark = get_spark("soak")
@@ -137,8 +144,8 @@ def main() -> int:
             spark.catalog.clearCache()
         except Exception:
             rec["sf01_sec"] = None
-        if sql is None:
-            rec["oracle"] = "rows-only"
+        if sql is None or no_oracle:
+            rec["oracle"] = "rows-only" if sql is None else "skipped(--no-oracle)"
         else:
             try:
                 t0 = time.time()
