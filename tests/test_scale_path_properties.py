@@ -1,0 +1,86 @@
+"""Property tests pinning the r6 scale-path rewrites to their
+reference semantics: the blocked numpy cosine kernel vs the expression
+plan, and large-star/small-star connected components vs a driver-side
+union-find model. Each Spark round-trip is expensive, so the example
+counts are small but the strategies are collision-heavy (tiny id/value
+spaces) to hit ties, duplicate similarities, multi-block splits, and
+multi-component graphs."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# low-dim vectors from a tiny value grid: plenty of exact ties,
+# parallel vectors (cosine exactly 1.0), and rounding-boundary sims
+vec = st.lists(
+    st.sampled_from([-2.0, -1.0, -0.5, 0.5, 1.0, 2.0]), min_size=3, max_size=3
+)
+vec_rows = st.lists(vec, min_size=2, max_size=10)
+
+edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+edge_rows = st.lists(edge, min_size=1, max_size=15)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=vec_rows, threshold=st.sampled_from([-0.5, 0.0, 0.5, 1.0]))
+def test_blocked_cosine_kernel_matches_expression_plan(spark, rows, threshold):
+    """blocked (forced multi-block via block_size=2) == expression
+    variant, exact float equality — any divergence in fold order,
+    rounding replay, pair orientation, or within/cross-block pair
+    enumeration shows up here."""
+    from promi_spark.operators.similarity import cosine_near_dups
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    blocked = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in cosine_near_dups(df, threshold=threshold, block_size=2).collect()
+    }
+    expr = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in cosine_near_dups(
+            df, threshold=threshold, block_size=None
+        ).collect()
+    }
+    assert blocked == expr
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min reachable node
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_rows)
+def test_stars_components_match_union_find_model(spark, edges):
+    """dedup_components_stars == a driver-side union-find on the same
+    edge list (component = min reachable id; self-pairs carry no
+    connectivity). Random small graphs hit multi-component shapes,
+    cycles, repeated edges, and both edge orientations."""
+    from promi_spark.operators.dedup import dedup_components_stars
+
+    effective = [(a, b) for a, b in edges if a != b]
+    if not effective:
+        return  # only self-pairs: operator contract drops them all
+    model = _union_find_components(effective)
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = dedup_components_stars(df)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    out.nodes_cache.unpersist()
+    assert got == model
