@@ -44,6 +44,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def pair_dot_udf(dim: int):
+    """Arrow-batched pairwise dot for CANDIDATE-VERIFY projections:
+    rows already carry both vectors (post-join), so the only question
+    is the per-pair kernel. The interpreted fold costs ~10-20 us/pair
+    — fine for per-row scoring, the whole budget when a near-dup
+    verify streams millions of candidate pairs (the r6 sf10 soak
+    measured it as the dominant term in semantic_dedup). This kernel
+    accumulates dimension-by-dimension across the Arrow batch in the
+    fold's exact IEEE order (0.0 seed, left-to-right), so results are
+    bit-identical for width-``dim`` vectors; rows where either side is
+    NULL yield NaN (the fold yields NULL — both fail a >= threshold
+    filter, the only consumer). Division/round stay JVM expressions.
+    Requires fixed-width vectors; keep the fold for ragged data."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pd_dot(a, b):
+        import numpy as np
+        import pandas as pd
+
+        out = np.full(len(a), np.nan)
+        mask = (a.notna() & b.notna()).to_numpy()
+        if mask.any():
+            try:
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in a[mask]])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in b[mask]])
+            except ValueError as exc:
+                raise ValueError(
+                    f"pair_dot_udf(dim={dim}) needs fixed-width vectors; "
+                    "use the expression fold for ragged data"
+                ) from exc
+            if A.shape[1] != dim or B.shape[1] != dim:
+                raise ValueError(
+                    f"pair_dot_udf dim mismatch: declared {dim}, "
+                    f"data {A.shape[1]}/{B.shape[1]}"
+                )
+            acc = np.zeros(len(A))
+            for i in range(dim):
+                acc = acc + A[:, i] * B[:, i]
+            out[mask] = acc
+        return pd.Series(out)
+
+    return pd_dot
+
+
 def cosine_scores(
     df: DataFrame,
     query_vec: list[float],
@@ -438,8 +483,12 @@ def lsh_near_dups(
         .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
         .distinct()
     )
+    # Arrow-kernel pairwise dot for the candidate verify (bit-identical
+    # to the fold — see pair_dot_udf); norms and the round stay JVM
     sim = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        pair_dot_udf(dim)(F.col("va"), F.col("vb"))
+        / (F.col("na") * F.col("nb")),
+        6,
     )
     return (
         cands.join(
@@ -587,28 +636,37 @@ def ivf_assign(
     At scale this is written out partitioned by ``cluster`` so probes
     read only their clusters' files (partition pruning).
 
-    Two physical strategies, identical semantics (argmax of
+    Three physical strategies, identical semantics (argmax of
     ``2 v.c - ||c||^2``, ties to the lowest centroid index — the exact
-    scores match bit-for-bit because both paths run the same
-    sequential dot fold and take ``||c||^2`` from the same Python
-    double):
+    scores match bit-for-bit because every path accumulates the dot in
+    the same sequential IEEE order and takes ``||c||^2`` from the same
+    Python double):
 
-    - up to 128 centroids: the unrolled literal expression — zero
-      joins, the right shape for a coarse quantizer;
-    - above that: the centroid table broadcast-joins the corpus and a
-      map-side-combined ``min_by`` picks the argmax per vector.
-      Literal unrolling at this size is a PLAN-scale failure, not a
-      data-scale one (k x dim literal nodes: an 800-centroid codebook
-      puts ~51k expression nodes in every operator that references the
-      cluster column, and analysis/canonicalization cost grows with
-      it); the join keeps the plan O(1) in k and streams k scored
-      rows per vector through a partial aggregate — the shape that
-      holds for the 10^4-10^5-cell codebooks real IVF uses.
+    - ``unrolled`` (auto default up to 128 centroids): the literal
+      expression — zero joins, the right shape for a coarse quantizer.
+      Literal unrolling beyond that is a PLAN-scale failure, not a
+      data-scale one: k x dim literal nodes (an 800-centroid codebook
+      puts ~51k expression nodes in every operator referencing the
+      cluster column) and analysis/canonicalization cost grows with k.
+    - ``kernel`` (auto default above 128): Arrow-batched numpy — the
+      centroid matrix rides the task closure, scores accumulate
+      dimension-by-dimension across the (batch x k) matrix in fold
+      order, ``np.argmax`` takes the first maximum (= lowest index).
+      Plan is O(1) in k, per-row cost is SIMD instead of the
+      interpreted fold (the r6 sf10 soak measured the join strategy's
+      1.6e8 interpreted folds at ~6 min for 200k vectors x 800 cells;
+      the kernel does the same flops in seconds). Requires fixed-width
+      non-NULL vectors — what an embedding table is.
+    - ``join``: broadcast centroid table + map-side-combined
+      ``min_by`` argmax — the width-agnostic JVM-only fallback with
+      the same O(1) plan; k scored rows per vector stream through a
+      partial aggregate.
 
-    ``strategy`` pins a path explicitly ('unrolled' | 'join');
-    'auto' switches on the 128-centroid threshold.
+    ``strategy`` pins a path explicitly ('unrolled' | 'kernel' |
+    'join'); 'auto' switches unrolled -> kernel at the 128-centroid
+    threshold.
     """
-    if strategy not in ("auto", "unrolled", "join"):
+    if strategy not in ("auto", "unrolled", "join", "kernel"):
         raise ValueError(f"unknown ivf_assign strategy: {strategy!r}")
     if strategy == "unrolled" or (
         strategy == "auto" and len(centroids) <= _ASSIGN_JOIN_THRESHOLD
@@ -618,6 +676,45 @@ def ivf_assign(
             F.col(id_col),
             F.col(vec_col),
             _nearest_centroid(v, centroids).alias("cluster"),
+        )
+    if strategy in ("auto", "kernel"):
+        import numpy as np
+
+        C = np.array([[float(x) for x in c] for c in centroids])
+        c2 = np.array([float(sum(x * x for x in c)) for c in centroids])
+        id_type = df.schema[id_col].dataType.simpleString()
+        vec_type = df.schema[vec_col].dataType.simpleString()
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                try:
+                    V = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                    )
+                except ValueError as exc:
+                    raise ValueError(
+                        "ivf_assign kernel strategy needs fixed-width "
+                        "vectors; use strategy='join' for ragged data"
+                    ) from exc
+                acc = np.zeros((len(V), len(C)))
+                for i in range(V.shape[1]):
+                    acc = acc + np.multiply.outer(V[:, i], C[:, i])
+                scores = 2.0 * acc - c2[None, :]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "cluster": np.argmax(scores, axis=1).astype("int32"),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            assign,
+            schema=f"{id_col} {id_type}, {vec_col} {vec_type}, cluster int",
         )
     spark = df.sparkSession
     cent_df = spark.createDataFrame(
@@ -733,8 +830,13 @@ def semantic_dedup(
         .withColumn("nrm", l2_norm(F.col("v")))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    # the verify dot runs in the Arrow kernel (bit-identical to the
+    # fold; centroid width = vector width) — the interpreted fold was
+    # the dominant term once clusters hold millions of candidate pairs
+    pdot = pair_dot_udf(len(cent[0])) if cent else dot
     sim = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        pdot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
     )
     return (
         a.join(

@@ -74,7 +74,12 @@ def test_ivf_assign_join_matches_unrolled(spark, sf_dir):
         r["vec_id"]: r["cluster"]
         for r in ivf_assign(emb, cent, strategy="join").collect()
     }
+    kernel = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cent, strategy="kernel").collect()
+    }
     assert unrolled == joined
+    assert unrolled == kernel
     assert len(set(joined.values())) > 1
 
 
