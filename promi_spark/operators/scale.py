@@ -90,19 +90,81 @@ def skew_hints(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 32,
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` bucketed (and optionally sorted) by ``key``: the
-    one-time shuffle that every subsequent equi-join/aggregation on
-    ``key`` skips. Requires a table (bucketing metadata lives in the
-    catalog, not in parquet files)."""
-    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    """Persist ``df`` bucketed (and optionally in-bucket sorted) by
+    ``key``: the one-time shuffle that every subsequent equi-join /
+    aggregation / per-key window on ``key`` skips. Requires a table
+    (bucketing metadata lives in the catalog, not in parquet files);
+    ``path`` makes it external — data at ``path``, metadata cataloged.
+
+    The ``repartition(n_buckets, *key)`` before the write is the
+    prepaid shuffle made explicit: without it every one of the W
+    writer tasks opens a file per bucket it sees (W x n_buckets small
+    files — the classic bucketBy file-explosion), with it task ==
+    bucket, at most one file per bucket, and the ``sort_by`` runs once
+    per bucket. Empty buckets write no file.
+
+    Sizing rule at scale: same n_buckets across every table of a
+    subject area (mismatched counts silently reintroduce the shuffle —
+    see :func:`bucket_spec`), sized so the LARGEST table's bucket is
+    ~100-200 MB."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out = df.repartition(n_buckets, *keys)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    w = out.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> dict:
+    """Introspect a table's bucket layout from the catalog:
+    ``{"n_buckets": int, "bucket_cols": [...], "sort_cols": [...]}``
+    (zeros/empty when unbucketed). Callers deciding whether a
+    co-located join is actually available check equality of
+    (bucket_cols arity, n_buckets) on both sides — a mismatch is not
+    an error, just a silent exchange (pinned in tests)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: (r.data_type or "") for r in rows}
+
+    def _cols(k: str) -> list[str]:
+        raw = info.get(k, "")
+        return [c.strip(" `") for c in raw.strip("[]").split(",") if c.strip(" `")]
+
+    n = info.get("Num Buckets", "").strip()
+    return {
+        "n_buckets": int(n) if n.isdigit() else 0,
+        "bucket_cols": _cols("Bucket Columns"),
+        "sort_cols": _cols("Sort Columns"),
+    }
+
+
+def write_events_bucketed(
+    log, table: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """Bucket an :class:`~promi_spark.log.EventLog`'s events by
+    ``case_id``, in-bucket sorted ``(case_id, seq)`` — the layout every
+    per-case operator (the W-family windows, DFG edges, trace-scope
+    filters, sessionization) consumes with NO exchange and no re-sort.
+    The log header (Meta) is out-of-band by design; persist it next to
+    the table via the XES/binary writers when the table must
+    round-trip as a full log."""
+    write_bucketed(
+        log.df,
+        table,
+        key="case_id",
+        n_buckets=n_buckets,
+        sort_by=["case_id", "seq"],
+        path=path,
+    )
 
 
 def parallelism_units(spark: SparkSession, factor: int = 4) -> int:
