@@ -200,34 +200,43 @@ def main() -> int:
     extras = bench_extras(spark)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "neardup_pipeline": neardup,
+        "streaming": streaming,
+        "extras": extras,
+        "sf": sf,
+    }
+    # Full detail goes to the sidecar; the stdout line stays SHORT. The
+    # r5/r6 artifacts had "parsed": null because the driver's tail
+    # window truncated the head of the multi-KB detail line — so the
+    # final stdout JSON carries only the per-query cold timings (the
+    # contract's required "queries" map) plus totals and a pointer, and
+    # the warm/neardup/streaming/extras sections live in BENCH_SELF.json.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+            "w",
+        ) as fh:
+            fh.write(json.dumps(detail) + "\n")
+    except OSError:
+        pass
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "queries_warm": warm,
-            "warm_total": round(sum(warm.values()), 3),
-            "neardup_pipeline": neardup,
-            "streaming": streaming,
-            "extras": extras,
+            "warm_total": detail["warm_total"],
             "sf": sf,
+            "detail": "BENCH_SELF.json",
         }
     )
-    # The driver parses the LAST line of captured output. Round-5's
-    # artifact had "parsed": null because Spark progress \r updates
-    # interleaved with the JSON in the merged pipe. Defenses: console
-    # progress is disabled in get_spark(); stderr is flushed first so no
-    # buffered JVM noise lands after us; the line is newline-sandwiched;
-    # and a sidecar file keeps the result recoverable regardless.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
-            "w",
-        ) as fh:
-            fh.write(line + "\n")
-    except OSError:
-        pass
     sys.stderr.flush()
     sys.stdout.flush()
     sys.stdout.write("\n" + line + "\n")

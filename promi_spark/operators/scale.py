@@ -304,6 +304,78 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order: list[Column | str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact SQL ``ntile(n) OVER (ORDER BY order)`` without the
+    single-partition WindowExec (an unpartitioned window moves the
+    WHOLE relation to one task — the one plan shape that cannot
+    survive 10^9 rows).
+
+    Distributed shape: range-repartition on ``order`` (sampled bounds,
+    balanced, no single reducer) + sort within partitions; then
+    ``monotonically_increasing_id`` encodes (partition index << 33 |
+    local row number) so the global rank is ``offset[pid] + local + 1``
+    with per-partition row counts collected once (a bounds-documented
+    P-sized collect, P = shuffle partitions). The ntile bucket is then
+    pure arithmetic on the rank — one distributed exchange total,
+    everything else narrow codegen.
+
+    ``order`` must be a TOTAL order (append a unique key) — ties
+    crossing a range-partition boundary would otherwise make ranks
+    layout-dependent. The ranked relation is persisted so the sampled
+    range bounds (nondeterministic across jobs) are pinned between the
+    count job and the output plan; the handle is attached as
+    ``out.rank_cache`` for the caller to unpersist.
+    """
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions") or "200")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    d = (
+        df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy(F.shiftright("__mid", 33).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        out = df.withColumn(bucket_col, F.lit(None).cast("int"))
+        out.rank_cache = d
+        return out
+    offsets: list[Column] = []
+    acc = 0
+    for pid in sorted(counts):
+        offsets += [F.lit(int(pid)), F.lit(acc)]
+        acc += counts[pid]
+    rank = (
+        F.element_at(F.create_map(*offsets), F.shiftright("__mid", 33))
+        + F.pmod("__mid", F.lit(1 << 33))
+        + 1
+    )
+    # SQL ntile semantics: the first (n mod k) buckets hold ceil(n/k)
+    # rows, the rest floor(n/k); with n < k the bucket IS the rank.
+    q, r = divmod(n, n_buckets)
+    if q == 0:
+        bucket = rank
+    else:
+        head = r * (q + 1)  # rows covered by the ceil-sized buckets
+        bucket = F.when(
+            rank <= head, F.floor((rank - 1) / (q + 1)) + 1
+        ).otherwise(F.lit(r) + F.floor((rank - head - 1) / q) + 1)
+    out = d.withColumn(bucket_col, bucket.cast("int")).drop("__mid")
+    out.rank_cache = d
+    return out
+
+
 def zorder_value(cols: list[Column], bits: int = 16) -> Column:
     """Morton (Z-order) interleaving of pre-bucketed integer columns:
     bit b of column c lands at position ``b * len(cols) + c`` of the

@@ -1374,12 +1374,21 @@ def q_eventually_follows(spark, sf_dir):
 )
 def q_rfm_segments(spark, sf_dir):
     """RFM segmentation: per-user recency/frequency/monetary quartiles
-    (ntile over deterministic orderings — identical across engines)
     concatenated into the classic 3-digit segment code. The per-user
-    rollup is one shuffle; the quartile windows rank a |users|-sized
-    relation (already reduced ~events/users-fold; a 100 TB log with
-    modest user cardinality ranks a small relation — for extreme key
-    counts swap ntile for percentile_approx bucketing)."""
+    rollup is one shuffle; each quartile is a ``global_ntile`` — the
+    distributed exact-ntile operator (range repartition + encoded
+    rank), NOT an unpartitioned window, so a 100 TB log with 10^9
+    users ranks on every executor instead of one task. Semantics are
+    bit-identical to ``ntile(4) OVER (ORDER BY ...)`` (the oracle keeps
+    the window form).
+
+    Null placement is explicit on both sides: Spark default-sorts
+    NULLS FIRST ascending, DuckDB NULLS LAST — a user whose values are
+    all NULL (monetary) or timestamps all NULL (last_ts) would land in
+    opposite quartiles under engine defaults.
+    """
+    from promi_spark.operators.scale import global_ntile
+
     ev = load_table(spark, "events", sf_dir)
     rfm = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -1388,20 +1397,20 @@ def q_rfm_segments(spark, sf_dir):
         .cast("double")
         .alias("monetary"),
     )
-    # Null placement is explicit on both sides: Spark default-sorts
-    # NULLS FIRST ascending, DuckDB NULLS LAST — a user whose values
-    # are all NULL (monetary) or timestamps all NULL (last_ts) would
-    # land in opposite quartiles under engine defaults.
-    r = F.ntile(4).over(Window.orderBy(F.asc_nulls_last("last_ts"), "user_id"))
-    f = F.ntile(4).over(Window.orderBy("frequency", "user_id"))
-    m = F.ntile(4).over(Window.orderBy(F.asc_nulls_last("monetary"), "user_id"))
-    return rfm.select(
+    out = global_ntile(
+        rfm, 4, [F.asc_nulls_last("last_ts"), F.col("user_id")], "r"
+    )
+    out = global_ntile(out, 4, [F.col("frequency"), F.col("user_id")], "f")
+    out = global_ntile(
+        out, 4, [F.asc_nulls_last("monetary"), F.col("user_id")], "m"
+    )
+    return out.select(
         "user_id",
         "frequency",
         F.round("monetary", 2).alias("monetary"),
-        r.alias("r"),
-        f.alias("f"),
-        m.alias("m"),
+        "r",
+        "f",
+        "m",
     ).withColumn(
         "segment",
         F.concat(

@@ -406,6 +406,49 @@ BNLJ_BOUNDED = {
 }
 
 
+# Queries whose physical plan contains an UNPARTITIONED Window by
+# design: each ranks a relation that is PROVABLY bounded at any data
+# scale (k cluster centroids, the handful of corpus sources), so the
+# single-partition WindowExec sorts dozens of rows, not the data.
+# Anything new appearing here must argue the same bound in its
+# docstring; unbounded relations use operators/scale.py global_ntile
+# (see rfm_segments) or a partitioned window instead.
+WINDOW_UNPARTITIONED_BOUNDED = {
+    "topic_map",   # k KMeans clusters ranked for labeling
+    "source_mix",  # per-source shares: |sources| rows
+}
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes in a formatted plan whose spec has no
+    partition columns: their Arguments line carries two top-level
+    bracket groups ([functions], [order]) instead of three
+    ([functions], [partition], [order])."""
+    n = 0
+    for block in plan.split("\n\n"):
+        # Plain Window nodes only: WindowGroupLimit's Arguments carry
+        # ([partition], [order], fn, k, mode) — two bracket groups by
+        # shape — and the node is k-bounded per group regardless.
+        if not re.match(r"\(\d+\) Window\n", block.strip() + "\n"):
+            continue
+        m = re.search(r"Arguments: (.*)", block)
+        if not m:
+            continue
+        groups = re.split(r"\], \[", m.group(1))
+        if len(groups) >= 3:
+            continue  # [functions], [partition], [order]
+        if len(groups) == 1:
+            n += 1  # no partition, no order: global whole-relation frame
+            continue
+        # Two groups is ambiguous: [functions], [order] (UNPARTITIONED
+        # — the bad shape) vs [functions], [partition] (unordered
+        # whole-partition frame — fine, distributed). An order spec
+        # always carries sort directions; a partition spec never does.
+        if re.search(r"\b(ASC|DESC) NULLS", groups[1]):
+            n += 1
+    return n
+
+
 def test_registry_wide_no_cartesian_no_interpreted_python(spark):
     """Sweep EVERY registered query's physical plan at sf0.001 and
     assert the two unconditional scale invariants the per-query tests
@@ -418,7 +461,9 @@ def test_registry_wide_no_cartesian_no_interpreted_python(spark):
       FlatMapGroupsInPandas[WithState] — remain allowed where
       vectorized Python is the point);
     - ``BroadcastNestedLoopJoin`` only in the documented bounded set
-      above.
+      above;
+    - unpartitioned ``Window`` operators (whole relation on one task)
+      only in the documented bounded set above.
 
     This is the standing form of the judge's manual audit: a new
     operator that regresses into a cartesian or an interpreted UDF
@@ -435,4 +480,9 @@ def test_registry_wide_no_cartesian_no_interpreted_python(spark):
             violations.append(f"{name}: BatchEvalPython")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
             violations.append(f"{name}: undocumented BroadcastNestedLoopJoin")
+        if (
+            unpartitioned_windows(plan)
+            and name not in WINDOW_UNPARTITIONED_BOUNDED
+        ):
+            violations.append(f"{name}: unpartitioned Window")
     assert not violations, violations

@@ -225,3 +225,47 @@ def test_zorder_value_rejects_overflowing_bit_budget(spark):
         zorder_value(cols, bits=16)  # 64 bits > 63
     # 60 bits across 4 columns is fine
     zorder_value(cols, bits=15)
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile (distributed rank via range repartition + encoded
+    offsets) must be bit-identical to SQL ntile over the same total
+    order — including ties on the value column, NULLs ordered last,
+    n % k != 0 bucket sizing, and the n < k degenerate case."""
+    from pyspark.sql import Window
+
+    from promi_spark.operators.scale import global_ntile
+
+    rows = [(i, None if i % 17 == 0 else float(i % 23)) for i in range(501)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(13)
+    order = [F.asc_nulls_last("v"), F.col("id")]
+    for k in (4, 7, 10):
+        got = global_ntile(df, k, order, "b")
+        want = df.withColumn("b", F.ntile(k).over(Window.orderBy(*order)))
+        assert sorted(map(tuple, got.select("id", "b").collect())) == sorted(
+            map(tuple, want.select("id", "b").collect())
+        ), f"k={k}"
+        got.rank_cache.unpersist()
+    # n < k: bucket == rank
+    tiny = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    got = global_ntile(tiny, 5, [F.col("v"), F.col("id")], "b")
+    assert sorted(map(tuple, got.select("id", "b").collect())) == [(1, 1), (2, 2)]
+    got.rank_cache.unpersist()
+
+
+def test_global_ntile_no_single_partition_window(spark):
+    """The plan must contain no unpartitioned Window (the shape
+    global_ntile exists to avoid) and exactly one data exchange (the
+    range repartition)."""
+    from promi_spark.operators.scale import global_ntile
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    out = global_ntile(df, 4, [F.col("v"), F.col("id")], "b")
+    plan = explain(out)
+    assert "Window" not in plan
+    # The only exchanges are range repartitions inside the cached
+    # subtree (the formatted string prints the InMemoryRelation's build
+    # plan too) — never a single-partition move.
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    out.rank_cache.unpersist()

@@ -112,14 +112,22 @@ def main() -> int:
             results[name] = {"ok": False, "err": f"duckdb: {e}"}
             continue
         problems = []
-        if len(srows) != len(drows):
+        rows_match = len(srows) == len(drows)
+        if not rows_match:
             problems.append(f"rows {len(srows)} vs {len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        cols_match = sorted(scols) == sorted(dcols)
+        hash_match = False
+        if not cols_match:
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
-        elif table_hash(scols, srows) != table_hash(dcols, drows):
-            problems.append("value-hash mismatch")
+        else:
+            hash_match = table_hash(scols, srows) == table_hash(dcols, drows)
+            if not hash_match:
+                problems.append("value-hash mismatch")
         results[name] = {
             "ok": not problems,
+            "rows_match": rows_match,
+            "cols_match": cols_match,
+            "hash_match": hash_match,
             "rows": len(srows),
             "sec": round(time.time() - t0, 2),
             "err": "; ".join(problems) or None,
@@ -141,12 +149,14 @@ def main() -> int:
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     if JSON_OUT:
         ok = sum(1 for r in results.values() if r["ok"])
+        hash_matched = sum(1 for r in results.values() if r.get("hash_match"))
         with open(JSON_OUT, "w") as f:
             json.dump(
                 {
                     "sf_dir": SF_DIR,
                     "oracled_checked": len(results),
                     "ok": ok,
+                    "hash_matched": hash_matched,
                     "failures": failures,
                     "queries": results,
                 },

@@ -22,7 +22,12 @@ allows ("hash-verify where DuckDB can keep up").
 
 Usage:
     python tools/soak.py [--sf1 DIR] [--out FILE] [--oracle-budget S]
-                         [--no-oracle] [query ...]
+                         [--no-oracle] [--sample-keys P] [query ...]
+
+``--sample-keys P`` (e.g. 0.01) hash-verifies on a deterministic
+FK-complete key-slice of the soak data (see SLICE_COINS) — the sf10
+correctness mechanism: DuckDB replays ~P of the rows, every surviving
+row/pair is an exact cross-engine comparison on source-scale data.
 
 ``--no-oracle`` records rows+runtime only (for scales where DuckDB
 cannot be asked to replay the quadratic oracles at all — e.g. the
@@ -49,6 +54,69 @@ from tools.check_oracle import norm_cell, table_hash  # noqa: E402
 sys.argv = _real_argv
 
 SF01 = "/root/testdata/sf0.1"
+
+# Key-slice plan (--sample-keys P): deterministically keep an md5-coin
+# fraction P of each table's independent entity key, preserving the FK
+# chains that the registry's joins ride (kept customers keep ALL their
+# orders; kept orders keep ALL their lineitems; kept users keep WHOLE
+# traces). Both engines then read the SAME sliced parquet, so every
+# query's result is exactly comparable — the slice IS sf10 rows (its
+# key ranges, text dialects, and embedding offsets span the full 100
+# replicas), but DuckDB only replays ~P of them. Pair-emitting queries
+# (near-dups) see ~P^2 of the pairs; the surviving pairs are still
+# exact twins across engines.
+SLICE_COINS = {
+    "customer": "c_custkey",
+    "orders": "o_custkey",  # rides the customer coin: FK-complete
+    "events": "user_id",  # whole traces survive
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+SLICE_FULL = ("region", "nation", "part", "supplier")  # dims: keep all
+
+
+def make_key_slice(spark, src: str, dst: str, p: float) -> None:
+    """Materialize the deterministic key-slice of ``src`` into ``dst``.
+
+    xxhash64(key, 42) coin — bit-stable across runs and partition
+    layouts. lineitem is semi-joined on the kept orders so l_orderkey
+    FK chains stay complete.
+    """
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    bar = int(p * 10_000)
+
+    def coin(col: str):
+        return F.pmod(F.xxhash64(F.col(col), F.lit(42)), F.lit(10_000)) < bar
+
+    def write(df, name: str) -> None:
+        tmp = os.path.join(dst, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(dst, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    def read(name: str):
+        path = f"{src}/{name}.parquet"
+        return spark.read.parquet(
+            f"{path}/*.parquet" if os.path.isdir(path) else path
+        )
+
+    for name in SLICE_FULL:
+        write(read(name), name)
+    for name, key in SLICE_COINS.items():
+        write(read(name).filter(coin(key)), name)
+    kept_orders = spark.read.parquet(os.path.join(dst, "orders.parquet")).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    write(read("lineitem").join(kept_orders, "l_orderkey", "left_semi"), "lineitem")
+    for t in list(SLICE_FULL) + list(SLICE_COINS) + ["lineitem"]:
+        n = spark.read.parquet(os.path.join(dst, f"{t}.parquet")).count()
+        print(f"slice {t}: {n} rows", flush=True)
 
 
 def duck_with_budget(con, sql: str, budget: float):
@@ -87,11 +155,43 @@ def main() -> int:
     sf1 = opt("--sf1", "/root/repo/.soak/sf1")
     out_path = opt("--out", "CROSSSCALE_sf1_r6.json")
     budget = float(opt("--oracle-budget", "120"))
+    sample_keys = float(opt("--sample-keys", "0"))
     no_oracle = "--no-oracle" in args
     args = [a for a in args if a != "--no-oracle"]
     only = set(args)
 
+    # sf>=10 soaks OOM at the 8g default driver heap (the r6 finding,
+    # recorded in BASELINE.md); size it to the data before the JVM comes
+    # up so no env var is required. Rough rule: >=500 MB on disk (~sf10)
+    # -> 48g, >=100 MB (~sf1) -> 16g.
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        try:
+            sz = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(sf1)
+                for f in fs
+            )
+        except OSError:
+            sz = 0
+        if sz >= 500 * 1024 * 1024:
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+        elif sz >= 100 * 1024 * 1024:
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = "16g"
+
     spark = get_spark("soak")
+
+    # --sample-keys P: hash-verify on a deterministic key-slice of the
+    # soak data instead of the full slice (the sf10 correctness witness
+    # — see SLICE_COINS above). Both engines read the sliced parquet.
+    slice_src = None
+    if sample_keys > 0:
+        slice_src = sf1
+        sliced = sf1.rstrip("/") + f"_keyslice_p{sample_keys:g}"
+        if not os.path.exists(os.path.join(sliced, "lineitem.parquet")):
+            print(f"materializing key-slice p={sample_keys} -> {sliced}", flush=True)
+            make_key_slice(spark, sf1, sliced, sample_keys)
+        sf1 = sliced
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -165,6 +265,7 @@ def main() -> int:
                     rec["oracle"] = "match" if not probs else (
                         "MISMATCH: " + "; ".join(probs)
                     )
+                    rec["hash_match"] = not probs
                     # duckdb + spark-collect + hash compare time: the
                     # harness cost, kept separate from sf1_sec
                     rec["oracle_sec"] = round(time.time() - t0, 2)
@@ -186,7 +287,7 @@ def main() -> int:
     )
     summary = {
         "sf_dir": sf1,
-        "generator": "tools/make_scale_slice.py (10 key-shifted sf0.1 "
+        "generator": "tools/make_scale_slice.py (key-shifted sf0.1 "
         "replicas, per-replica text dialect + embedding offset)",
         "queries_run": len(results),
         "hash_matched": matched,
@@ -195,6 +296,14 @@ def main() -> int:
         "wall_sec": round(time.time() - t_start, 1),
         "queries": results,
     }
+    if slice_src is not None:
+        summary["key_slice"] = {
+            "p": sample_keys,
+            "source": slice_src,
+            "note": "both engines read the same deterministic "
+            "xxhash64-coin key-slice (FK-complete); hash_match rows are "
+            "exact-comparison witnesses on source-scale data",
+        }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(
