@@ -190,34 +190,85 @@ def semantic_dedup_sql(
 def _jaccard_pairs_ctes(threshold: float, n: int = 3) -> str:
     """The shared CTE chain ending in ``jpairs(a, b, jaccard_sim)`` —
     exact word-n-gram Jaccard pairs >= threshold over ``documents``.
-    Candidates are bounded by a shared-shingle co-occurrence join (full
-    recall for J >= threshold: such pairs share a shingle)."""
+
+    Two public blocking ideas keep the replay bounded at soak scale
+    (the naive any-shared-shingle join is quadratic in the hottest
+    shingle's document frequency):
+
+    1. EXACT-DUPLICATE CLASS COLLAPSE: docs are grouped by md5 of the
+       normalized text; one representative shingle set is built per
+       class. Identical texts have Jaccard exactly 1 (>= any t), so
+       within-class pairs are emitted directly, and the expensive
+       verify runs on distinct-text class PAIRS only — a duplicate
+       cluster of m docs costs O(m) instead of O(m^2).
+    2. Frequency-ordered PREFIX-FILTER join between classes (the
+       public PPJoin/SSJoin scheme): order every class's shingle set
+       by (global frequency ASC, shingle ASC) — one total order shared
+       by all — and keep only the first ``|s| - ceil(t*|s|) + 1``
+       shingles as its join prefix. Exact-recall argument: J(A,B) >= t
+       implies overlap o >= t*|A| (the Jaccard denominator is >= |A|),
+       so o >= ceil(t*max(|A|,|B|)) =: α; by the prefix-filtering
+       lemma, prefixes of length |X| - α + 1 under any shared total
+       order must then intersect, and each kept prefix
+       (|X| - ceil(t*|X|) + 1 >= |X| - α + 1) contains that witness.
+
+    The verify counts shared shingles via a posting equi-join + group
+    (hash joins, no per-pair list intersection). Output is identical
+    to the naive formulation, row for row."""
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     return f"""
-    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
+    t AS (SELECT doc_id, {_TOKS} AS toks, md5({_NORM_TXT}) AS cls FROM documents),
+    crep AS (SELECT cls, min(doc_id) AS rep FROM t GROUP BY cls),
+    csh AS (
+      SELECT t.cls,
              CASE WHEN len(toks) < {n} THEN [list_aggregate(toks, 'string_agg', ' ')]
                   ELSE list_distinct(list_transform(range(1, len(toks) - {n - 2}),
                                                     i -> {gram}))
              END AS s
-      FROM t
+      FROM t JOIN crep ON t.doc_id = crep.rep
+    ),
+    post AS (SELECT cls, unnest(s) AS g, len(s) AS sz FROM csh),
+    df AS (SELECT g, count(*) AS df FROM post GROUP BY g),
+    pref AS (
+      SELECT cls, g, sz FROM (
+        SELECT post.cls, post.g, post.sz,
+               row_number() OVER (PARTITION BY post.cls
+                                  ORDER BY df.df, post.g) AS rn
+        FROM post JOIN df USING (g)
+      ) WHERE rn <= sz - CAST(ceil({threshold} * sz) AS BIGINT) + 1
     ),
     cand AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM (SELECT doc_id, unnest(s) AS g FROM sh) x
-      JOIN (SELECT doc_id, unnest(s) AS g FROM sh) y
-        ON x.g = y.g AND x.doc_id < y.doc_id
+      SELECT DISTINCT x.cls AS ca, y.cls AS cb
+      FROM pref x JOIN pref y
+        ON x.g = y.g AND x.cls < y.cls
+       AND x.sz >= CAST(ceil({threshold} * y.sz) AS BIGINT)
+       AND y.sz >= CAST(ceil({threshold} * x.sz) AS BIGINT)
     ),
-    jpairs AS (
-      SELECT c.a, c.b,
-             round(len(list_intersect(x.s, y.s))::DOUBLE
-                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
-               AS jaccard_sim
-      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
-      WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
-                  / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
-            >= {threshold}
+    ov AS (
+      SELECT c.ca, c.cb, count(*) AS o,
+             any_value(x.sz) AS sza, any_value(y.sz) AS szb
+      FROM cand c
+      JOIN post x ON x.cls = c.ca
+      JOIN post y ON y.cls = c.cb AND y.g = x.g
+      GROUP BY c.ca, c.cb
+    ),
+    cpairs AS (
+      SELECT ca, cb,
+             round(o::DOUBLE / (sza + szb - o), 4) AS jaccard_sim
+      FROM ov
+      WHERE round(o::DOUBLE / (sza + szb - o), 4) >= {threshold}
+    ),
+    jpairs AS MATERIALIZED (
+      SELECT CASE WHEN x.doc_id < y.doc_id THEN x.doc_id ELSE y.doc_id END AS a,
+             CASE WHEN x.doc_id < y.doc_id THEN y.doc_id ELSE x.doc_id END AS b,
+             p.jaccard_sim
+      FROM cpairs p
+      JOIN t x ON x.cls = p.ca
+      JOIN t y ON y.cls = p.cb
+      UNION ALL
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(1.0 AS DOUBLE) AS jaccard_sim
+      FROM t x JOIN t y ON x.cls = y.cls AND x.doc_id < y.doc_id
     )"""
 
 
@@ -239,7 +290,7 @@ def dedup_components_sql(threshold: float, n: int = 3) -> str:
     min-label propagation in ``dedup.dedup_components``."""
     return f"""
     WITH RECURSIVE {_jaccard_pairs_ctes(threshold, n)},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs
     ),
     reach AS (
@@ -264,7 +315,7 @@ def leakage_safe_split_sql(
     t = hex_threshold(ratio)
     return f"""
     WITH RECURSIVE {_jaccard_pairs_ctes(threshold, n)},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs
     ),
     reach AS (

@@ -3072,124 +3072,126 @@ def q_media_embeddings(spark, sf_dir):
 # Deliberate registration order: the driver checks a bounded 50-slot
 # prefix of this inventory, so the window always holds oracled queries
 # and the genuinely oracle-less iterative / media ops sit last. The
-# window ROTATES each round so every oracled query eventually carries a
-# driver-recorded verdict: round 5 rotated six in; round 6 rotates in
-# the remaining 23 never-driver-witnessed oracled queries (rows r1-r5
-# cover the other 81). Everything rotated out keeps its local
-# tools/check_oracle.py cross-scale witness.
+# window ROTATES each round so no query's last driver-recorded verdict
+# ages out: round 6 completed first-witness coverage (every oracled
+# query now has at least one green driver row); round 7 rotates
+# oldest-witness-first — the 50 queries whose last driver row is
+# r1-r5 (the r1-era TPC-H/knn slots, the r3 filter family, and the
+# r4/r5 text+stats families). Everything rotated out was driver-green
+# in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-6 rotation: the 23 oracled
-    # queries that had never received a driver-recorded verdict are
-    # all in-window this round; with rounds 1-5 that completes a
-    # driver row for every oracled query in the registry) ----
-    "xes_roundtrip",
-    "arrow_roundtrip",
-    "heuristic_net",
-    "bpe_token_counts",
-    "shard_assignment",
-    "knn_join_topk",
-    "lsh_near_dups",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "minhash_near_dups",
-    "mllib_minhash_near_dups",
-    "dedup_components",
-    "simhash_near_dups",
-    "winnow_fingerprints",
-    "cross_doc_substrings",
-    "trace_clusters",
-    "value_outliers",
-    "corpus_cardinality",
-    "session_overlaps",
-    "knn_classify",
-    "per_source_cap",
-    "chunk_docs",
-    "weighted_sample_docs",
-    "dedup_components_stars",  # new in r6 — first driver witness
-    "semantic_dedup",
-    "funnel_counts",
-    "rolling_user_activity",
-    "top_bigrams",
-    "value_histogram",
-    "zorder_events",
-    "tfidf_terms",
-    "phrase_search_docs",
-    "handover_network",
-    "cohort_retention",
-    "state_islands",
-    "path_prefixes",
-    "eventually_follows",
-    "rfm_segments",
-    "value_hour_corr",
-    "user_event_pivot",
-    "lineitem_unpivot_stats",
-    "source_mix",
-    "incremental_dedup",
-    "lm_quality",
-    "filter_concept_match",
-    "dfg",
-    "tpch_q3",
-    "tpch_q14",
-    "chronology_violations",
-    "leakage_safe_split",
-    # ---- out of the driver window: every entry below is either
-    # driver-green from rounds 1-5 or re-checked locally by
+    # ---- 50-slot driver window (round-7 rotation, oldest driver
+    # witness first) ----
+    "knn_cosine",  # last driver row r1
+    "order_priority_counts",  # r1
+    "part_brand_volume",  # r1
+    "tpch_q6",  # r1
+    "filter_concept_in",  # r3
+    "filter_time_before_after",  # r3
+    "filter_time_eq_tol",  # r3
+    "intersect_set_op",  # r3
+    "trace_time_contained",  # r3
+    "activity_stats",  # r4
+    "cosine_near_dups_exact",  # r4
+    "doc_fingerprint",  # r4
+    "embedding_norms",  # r4
+    "event_gaps",  # r4
+    "except_set_op",  # r4
+    "filter_concept_eq",  # r4
+    "filter_org_eq",  # r4
+    "filter_org_match",  # r4
+    "filter_time_contained",  # r4
+    "footprint",  # r4
+    "per_trace_counts",  # r4
+    "props_json_stats",  # r4
+    "repetition_stats",  # r4
+    "sample_events",  # r4
+    "simhash_signatures",  # r4
+    "split_train",  # r4
+    "token_counts_docs",  # r4
+    "top_traces_by_events",  # r4
+    "tpch_q1",  # r4
+    "trace_starts_ends_in",  # r4
+    "trace_variants",  # r4
+    "activity_dow_cube",  # r5
+    "asof_attribution",  # r5
+    "chronology_violations_injected",  # r5
+    "classifier_counts",  # r5
+    "cnf_filter",  # r5
+    "decontaminate",  # r5
+    "dedup_exact_docs",  # r5
+    "dfg_endpoints",  # r5
+    "doc_length_quantiles",  # r5
+    "filter_concept_eq_strict",  # r5
+    "filter_trace_scope",  # r5
+    "heuristic_dependency",  # r5
+    "lang_id_docs",  # r5
+    "line_dedup_docs",  # r5
+    "mixture_sample",  # r5
+    "pack_index",  # r5
+    "pii_scrub",  # r5
+    "revenue_by_nation",  # r5
+    "stats_counts",  # r5
+    # ---- out of the driver window: every entry below is driver-green
+    # from round 5 or 6 and re-checked locally by the
     # tools/check_oracle.py cross-scale sweeps ----
-    "tpch_q18",  # rotated out for dedup_components_stars (driver row r5)
-    "stats_counts",
-    "trace_intervals",
-    "classifier_counts",
-    "activity_dow_cube",
-    "line_dedup_docs",
-    "user_sessions",
-    "filter_concept_eq_strict",
-    "filter_trace_scope",
-    "cnf_filter",
-    "chronology_violations_injected",
-    "validation_globals",
-    "dfg_endpoints",
-    "heuristic_dependency",
-    "mixture_sample",
-    "revenue_by_nation",
-    "asof_attribution",
-    "dedup_exact_docs",
-    "text_quality",
-    "lang_id_docs",
-    "decontaminate",
-    "pii_scrub",
-    "pack_index",
-    "doc_length_quantiles",
-    "filter_org_eq",
-    "filter_time_contained",
-    "top_traces_by_events",
-    "trace_variants",
-    "tpch_q1",
-    "knn_cosine",
-    "cosine_near_dups_exact",
-    "repetition_stats",
-    "props_json_stats",
-    "embedding_norms",
-    "event_gaps",
-    "split_train",
-    "sample_events",
-    "filter_concept_eq",
-    "simhash_signatures",
-    "filter_org_match",
-    "trace_starts_ends_in",
-    "except_set_op",
-    "footprint",
-    "token_counts_docs",
-    "doc_fingerprint",
-    "per_trace_counts",
-    "activity_stats",
-    "filter_concept_in",
-    "filter_time_before_after",
-    "filter_time_eq_tol",
-    "trace_time_contained",
-    "intersect_set_op",
-    "tpch_q6",
-    "order_priority_counts",
-    "part_brand_volume",
+    "text_quality",  # r5
+    "tpch_q18",  # r5
+    "trace_intervals",  # r5
+    "user_sessions",  # r5
+    "validation_globals",  # r5
+    "ann_lsh_topk",  # r6
+    "arrow_roundtrip",  # r6
+    "bpe_token_counts",  # r6
+    "chronology_violations",  # r6
+    "chunk_docs",  # r6
+    "cohort_retention",  # r6
+    "corpus_cardinality",  # r6
+    "cross_doc_substrings",  # r6
+    "dedup_components",  # r6
+    "dedup_components_stars",  # r6
+    "dfg",  # r6
+    "eventually_follows",  # r6
+    "filter_concept_match",  # r6
+    "funnel_counts",  # r6
+    "handover_network",  # r6
+    "heuristic_net",  # r6
+    "incremental_dedup",  # r6
+    "ivf_topk",  # r6
+    "knn_classify",  # r6
+    "knn_join_topk",  # r6
+    "leakage_safe_split",  # r6
+    "lineitem_unpivot_stats",  # r6
+    "lm_quality",  # r6
+    "lsh_near_dups",  # r6
+    "minhash_near_dups",  # r6
+    "mllib_minhash_near_dups",  # r6
+    "path_prefixes",  # r6
+    "per_source_cap",  # r6
+    "phrase_search_docs",  # r6
+    "rfm_segments",  # r6
+    "rolling_user_activity",  # r6
+    "semantic_dedup",  # r6
+    "session_overlaps",  # r6
+    "shard_assignment",  # r6
+    "simhash_near_dups",  # r6
+    "source_mix",  # r6
+    "state_islands",  # r6
+    "tfidf_terms",  # r6
+    "top_bigrams",  # r6
+    "tpch_q14",  # r6
+    "tpch_q3",  # r6
+    "trace_clusters",  # r6
+    "user_event_pivot",  # r6
+    "value_histogram",  # r6
+    "value_hour_corr",  # r6
+    "value_outliers",  # r6
+    "weighted_sample_docs",  # r6
+    "winnow_fingerprints",  # r6
+    "xes_roundtrip",  # r6
+    "zorder_events",  # r6
+    # ---- genuinely non-SQL-expressible (rows-only driver check;
+    # suite-covered) ----
     "bpe_learned_tokens",
     "topic_map",
     "dfg_alignment_fitness",
@@ -3202,6 +3204,7 @@ _ORDER = [
     "media_audio_features",
     "media_embeddings",
 ]
+
 
 if set(_ORDER) != set(QUERIES):
     raise RuntimeError(

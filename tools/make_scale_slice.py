@@ -15,15 +15,17 @@ workloads keep their natural shape instead of degenerating into
 K-clone clusters (which would inflate near-dup candidate counts ~K^2
 and make soak timings unrepresentative):
 
-- documents.text: replica i>0 applies a deterministic "dialect": every
-  token t with hash(t, i) % 7 == 0 (~14% of the vocabulary) is
-  rewritten to a hash token of (t, i), at every occurrence. Because
-  the map depends only on token identity, any two documents INSIDE a
-  replica keep their exact/near-dup relationship bit-for-bit (equal
-  texts stay equal, shingle overlap is preserved), so the dedup
-  workload scales its natural cluster structure 10x; ACROSS replicas
-  two dialects disagree on ~26% of tokens, putting shingle Jaccard
-  near 0.2 — far below every dedup threshold. n_chars is recomputed.
+- documents.text: replica i>0 applies a deterministic "dialect":
+  EVERY token t is rewritten to a hash token of (t, i), at every
+  occurrence — a bijective per-replica vocabulary map. Because the map
+  depends only on token identity, any two documents INSIDE a replica
+  keep their exact/near-dup relationship bit-for-bit (equal texts stay
+  equal, shingle overlap is preserved), so the dedup workload scales
+  its natural cluster structure Kx; ACROSS replicas the vocabularies
+  are disjoint, so cross-replica shingle Jaccard is exactly 0 — the
+  invariant that keeps the exact-Jaccard oracles valid for the banded
+  MinHash operators at soak scale (see _perturb_text). n_chars is
+  recomputed.
 - embeddings.embedding: replica i>0 adds a deterministic hash-derived
   offset in [-0.35, 0.35] per dimension — far enough that a vector's
   replica twin is not its near-dup, close enough to keep the global
@@ -107,20 +109,32 @@ FILES = {
 
 def _perturb_text(df: DataFrame, i: int) -> DataFrame:
     """Apply replica i's token dialect (see module docstring) — pure
-    codegen (split/transform/xxhash64/md5), no UDF."""
+    codegen (split/transform/md5), no UDF.
+
+    Replica i>0 rewrites EVERY token t -> 'w' + md5(t#i)[:8]: a
+    per-replica bijective vocabulary map (8 hex chars ~ 4.3e9 values,
+    so vocab collisions are negligible). Two docs INSIDE a replica keep
+    their shingle-overlap relationship bit-for-bit (the map is 1:1 on
+    tokens, hence 1:1 on n-grams), while ACROSS replicas the
+    vocabularies are disjoint, so every cross-replica pair has Jaccard
+    exactly 0. The earlier ~14%-of-vocab coin left short/low-diversity
+    docs at MID similarity across replicas (J in [0.5, 0.9)), where
+    banded MinHash recall is legitimately < 1 — which silently broke
+    the exact-Jaccard oracle contract at soak scale. All-token rewrite
+    restores the invariant the generator promises: the near-dup
+    workload is K natural copies of the base workload, every true pair
+    is a high-J within-replica pair, and the exact-pair oracle remains
+    valid at any K."""
     if i == 0:
         return df
     toks = F.split(F.col("text"), r"\s+")
     perturbed = F.array_join(
         F.transform(
             toks,
-            lambda x: F.when(
-                F.pmod(F.xxhash64(x, F.lit(i)), F.lit(7)) == 0,
-                F.concat(
-                    F.lit("w"),
-                    F.substring(F.md5(F.concat(x, F.lit(f"#{i}"))), 1, 6),
-                ),
-            ).otherwise(x),
+            lambda x: F.concat(
+                F.lit("w"),
+                F.substring(F.md5(F.concat(x, F.lit(f"#{i}"))), 1, 8),
+            ),
         ),
         " ",
     )

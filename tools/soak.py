@@ -22,7 +22,8 @@ allows ("hash-verify where DuckDB can keep up").
 
 Usage:
     python tools/soak.py [--sf1 DIR] [--out FILE] [--oracle-budget S]
-                         [--no-oracle] [--sample-keys P] [query ...]
+                         [--no-oracle] [--sample-keys P]
+                         [--slice-fallback P] [query ...]
 
 ``--sample-keys P`` (e.g. 0.01) hash-verifies on a deterministic
 FK-complete key-slice of the soak data (see SLICE_COINS) — the sf10
@@ -33,6 +34,15 @@ row/pair is an exact cross-engine comparison on source-scale data.
 cannot be asked to replay the quadratic oracles at all — e.g. the
 sf10 slice); hash verification at sf0.01/sf0.1/sf1 stands as the
 correctness witness.
+
+``--slice-fallback P`` keeps the FULL-data run as the runtime/rows
+evidence but, whenever an oracle exceeds its budget on the full soak
+data, re-runs BOTH engines on the deterministic key-slice and
+hash-compares there — so every query leaves the soak with a
+cross-engine value witness: ``oracle: "match"`` on full data where
+DuckDB can keep up, ``"match(keyslice pP)"`` where only the sliced
+replay is feasible (inherently-quadratic oracles: all-pairs cosine,
+the 19M-row interval self-join).
 """
 
 from __future__ import annotations
@@ -153,9 +163,10 @@ def main() -> int:
         return default
 
     sf1 = opt("--sf1", "/root/repo/.soak/sf1")
-    out_path = opt("--out", "CROSSSCALE_sf1_r6.json")
+    out_path = opt("--out", "CROSSSCALE_sf1_r7.json")
     budget = float(opt("--oracle-budget", "120"))
     sample_keys = float(opt("--sample-keys", "0"))
+    slice_fallback = float(opt("--slice-fallback", "0"))
     no_oracle = "--no-oracle" in args
     args = [a for a in args if a != "--no-oracle"]
     only = set(args)
@@ -192,16 +203,38 @@ def main() -> int:
             make_key_slice(spark, sf1, sliced, sample_keys)
         sf1 = sliced
 
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        p = f"{sf1}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
-        )
+    def duck_views(dirpath: str):
+        c = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            p = f"{dirpath}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        return c
+
+    con = duck_views(sf1)
+
+    # --slice-fallback P: lazily-built key-slice + DuckDB connection,
+    # used to hash-verify the queries whose oracle can't replay the
+    # full soak data inside the budget.
+    fb_dir: str | None = None
+    fb_con = None
+
+    def fallback_slice():
+        nonlocal fb_dir, fb_con
+        if fb_con is None:
+            fb_dir = sf1.rstrip("/") + f"_keyslice_p{slice_fallback:g}"
+            if not os.path.exists(os.path.join(fb_dir, "lineitem.parquet")):
+                print(
+                    f"materializing fallback key-slice p={slice_fallback}"
+                    f" -> {fb_dir}",
+                    flush=True,
+                )
+                make_key_slice(spark, sf1, fb_dir, slice_fallback)
+            fb_con = duck_views(fb_dir)
+        return fb_dir, fb_con
 
     results: dict[str, dict] = {}
     failures: list[str] = []
@@ -252,6 +285,39 @@ def main() -> int:
                 duck = duck_with_budget(con, sql, budget)
                 if duck is None:
                     rec["oracle"] = f"timeout({int(budget)}s)"
+                    if slice_fallback > 0:
+                        sdir, scon = fallback_slice()
+                        t0 = time.time()
+                        sduck = duck_with_budget(scon, sql, budget)
+                        if sduck is None:
+                            rec["oracle"] += "+keyslice-timeout"
+                        else:
+                            fcols, frows = sduck
+                            fdf = fn(spark, sdir)
+                            fsrows = [tuple(r) for r in fdf.collect()]
+                            probs = []
+                            if len(fsrows) != len(frows):
+                                probs.append(
+                                    f"rows {len(fsrows)} vs {len(frows)}"
+                                )
+                            if sorted(fdf.columns) != sorted(fcols):
+                                probs.append("cols differ")
+                            elif table_hash(
+                                fdf.columns, fsrows
+                            ) != table_hash(fcols, frows):
+                                probs.append("value-hash mismatch")
+                            if probs:
+                                rec["oracle"] = (
+                                    "KEYSLICE-MISMATCH: " + "; ".join(probs)
+                                )
+                                failures.append(name)
+                            else:
+                                rec["oracle"] = (
+                                    f"match(keyslice p{slice_fallback:g})"
+                                )
+                                rec["hash_match"] = True
+                                rec["keyslice_rows"] = len(fsrows)
+                            rec["oracle_sec"] = round(time.time() - t0, 2)
                 else:
                     dcols, drows = duck
                     srows = [tuple(r) for r in sdf.collect()]
@@ -281,7 +347,9 @@ def main() -> int:
             flush=True,
         )
 
-    matched = sum(1 for r in results.values() if r.get("oracle") == "match")
+    matched = sum(
+        1 for r in results.values() if str(r.get("oracle", "")).startswith("match")
+    )
     timed_out = sum(
         1 for r in results.values() if str(r.get("oracle", "")).startswith("timeout")
     )
