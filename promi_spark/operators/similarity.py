@@ -945,6 +945,35 @@ def ivf_topk_indexed(
     )
 
 
+def multiprobe_buckets(
+    query_vec: list[float], planes: list[list[float]], nprobe: int
+) -> list[int]:
+    """Query-directed multi-probe bucket sequence (Lv et al., VLDB
+    2007): the query's own sign bucket first, then the buckets reached
+    by flipping ONE sign bit, ordered by the flipped hyperplane's
+    |margin| ascending (the bit most likely to be wrong for a true
+    neighbor is the one whose plane passes closest to the query).
+    Driver-side and tiny — nprobe is capped at bits+1 single-bit
+    flips; ties on |margin| break on plane index so the sequence is
+    deterministic."""
+    # Sequential left-fold dot (not numpy pairwise summation) so the
+    # margins — and therefore the |margin| probe ORDER — are
+    # bit-identical to the SQL oracle's list_inner_product replay.
+    def sdot(p):
+        acc = 0.0
+        for x, y in zip(p, query_vec):
+            acc += float(x) * float(y)
+        return acc
+
+    margins = [sdot(p) for p in planes]
+    qb = 0
+    for i, m in enumerate(margins):
+        if m > 0:
+            qb |= 1 << i
+    flips = sorted(range(len(planes)), key=lambda i: (abs(margins[i]), i))
+    return [qb] + [qb ^ (1 << i) for i in flips[: max(0, nprobe - 1)]]
+
+
 def ann_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -953,24 +982,30 @@ def ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    — plus, with ``nprobe > 1``, the ``nprobe - 1`` Hamming-adjacent
+    buckets whose flipped plane has the smallest |query margin|
+    (query-directed multi-probe; see :func:`multiprobe_buckets`).
+    Single-bucket sign-LSH keeps only ~(1 - θ/π)^bits of true
+    neighbors; multi-probe recovers most of the loss for the cost of
+    scanning nprobe/2^bits of the corpus (measured in
+    tools/ann_recall.py, floors pinned in tests/test_ann_recall.py).
 
     At scale the corpus is pre-bucketed (a persisted ``bucket`` column,
-    partitioned on it) so a query reads one partition — this function
-    recomputes buckets inline for self-containedness."""
-    import numpy as np
-
+    partitioned on it) so a query reads nprobe partitions — this
+    function recomputes buckets inline for self-containedness."""
     dim = len(query_vec)
     planes = hyperplanes(dim, bits, seed)
-    qb = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(query_vec, p)) > 0:
-            qb |= 1 << i
+    probes = multiprobe_buckets(query_vec, planes, nprobe)
     bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     return (
         cosine_scores(
-            bucketed.filter(F.col("bucket") == qb), query_vec, id_col, vec_col
+            bucketed.filter(F.col("bucket").isin(probes)),
+            query_vec,
+            id_col,
+            vec_col,
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)

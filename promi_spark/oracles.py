@@ -95,6 +95,48 @@ def ann_lsh_topk_sql(planes: list[list[float]], k: int) -> str:
     """
 
 
+def ann_multiprobe_topk_sql(
+    planes: list[list[float]], k: int, nprobe: int
+) -> str:
+    """Replay of similarity.ann_topk with nprobe > 1: the query's sign
+    bucket plus the single-bit-flip buckets of the ``nprobe - 1``
+    planes with smallest |query margin| (ties on plane index), exact
+    cosine top-k over the probed buckets."""
+    def bucket(vec_expr: str) -> str:
+        terms = [
+            f"{_sign_bit(vec_expr, p)} * {1 << i}" for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    margin_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {1 << i} AS flipmask, "
+        f"list_inner_product(q, {_vec(p)}) AS m FROM qv"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE k = 0),
+    qb AS (SELECT {bucket('q')} AS qbucket FROM qv),
+    qm AS ({margin_rows}),
+    probe AS (
+      SELECT qbucket AS bucket FROM qb
+      UNION ALL
+      SELECT xor(qb.qbucket, f.flipmask) AS bucket
+      FROM (SELECT flipmask FROM qm ORDER BY abs(m), i LIMIT {nprobe - 1}) f
+      CROSS JOIN qb
+    ),
+    c AS (SELECT k, v, {bucket('v')} AS bucket FROM e WHERE k <> 0)
+    SELECT k AS vec_id,
+           round(list_inner_product(v, q)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))),
+                 6) AS cosine_sim
+    FROM c, qv
+    WHERE bucket IN (SELECT bucket FROM probe)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
     """Replay of similarity.ivf_topk with init='lowest_ids', n_iter=0:
     seeds are the ``n_clusters`` lowest-id corpus vectors; assignment is

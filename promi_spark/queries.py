@@ -2720,6 +2720,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ann_multiprobe_topk",
+    oracles.ann_multiprobe_topk_sql(_PLANES_ANN6, k=10, nprobe=4),
+)
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Query-directed multi-probe LSH top-k (Lv et al. 2007): the
+    query's bucket plus the 3 smallest-|margin| single-bit-flip
+    buckets. Single-bucket sign-LSH recall decays as (1 - θ/π)^bits;
+    multi-probe is the standard recall knob (measured curves in
+    tools/ann_recall.py, floors in tests/test_ann_recall.py). Oracle
+    replays the literal hyperplanes, the margin-ordered probe set, and
+    the exact-cosine rerank."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ann_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, bits=6, nprobe=4
+    )
+
+
 @q("simhash_near_dups", oracles.simhash_near_dups_sql(bands=4, max_hamming=10))
 def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_candidates(
@@ -3131,10 +3150,11 @@ _ORDER = [
     "pack_index",  # r5
     "pii_scrub",  # r5
     "revenue_by_nation",  # r5
-    "stats_counts",  # r5
+    "ann_multiprobe_topk",  # NEW in r7 — first driver witness
     # ---- out of the driver window: every entry below is driver-green
     # from round 5 or 6 and re-checked locally by the
     # tools/check_oracle.py cross-scale sweeps ----
+    "stats_counts",  # r5
     "text_quality",  # r5
     "tpch_q18",  # r5
     "trace_intervals",  # r5

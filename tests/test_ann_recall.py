@@ -1,0 +1,64 @@
+"""Retrieval-quality floors for the ANN operators.
+
+The oracles prove the ANN operators are deterministic replays of their
+declared approximation; these tests pin how good the approximation is
+(recall@10 vs exact cosine top-k), so a refactor that silently
+degrades retrieval — wrong probe order, off-by-one band slice, broken
+centroid training — fails even though determinism still holds.
+
+Floors sit well under the measured values (ANN_RECALL_*_r7.json /
+BASELINE.md):
+
+- planted clustered corpus (the regime IVF is for): nprobe=4 of 16
+  cells measured 0.98 -> floor 0.90; recall must also improve
+  monotonically with nprobe.
+- sf0.1 organic embeddings (near-uniform — the adversarial case for
+  space partitioning): absolute recall is theory-bounded, so the
+  floors pin the STRUCTURE claims: nprobe=4/16 measured 0.595 ->
+  floor 0.45, which is >1.5x the 0.25 random-probe baseline.
+- multi-probe LSH: probing the 4 smallest-|margin| flip buckets must
+  recover >= 1.5x the single-bucket recall (measured 3-4x).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.ann_recall import make_planted, measure
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def planted_report(spark):
+    sf = make_planted(spark)
+    return measure(spark, sf, stride=20, ivf_nprobes=(1, 2, 4),
+                   lsh_bits=(4,), fidelity_queries=2)
+
+
+@pytest.fixture(scope="module")
+def organic_report(spark):
+    return measure(spark, SF01, stride=20, ivf_nprobes=(4,),
+                   lsh_bits=(4,), fidelity_queries=0)
+
+
+def test_ivf_recall_floor_on_clustered_data(planted_report):
+    assert planted_report["ivf"]["nprobe=4"] >= 0.90
+
+
+def test_ivf_recall_monotone_in_nprobe(planted_report):
+    r = planted_report["ivf"]
+    assert r["nprobe=1"] <= r["nprobe=2"] <= r["nprobe=4"]
+
+
+def test_ivf_beats_random_probing_on_uniform_data(organic_report):
+    # 4 of 16 cells scanned = 0.25 random baseline; require a clear
+    # structural advantage even on near-uniform vectors.
+    assert organic_report["ivf"]["nprobe=4"] >= 0.45
+
+
+def test_multiprobe_lsh_lifts_single_bucket_recall(planted_report):
+    r = planted_report["lsh"]
+    single, multi = r["bits=4,nprobe=1"], r["bits=4,nprobe=4"]
+    assert multi >= 1.5 * single
+    assert multi >= r["bits=4,nprobe=1"]  # never worse
