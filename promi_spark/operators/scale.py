@@ -326,20 +326,29 @@ def global_ntile(
 
     ``order`` must be a TOTAL order (append a unique key) — ties
     crossing a range-partition boundary would otherwise make ranks
-    layout-dependent. The ranked relation is persisted so the sampled
-    range bounds (nondeterministic across jobs) are pinned between the
-    count job and the output plan; the handle is attached as
-    ``out.rank_cache`` for the caller to unpersist.
+    layout-dependent. The ranked relation is ``localCheckpoint``-ed
+    (lineage CUT, not merely cached): range-exchange bounds are
+    re-sampled with a fresh seed on every execution, so a plain
+    ``persist()`` whose blocks get evicted (e.g. a harness calling
+    ``spark.catalog.clearCache()`` between the count job and the
+    output job — the exact failure seen in the r7 sf1 soak) would
+    silently recompute a DIFFERENT layout under the frozen offsets
+    map and corrupt every rank. With the checkpoint, recompute is
+    impossible: the pinned layout is either served or the job fails
+    loudly (on a real cluster, use ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` for executor-loss resilience). The handle is
+    attached as ``out.rank_cache``; ``unpersist()`` on it is a no-op
+    (checkpoint blocks are freed by the ContextCleaner on GC).
     """
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions") or "200")
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    d = (
+    d_pre = (
         df.repartitionByRange(p, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__mid", F.monotonically_increasing_id())
-        .persist()
     )
+    d = d_pre.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy(F.shiftright("__mid", 33).alias("_pid"))
@@ -350,6 +359,7 @@ def global_ntile(
     if n == 0:
         out = df.withColumn(bucket_col, F.lit(None).cast("int"))
         out.rank_cache = d
+        out.rank_plan = d_pre
         return out
     offsets: list[Column] = []
     acc = 0
@@ -373,6 +383,10 @@ def global_ntile(
         ).otherwise(F.lit(r) + F.floor((rank - head - 1) / q) + 1)
     out = d.withColumn(bucket_col, bucket.cast("int")).drop("__mid")
     out.rank_cache = d
+    # the lazy pre-checkpoint stage, exposed so plan tests can assert
+    # the distributed shape (the checkpointed plan is an ExistingRDD
+    # scan — the range exchange already ran)
+    out.rank_plan = d_pre
     return out
 
 

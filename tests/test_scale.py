@@ -263,9 +263,41 @@ def test_global_ntile_no_single_partition_window(spark):
     out = global_ntile(df, 4, [F.col("v"), F.col("id")], "b")
     plan = explain(out)
     assert "Window" not in plan
-    # The only exchanges are range repartitions inside the cached
-    # subtree (the formatted string prints the InMemoryRelation's build
-    # plan too) — never a single-partition move.
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    # The output plan reads the checkpointed layout (ExistingRDD); the
+    # distributed shape lives in the pre-checkpoint stage exposed as
+    # rank_plan — range repartition, never a single-partition move.
+    pre = explain(out.rank_plan)
+    assert "rangepartitioning" in pre
+    assert "SinglePartition" not in pre
+    out.rank_cache.unpersist()
+
+
+def test_global_ntile_survives_cache_clear(spark):
+    """Regression for the r7 sf1 soak flake: the harness calls
+    ``spark.catalog.clearCache()`` between query construction and the
+    final collect. Under the old ``persist()`` design that evicted the
+    ranked relation, the range exchange re-sampled bounds with a fresh
+    seed on recompute, and the frozen offsets map silently corrupted
+    ranks. ``localCheckpoint`` cuts the lineage so the pinned layout
+    cannot be recomputed — buckets must be identical after a clear."""
+    from pyspark.sql import Window
+
+    from promi_spark.operators.scale import global_ntile
+
+    rows = [(i, float((i * 37) % 101)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(16)
+    order = [F.col("v"), F.col("id")]
+    out = global_ntile(df, 4, order, "b")
+    spark.catalog.clearCache()
+    got = sorted(map(tuple, out.select("id", "b").collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("b", F.ntile(4).over(Window.orderBy(*order)))
+            .select("id", "b")
+            .collect(),
+        )
+    )
+    assert got == want
     out.rank_cache.unpersist()
