@@ -233,6 +233,16 @@ def main() -> int:
             "unit": "sec",
             "queries": timings,
             "warm_total": detail["warm_total"],
+            # compact streaming evidence (full section in the sidecar):
+            # rows/s for the 4-file-trigger drains and the amortized
+            # single-batch bound (the production-sizing upper end)
+            "streaming_rps": {
+                "sessionize": streaming.get("sessionize_rows_per_sec"),
+                "stateful_dfg": streaming.get("stateful_dfg_rows_per_sec"),
+                "stateful_dfg_1batch": streaming.get(
+                    "stateful_dfg_1batch_rows_per_sec"
+                ),
+            },
             "sf": sf,
             "detail": "BENCH_SELF.json",
         }
