@@ -351,7 +351,7 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    assert names[49] == "leakage_safe_split"
+    assert names[49] == "ann_multiprobe_topk"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
