@@ -81,9 +81,9 @@ def ann_lsh_topk_sql(planes: list[list[float]], k: int) -> str:
 
     return f"""
     WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    qv AS (SELECT v AS q FROM e WHERE k = 0),
+    qv AS (SELECT v AS q FROM e WHERE k = (SELECT min(k) FROM e)),
     qb AS (SELECT {bucket('q')} AS qbucket FROM qv),
-    c AS (SELECT k, v, {bucket('v')} AS bucket FROM e WHERE k <> 0)
+    c AS (SELECT k, v, {bucket('v')} AS bucket FROM e WHERE k <> (SELECT min(k) FROM e))
     SELECT k AS vec_id,
            round(list_inner_product(v, q)
                  / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))),
@@ -115,7 +115,7 @@ def ann_multiprobe_topk_sql(
     )
     return f"""
     WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    qv AS (SELECT v AS q FROM e WHERE k = 0),
+    qv AS (SELECT v AS q FROM e WHERE k = (SELECT min(k) FROM e)),
     qb AS (SELECT {bucket('q')} AS qbucket FROM qv),
     qm AS ({margin_rows}),
     probe AS (
@@ -125,7 +125,7 @@ def ann_multiprobe_topk_sql(
       FROM (SELECT flipmask FROM qm ORDER BY abs(m), i LIMIT {nprobe - 1}) f
       CROSS JOIN qb
     ),
-    c AS (SELECT k, v, {bucket('v')} AS bucket FROM e WHERE k <> 0)
+    c AS (SELECT k, v, {bucket('v')} AS bucket FROM e WHERE k <> (SELECT min(k) FROM e))
     SELECT k AS vec_id,
            round(list_inner_product(v, q)
                  / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))),
@@ -144,8 +144,8 @@ def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
     probes are the ``nprobe`` seeds nearest the query."""
     return f"""
     WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    qv AS (SELECT v AS q FROM e WHERE k = 0),
-    corp AS (SELECT k, v FROM e WHERE k <> 0),
+    qv AS (SELECT v AS q FROM e WHERE k = (SELECT min(k) FROM e)),
+    corp AS (SELECT k, v FROM e WHERE k <> (SELECT min(k) FROM e)),
     cent AS (
       SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c
       FROM corp ORDER BY k LIMIT {n_clusters}

@@ -2413,16 +2413,30 @@ def q_embedding_norms(spark, sf_dir):
     )
 
 
+def _query_vec(emb):
+    """Deterministic query vector for the ANN/kNN query family: the
+    MIN vec_id row. Identical to the old ``vec_id = 0`` literal on the
+    full tables at every sf (id 0 always exists there), but robust on
+    key-sliced soak data where any given literal id may be coined out
+    (the r7 sf10 slice dropped id 0 and every engine-side ``first()``
+    returned None). The matching oracle SQL anchors on
+    ``(SELECT min(vec_id) FROM embeddings)`` so both engines pick the
+    same row. One TakeOrdered(1) driver fetch — k-bounded."""
+    row = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    return row["vec_id"], list(row["embedding"])
+
+
 @q(
     "knn_cosine",
     """
-    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
     SELECT vec_id,
            round(list_inner_product(CAST(embedding AS DOUBLE[]), q)
                  / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                     * sqrt(list_inner_product(q, q))), 6) AS cosine_sim
     FROM embeddings, qv
-    WHERE vec_id <> 0
+    WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
       AND round(list_inner_product(CAST(embedding AS DOUBLE[]), q)
                 / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                    * sqrt(list_inner_product(q, q))), 6) >= 0.1
@@ -2430,8 +2444,8 @@ def q_embedding_norms(spark, sf_dir):
 )
 def q_knn_cosine(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    scored = similarity.cosine_scores(emb.filter(F.col("vec_id") != 0), list(qvec))
+    qid, qvec = _query_vec(emb)
+    scored = similarity.cosine_scores(emb.filter(F.col("vec_id") != qid), qvec)
     return scored.filter(F.col("cosine_sim") >= 0.1)
 
 
@@ -2593,10 +2607,10 @@ def q_ivf_topk(spark, sf_dir):
     the oracle replays the same assignment; k-means refinement stays the
     non-oracle default (init='rng_sample', n_iter=10)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qid, qvec = _query_vec(emb)
     return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") != 0),
-        list(qvec),
+        emb.filter(F.col("vec_id") != qid),
+        qvec,
         k=10,
         n_clusters=8,
         nprobe=3,
@@ -2714,9 +2728,9 @@ def q_simhash_signatures(spark, sf_dir):
 @q("ann_lsh_topk", oracles.ann_lsh_topk_sql(_PLANES_ANN6, k=10))
 def q_ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qid, qvec = _query_vec(emb)
     return similarity.ann_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, bits=6
+        emb.filter(F.col("vec_id") != qid), qvec, k=10, bits=6
     )
 
 
@@ -2733,9 +2747,9 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     replays the literal hyperplanes, the margin-ordered probe set, and
     the exact-cosine rerank."""
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qid, qvec = _query_vec(emb)
     return similarity.ann_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, bits=6, nprobe=4
+        emb.filter(F.col("vec_id") != qid), qvec, k=10, bits=6, nprobe=4
     )
 
 
