@@ -157,6 +157,35 @@ def bench_extras(spark) -> dict:
     return out
 
 
+def stdout_line(detail: dict) -> str:
+    """The ONE-line stdout JSON the driver parses. It must stay well
+    under the driver's 2000-char tail window (the r5/r6 artifacts had
+    ``"parsed": null`` because the full detail line blew past it), so
+    it carries only the contract's required fields — cold per-query
+    timings, totals, sf — plus the compact streaming rows/s, and
+    points at the BENCH_SELF.json sidecar for everything else.
+    Length is pinned by ``tests/test_bench_contract.py``."""
+    streaming = detail.get("streaming", {})
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": detail["queries"],
+            "warm_total": detail["warm_total"],
+            "streaming_rps": {
+                "sessionize": streaming.get("sessionize_rows_per_sec"),
+                "stateful_dfg": streaming.get("stateful_dfg_rows_per_sec"),
+                "stateful_dfg_1batch": streaming.get(
+                    "stateful_dfg_1batch_rows_per_sec"
+                ),
+            },
+            "sf": detail["sf"],
+            "detail": "BENCH_SELF.json",
+        }
+    )
+
+
 def main() -> int:
     from promi_spark.queries import QUERIES
     from promi_spark.session import get_spark
@@ -226,27 +255,7 @@ def main() -> int:
             fh.write(json.dumps(detail) + "\n")
     except OSError:
         pass
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "warm_total": detail["warm_total"],
-            # compact streaming evidence (full section in the sidecar):
-            # rows/s for the 4-file-trigger drains and the amortized
-            # single-batch bound (the production-sizing upper end)
-            "streaming_rps": {
-                "sessionize": streaming.get("sessionize_rows_per_sec"),
-                "stateful_dfg": streaming.get("stateful_dfg_rows_per_sec"),
-                "stateful_dfg_1batch": streaming.get(
-                    "stateful_dfg_1batch_rows_per_sec"
-                ),
-            },
-            "sf": sf,
-            "detail": "BENCH_SELF.json",
-        }
-    )
+    line = stdout_line(detail)
     sys.stderr.flush()
     sys.stdout.flush()
     sys.stdout.write("\n" + line + "\n")

@@ -1,0 +1,54 @@
+"""The driver reads bench.py's FINAL stdout line through a 2000-char
+tail window; r5/r6 shipped with ``"parsed": null`` because the detail
+line outgrew it. Pin the contract: the line built from a
+full-sized detail dict parses, carries the required fields, and stays
+comfortably inside the window."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, stdout_line
+
+
+def _fake_detail() -> dict:
+    queries = {name: 123.456 for name in HEADLINE}
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "queries_warm": queries,
+        "warm_total": round(sum(queries.values()), 3),
+        "neardup_pipeline": {"x": 1.0},
+        "streaming": {
+            "sessionize_rows_per_sec": 165033,
+            "stateful_dfg_rows_per_sec": 60592,
+            "stateful_dfg_1batch_rows_per_sec": 192778,
+        },
+        "extras": {"y": 2.0},
+        "sf": 0.1,
+    }
+
+
+def test_stdout_line_parses_and_fits_tail_window():
+    line = stdout_line(_fake_detail())
+    assert "\n" not in line
+    # 1700 leaves headroom for query-name growth before the 2000-char
+    # driver tail window truncates the head again
+    assert len(line) < 1700, len(line)
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_queries_total"
+    assert set(obj["queries"]) == set(HEADLINE)
+    assert obj["unit"] == "sec"
+    assert obj["detail"] == "BENCH_SELF.json"
+    assert obj["streaming_rps"]["stateful_dfg"] == 60592
+
+
+def test_stdout_line_survives_missing_streaming():
+    d = _fake_detail()
+    d.pop("streaming")
+    obj = json.loads(stdout_line(d))
+    assert obj["streaming_rps"]["sessionize"] is None

@@ -219,20 +219,32 @@ def main() -> int:
     # --slice-fallback P: lazily-built key-slice + DuckDB connection,
     # used to hash-verify the queries whose oracle can't replay the
     # full soak data inside the budget.
+    # With --sample-keys the main run already sits on a key slice, and
+    # the coin is DETERMINISTIC — re-slicing the slice with the same
+    # predicate keeps every row (coin < P is idempotent), so a naive
+    # fallback would be the same data and its oracle would time out
+    # identically (seen in the first r7 sf10 run as
+    # "+keyslice-timeout"). Carve the fallback from the ORIGINAL data
+    # at the composed rate instead: coin < P1*P2 is a strict subset of
+    # coin < P1, so the fallback remains a subset of the main slice.
     fb_dir: str | None = None
     fb_con = None
+    if sample_keys > 0:
+        fb_base, fb_p = slice_src, sample_keys * slice_fallback
+    else:
+        fb_base, fb_p = sf1, slice_fallback
 
     def fallback_slice():
         nonlocal fb_dir, fb_con
         if fb_con is None:
-            fb_dir = sf1.rstrip("/") + f"_keyslice_p{slice_fallback:g}"
+            fb_dir = fb_base.rstrip("/") + f"_keyslice_p{fb_p:g}"
             if not os.path.exists(os.path.join(fb_dir, "lineitem.parquet")):
                 print(
-                    f"materializing fallback key-slice p={slice_fallback}"
+                    f"materializing fallback key-slice p={fb_p:g}"
                     f" -> {fb_dir}",
                     flush=True,
                 )
-                make_key_slice(spark, sf1, fb_dir, slice_fallback)
+                make_key_slice(spark, fb_base, fb_dir, fb_p)
             fb_con = duck_views(fb_dir)
         return fb_dir, fb_con
 
@@ -313,7 +325,7 @@ def main() -> int:
                                 failures.append(name)
                             else:
                                 rec["oracle"] = (
-                                    f"match(keyslice p{slice_fallback:g})"
+                                    f"match(keyslice p{fb_p:g})"
                                 )
                                 rec["hash_match"] = True
                                 rec["keyslice_rows"] = len(fsrows)
