@@ -199,6 +199,53 @@ def shard_id(key: Column | str, n_shards: int, seed: int = 0) -> Column:
     return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n_shards))
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every
+    document a seeded pseudo-random ``(shard, pos)`` so a pretraining
+    loader reading shards in order visits the corpus in a reproducible
+    permutation. This is the standard step BEFORE sequence packing —
+    without it, within-shard order follows the source key (typically
+    crawl/ingest order), leaking a curriculum into packed batches.
+
+    Shard membership is the engine-portable :func:`shard_id` md5;
+    position is the rank of an independent md5 coin (salt ``"pos"`` —
+    same namespace convention as Split/Sample, ``split.py:43``) within
+    the shard, key-tiebroken, so the permutation is total and
+    bit-reproducible across retries, sessions, engines, partition
+    layouts, and cluster sizes.
+
+    Scale shape: one shard-key exchange + a per-shard window sort —
+    parallel across shards, never a global single-partition rank.
+    ``n_shards`` defaults to :func:`parallelism_units` (like
+    ``pack_index``): ~32k shards on a 1000-executor cluster keeps each
+    shard's sort at corpus/32k ≈ 3 GB for 100 TB. The output joins
+    back to the corpus on ``key_col`` or feeds a shard-file writer
+    directly.
+    """
+    from pyspark.sql import Window
+
+    from promi_spark.operators.split import coin_hex
+
+    if n_shards is None:
+        n_shards = parallelism_units(df.sparkSession)
+    key_s = F.col(key_col).cast("string")
+    w = Window.partitionBy("shard").orderBy("pos_coin", key_col)
+    return (
+        df.select(
+            F.col(key_col),
+            shard_id(key_s, n_shards, seed).alias("shard"),
+            coin_hex(key_s, seed, salt="pos").alias("pos_coin"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("pos_coin")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

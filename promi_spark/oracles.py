@@ -586,6 +586,25 @@ def ngram_overlap_sql(n: int = 5, min_shared: int = 1, modulus: int = 10) -> str
     """
 
 
+def corpus_shuffle_sql(n_shards: int, seed: int = 0) -> str:
+    """Oracle for operators.scale.corpus_shuffle over ``documents``:
+    identical md5 shard + md5 position-coin rank (salt 'pos'),
+    key-tiebroken, 0-based within shard."""
+    shard = (
+        f"('0x' || substr(md5(doc_id || ':{seed}'), 1, 8))::BIGINT"
+        f" % {n_shards}"
+    )
+    return f"""
+    SELECT doc_id,
+           {shard} AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY {shard}
+             ORDER BY substr(md5(doc_id || ':{seed}:pos'), 1, 8), doc_id
+           ) - 1 AS INT) AS pos
+    FROM documents
+    """
+
+
 def shard_assignment_sql(n_shards: int, seed: int = 0) -> str:
     """Oracle for operators.scale.shard_id over ``documents``: identical
     md5-prefix integer mod ``n_shards`` in DuckDB."""

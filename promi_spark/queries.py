@@ -2996,6 +2996,22 @@ def q_activity_dow_cube(spark, sf_dir):
     return activity_dow_cube(_log(spark, sf_dir))
 
 
+@q("corpus_shuffle", oracles.corpus_shuffle_sql(n_shards=8, seed=0))
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document gets
+    a seeded pseudo-random (shard, pos) — the permutation a pretraining
+    loader replays before sequence packing, bit-identical across
+    engines/retries/partition layouts. One shard exchange + per-shard
+    window rank (never a global single-partition sort); n_shards=8
+    pinned for the engine-portable oracle (production default derives
+    from cluster parallelism like pack_index)."""
+    from promi_spark.operators.scale import corpus_shuffle
+
+    return corpus_shuffle(
+        load_table(spark, "documents", sf_dir), n_shards=8, seed=0
+    )
+
+
 @q("shard_assignment", oracles.shard_assignment_sql(n_shards=16, seed=0))
 def q_shard_assignment(spark, sf_dir):
     """Deterministic training-data shard assignment: stable md5-prefix
@@ -3181,6 +3197,7 @@ _ORDER = [
     "chunk_docs",  # r6
     "cohort_retention",  # r6
     "corpus_cardinality",  # r6
+    "corpus_shuffle",  # NEW in r7 (late) — sweep-witnessed, rotates into the window next round
     "cross_doc_substrings",  # r6
     "dedup_components",  # r6
     "dedup_components_stars",  # r6

@@ -301,3 +301,48 @@ def test_global_ntile_survives_cache_clear(spark):
     )
     assert got == want
     out.rank_cache.unpersist()
+
+
+def test_corpus_shuffle_is_deterministic_permutation(spark):
+    """corpus_shuffle must emit a valid permutation (pos dense 0..n-1
+    per shard), be bit-identical across partition layouts (the
+    100 TB reproducibility contract), actually reorder away from key
+    order, and vary with the seed."""
+    from promi_spark.operators.scale import corpus_shuffle
+
+    df = spark.range(3000).select(F.col("id").alias("doc_id"))
+    out = corpus_shuffle(df, n_shards=8, key_col="doc_id", seed=0)
+    rows = sorted(map(tuple, out.collect()))
+    assert len(rows) == 3000
+    # dense 0-based positions per shard
+    by_shard: dict[int, list[int]] = {}
+    for _, shard, pos in rows:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {shard}"
+    # partition-layout invariance
+    rows2 = sorted(
+        map(tuple, corpus_shuffle(df.repartition(17), 8, "doc_id", 0).collect())
+    )
+    assert rows == rows2
+    # the permutation is a real shuffle: within a shard, position
+    # order must not follow key order
+    for shard, _ in list(by_shard.items())[:1]:
+        keys_by_pos = [
+            k for k, s, p in sorted(rows, key=lambda r: r[2]) if s == shard
+        ]
+        assert keys_by_pos != sorted(keys_by_pos)
+    # seed changes the permutation
+    rows3 = sorted(map(tuple, corpus_shuffle(df, 8, "doc_id", seed=1).collect()))
+    assert rows != rows3
+
+
+def test_corpus_shuffle_plan_is_shard_partitioned(spark):
+    """The rank window must be partitioned by shard — one exchange,
+    never a global single-partition sort."""
+    from promi_spark.operators.scale import corpus_shuffle
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = explain(corpus_shuffle(df, n_shards=8))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
