@@ -79,12 +79,20 @@ def bench_neardup_pipeline(spark) -> dict:
     return stats
 
 
-def bench_streaming(spark) -> dict:
-    """Streaming throughput evidence: replay the sf events table through
-    a file source (16 files, 4 per micro-batch) and drain sessionize +
-    stateful_dfg with availableNow triggers; rows/sec = input rows over
-    drain wall time. This measures the micro-batch engine + state store
-    path, not a socket's arrival rate."""
+def drain_streaming(
+    spark, sf_dir: str, n_files: int, files_per_trigger: int, label: str
+) -> dict:
+    """Streaming throughput measurement shared by the bench's streaming
+    section and ``tools/stream_soak.py`` (one implementation so the two
+    artifacts can never disagree about how the metric is computed):
+    replay the sf events table through a file source (``n_files``
+    replay files, ``files_per_trigger`` per micro-batch) and drain
+    sessionize + stateful_dfg with availableNow triggers; rows/sec =
+    input rows over drain wall time. This measures the micro-batch
+    engine + state-store path, not a socket's arrival rate. Also
+    drains a single availableNow batch of stateful_dfg — the amortized
+    steady-state bound (r6 profiling: per-trigger fixed cost, not
+    per-row Python, dominates small batches)."""
     import shutil
     import tempfile
 
@@ -96,35 +104,40 @@ def bench_streaming(spark) -> dict:
         stateful_dfg,
     )
 
-    replay = tempfile.mkdtemp(prefix="bench_replay_")
+    replay = tempfile.mkdtemp(prefix=f"{label}_replay_")
     try:
-        log = load_event_log(spark, SF_DIR)
-        log.df.repartition(16).write.mode("overwrite").parquet(replay)
+        log = load_event_log(spark, sf_dir)
+        log.df.repartition(n_files).write.mode("overwrite").parquet(replay)
         n_rows = spark.read.parquet(replay).count()
         out = {"input_rows": n_rows}
         for name, build in (
             ("sessionize", lambda ev: sessionize(ev, key_col="resource")),
             ("stateful_dfg", stateful_dfg),
         ):
-            ev = read_event_stream(spark, replay, max_files_per_trigger=4)
+            ev = read_event_stream(
+                spark, replay, max_files_per_trigger=files_per_trigger
+            )
             t0 = time.time()
-            q = run_to_memory(build(ev), f"bench_{name}")
+            q = run_to_memory(build(ev), f"{label}_{name}")
             sec = time.time() - t0
             q.stop()
             out[f"{name}_sec"] = round(sec, 3)
             out[f"{name}_rows_per_sec"] = round(n_rows / sec)
-        # Amortized shape: one availableNow batch (r6 profiling found
-        # per-trigger fixed cost, not per-row Python, bounds the 4-file
-        # numbers above; this records the steady-state per-node rate).
         ev = read_event_stream(spark, replay)
         t0 = time.time()
-        q = run_to_memory(stateful_dfg(ev), "bench_dfg_1batch")
+        q = run_to_memory(stateful_dfg(ev), f"{label}_dfg_1batch")
         sec = time.time() - t0
         q.stop()
+        out["stateful_dfg_1batch_sec"] = round(sec, 3)
         out["stateful_dfg_1batch_rows_per_sec"] = round(n_rows / sec)
         return out
     finally:
         shutil.rmtree(replay, ignore_errors=True)
+
+
+def bench_streaming(spark) -> dict:
+    return drain_streaming(spark, SF_DIR, n_files=16, files_per_trigger=4,
+                           label="bench")
 
 
 # Round-5 additions, timed in their own section so the 23-query totals

@@ -215,9 +215,13 @@ def corpus_shuffle(
     Shard membership is the engine-portable :func:`shard_id` md5;
     position is the rank of an independent md5 coin (salt ``"pos"`` —
     same namespace convention as Split/Sample, ``split.py:43``) within
-    the shard, key-tiebroken, so the permutation is total and
-    bit-reproducible across retries, sessions, engines, partition
-    layouts, and cluster sizes.
+    the shard, key-tiebroken, so FOR A GIVEN ``n_shards`` the
+    permutation is total and bit-reproducible across retries,
+    sessions, engines, partition layouts, and cluster sizes. The
+    permutation CONTENT depends on ``n_shards`` (shard membership
+    changes — same caveat as ``pack_index``): pin it explicitly
+    whenever a re-run must replay the exact order, since the
+    parallelism-derived default varies with live cluster size.
 
     Scale shape: one shard-key exchange + a per-shard window sort —
     parallel across shards, never a global single-partition rank.
@@ -388,7 +392,10 @@ def global_ntile(
     (checkpoint blocks are freed by the ContextCleaner on GC).
     """
     spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions") or "200")
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions") or "200")
+    except ValueError:  # e.g. "auto" under AQE auto-sizing platforms
+        p = parallelism_units(spark, factor=1)
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     d_pre = (
         df.repartitionByRange(p, *cols)

@@ -253,11 +253,17 @@ def _jaccard_pairs_ctes(threshold: float, n: int = 3) -> str:
        lemma, prefixes of length |X| - α + 1 under any shared total
        order must then intersect, and each kept prefix
        (|X| - ceil(t*|X|) + 1 >= |X| - α + 1) contains that witness.
+       BOTH filters run at the rounding-adjusted bound t' = t - 5e-5:
+       the emit condition is round(J, 4) >= t, which admits pairs with
+       true J as low as t - 0.00005, and pruning at the raw t could
+       drop exactly those boundary pairs (a prune-only loosening — the
+       emitted rows are unchanged).
 
     The verify counts shared shingles via a posting equi-join + group
     (hash joins, no per-pair list intersection). Output is identical
     to the naive formulation, row for row."""
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    tf = threshold - 5e-5  # rounding-adjusted prune bound (see above)
     return f"""
     t AS (SELECT doc_id, {_TOKS} AS toks, md5({_NORM_TXT}) AS cls FROM documents),
     crep AS (SELECT cls, min(doc_id) AS rep FROM t GROUP BY cls),
@@ -277,14 +283,14 @@ def _jaccard_pairs_ctes(threshold: float, n: int = 3) -> str:
                row_number() OVER (PARTITION BY post.cls
                                   ORDER BY df.df, post.g) AS rn
         FROM post JOIN df USING (g)
-      ) WHERE rn <= sz - CAST(ceil({threshold} * sz) AS BIGINT) + 1
+      ) WHERE rn <= sz - CAST(ceil({tf} * sz) AS BIGINT) + 1
     ),
     cand AS (
       SELECT DISTINCT x.cls AS ca, y.cls AS cb
       FROM pref x JOIN pref y
         ON x.g = y.g AND x.cls < y.cls
-       AND x.sz >= CAST(ceil({threshold} * y.sz) AS BIGINT)
-       AND y.sz >= CAST(ceil({threshold} * x.sz) AS BIGINT)
+       AND x.sz >= CAST(ceil({tf} * y.sz) AS BIGINT)
+       AND y.sz >= CAST(ceil({tf} * x.sz) AS BIGINT)
     ),
     ov AS (
       SELECT c.ca, c.cb, count(*) AS o,

@@ -60,5 +60,8 @@ def test_ivf_beats_random_probing_on_uniform_data(organic_report):
 def test_multiprobe_lsh_lifts_single_bucket_recall(planted_report):
     r = planted_report["lsh"]
     single, multi = r["bits=4,nprobe=1"], r["bits=4,nprobe=4"]
-    assert multi >= 1.5 * single
-    assert multi >= r["bits=4,nprobe=1"]  # never worse
+    # The lift target is capped: recall can't exceed 1.0, so a future
+    # improvement to single-bucket recall must not make the floor
+    # unsatisfiable (1.5x of anything above 2/3 would be).
+    assert multi >= min(1.5 * single, 0.95)
+    assert multi >= single  # never worse

@@ -122,8 +122,13 @@ def measure(
             exact = set(topk_ids(sims_all[qi], ids, k))
             mask = probe_mask_fn(qi)
             mask[qi] = False
-            cand_sims = np.where(mask, sims_all[qi], -2.0)
-            got = set(topk_ids(cand_sims, ids, k))
+            # Rank CANDIDATES ONLY: a bucket holding fewer than k
+            # vectors returns fewer than k ids. (The earlier
+            # sentinel-fill approach padded the top-k with the
+            # lowest-id NON-candidates, which could accidentally be
+            # true neighbors — recall was inflated for small buckets.)
+            cidx = np.where(mask)[0]
+            got = set(topk_ids(sims_all[qi][cidx], ids[cidx], k))
             hits += len(exact & got)
         return hits / (len(q_idx) * k)
 
@@ -196,7 +201,8 @@ def measure(
         probes = np.argsort(d2[qi])[:default_np]
         mask = np.isin(cluster_of, probes)
         mask[qi] = False
-        replay = topk_ids(np.where(mask, sims_all[qi], -2.0), ids, k)
+        cidx = np.where(mask)[0]
+        replay = topk_ids(sims_all[qi][cidx], ids[cidx], k)
         assert op_ids == replay, (
             f"ivf fidelity: operator {op_ids} != replay {replay} (q={ids[qi]})"
         )

@@ -99,6 +99,12 @@ def make_key_slice(spark, src: str, dst: str, p: float) -> None:
 
     os.makedirs(dst, exist_ok=True)
     bar = int(p * 10_000)
+    if bar <= 0:
+        raise ValueError(
+            f"key-slice p={p:g} rounds to a zero coin bar — the slice "
+            "would be empty and every hash comparison on it vacuous; "
+            "use p >= 0.0001"
+        )
 
     def coin(col: str):
         return F.pmod(F.xxhash64(F.col(col), F.lit(42)), F.lit(10_000)) < bar
@@ -127,6 +133,11 @@ def make_key_slice(spark, src: str, dst: str, p: float) -> None:
     for t in list(SLICE_FULL) + list(SLICE_COINS) + ["lineitem"]:
         n = spark.read.parquet(os.path.join(dst, f"{t}.parquet")).count()
         print(f"slice {t}: {n} rows", flush=True)
+        if n == 0 and t in SLICE_COINS:
+            raise ValueError(
+                f"key-slice p={p:g} left table '{t}' EMPTY — any hash "
+                "comparison on this slice would be a vacuous witness"
+            )
 
 
 def duck_with_budget(con, sql: str, budget: float):
