@@ -982,16 +982,18 @@ def ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nprobe: int = 1,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket
-    — plus, with ``nprobe > 1``, the ``nprobe - 1`` Hamming-adjacent
-    buckets whose flipped plane has the smallest |query margin|
-    (query-directed multi-probe; see :func:`multiprobe_buckets`).
-    Single-bucket sign-LSH keeps only ~(1 - θ/π)^bits of true
-    neighbors; multi-probe recovers most of the loss for the cost of
-    scanning nprobe/2^bits of the corpus (measured in
-    tools/ann_recall.py, floors pinned in tests/test_ann_recall.py).
+    plus the ``nprobe - 1`` Hamming-adjacent buckets whose flipped
+    plane has the smallest |query margin| (query-directed multi-probe;
+    see :func:`multiprobe_buckets`). Single-bucket sign-LSH
+    (``nprobe=1``) keeps only ~(1 - θ/π)^bits of true neighbors —
+    measured 0.19 planted / 0.12 organic recall@10 at bits=6 — so the
+    DEFAULT is the measured-good multi-probe config (nprobe=4 recovers
+    3-4× the single-bucket recall for the cost of scanning
+    nprobe/2^bits of the corpus; curves in tools/ann_recall.py, floors
+    pinned on this default in tests/test_ann_recall.py).
 
     At scale the corpus is pre-bucketed (a persisted ``bucket`` column,
     partitioned on it) so a query reads nprobe partitions — this

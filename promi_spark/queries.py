@@ -2727,10 +2727,14 @@ def q_simhash_signatures(spark, sf_dir):
 
 @q("ann_lsh_topk", oracles.ann_lsh_topk_sql(_PLANES_ANN6, k=10))
 def q_ann_lsh_topk(spark, sf_dir):
+    """Single-bucket sign-LSH top-k — the nprobe=1 building block,
+    pinned explicitly (ann_topk's DEFAULT is multi-probe nprobe=4, the
+    measured-good config; this query is the single-probe baseline the
+    multi-probe lift is measured against)."""
     emb = load_table(spark, "embeddings", sf_dir)
     qid, qvec = _query_vec(emb)
     return similarity.ann_topk(
-        emb.filter(F.col("vec_id") != qid), qvec, k=10, bits=6
+        emb.filter(F.col("vec_id") != qid), qvec, k=10, bits=6, nprobe=1
     )
 
 

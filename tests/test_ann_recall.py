@@ -18,12 +18,20 @@ BASELINE.md):
   floor 0.45, which is >1.5x the 0.25 random-probe baseline.
 - multi-probe LSH: probing the 4 smallest-|margin| flip buckets must
   recover >= 1.5x the single-bucket recall (measured 3-4x).
+- the SHIPPED DEFAULT config of ann_topk (bits=8, nprobe=4 — r8 made
+  multi-probe the default after the r7 study measured nprobe=1 at
+  0.19/0.12 recall@10): measured 0.104 planted at 1.6% of the corpus
+  scanned (6.7x the random-probe baseline, 3.0x single-bucket) ->
+  floors 0.07 absolute and 2x the nprobe=1 recall.
 """
 
 from __future__ import annotations
 
+import inspect
+
 import pytest
 
+from promi_spark.operators import similarity
 from tools.ann_recall import make_planted, measure
 
 SF01 = "/root/testdata/sf0.1"
@@ -33,7 +41,7 @@ SF01 = "/root/testdata/sf0.1"
 def planted_report(spark):
     sf = make_planted(spark)
     return measure(spark, sf, stride=20, ivf_nprobes=(1, 2, 4),
-                   lsh_bits=(4,), fidelity_queries=2)
+                   lsh_bits=(4, 8), fidelity_queries=2)
 
 
 @pytest.fixture(scope="module")
@@ -65,3 +73,24 @@ def test_multiprobe_lsh_lifts_single_bucket_recall(planted_report):
     # unsatisfiable (1.5x of anything above 2/3 would be).
     assert multi >= min(1.5 * single, 0.95)
     assert multi >= single  # never worse
+
+
+def test_ann_topk_default_is_multiprobe():
+    # r8: the shipped default must be the measured-good config — a
+    # naive ann_topk(corpus, q) call gets query-directed multi-probe,
+    # not the nprobe=1 config the r7 study measured at 0.19/0.12
+    # recall@10.
+    assert inspect.signature(similarity.ann_topk).parameters[
+        "nprobe"
+    ].default == 4
+
+
+def test_default_config_recall_floor(planted_report):
+    # Floors for ann_topk's DEFAULT geometry (bits=8, nprobe=4) on the
+    # planted clustered corpus: measured 0.104 vs 0.035 single-bucket
+    # (3.0x) while scanning ~4/256 of the buckets (random baseline
+    # ~0.016). Pin the absolute floor and the lift over nprobe=1 so a
+    # probe-order or bucketing regression in the default path fails.
+    r = planted_report["lsh"]
+    assert r["bits=8,nprobe=4"] >= 0.07
+    assert r["bits=8,nprobe=4"] >= min(2.0 * r["bits=8,nprobe=1"], 0.95)

@@ -341,3 +341,72 @@ def test_ivf_centroids_default_init_unbiased_by_partition_order(spark):
     )
     # determinism: same seed, same centroids
     assert cent == ivf_centroids(df, n_clusters=4, n_iter=5, sample=1024)
+
+
+def test_multiprobe_margin_parity_with_duckdb():
+    """ADVICE r7: ann_multiprobe_topk's probe ORDER sorts on |margin|,
+    and the oracle replays the margins with DuckDB's
+    list_inner_product. Writing this test revealed the two folds are
+    ALREADY not bit-identical (DuckDB vectorizes the sum — the margins
+    differ in the last ~2 ulps today), so the invariant that actually
+    protects the oracle is: (a) the (abs(margin), plane-index) probe
+    RANKING is identical across engines for the oracle's own query
+    vector (min vec_id), and (b) adjacent |margin| gaps are orders of
+    magnitude wider than the measured cross-engine discrepancy, so a
+    DuckDB upgrade that further perturbs the fold cannot silently flip
+    a near-tie — it would have to move a margin across a gap ~1e6x the
+    current discrepancy, and this test fails loudly at the root cause
+    first. Plane literals are serialized exactly as oracles._vec
+    embeds them in the SQL."""
+    import duckdb
+
+    from promi_spark.oracles import _vec
+    from promi_spark.queries import _PLANES_ANN6
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        q = con.execute(
+            "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet("
+            f"'/root/testdata/{sf}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 1"
+        ).fetchone()[0]
+        q = [float(x) for x in q]
+        py_margins, duck_margins = [], []
+        for p in _PLANES_ANN6:
+            # the exact fold multiprobe_buckets.sdot runs
+            acc = 0.0
+            for x, y in zip(p, q):
+                acc += float(x) * float(y)
+            py_margins.append(acc)
+            duck_margins.append(
+                con.execute(
+                    "SELECT list_inner_product("
+                    f"CAST(? AS DOUBLE[]), {_vec(p)})",
+                    [q],
+                ).fetchone()[0]
+            )
+        rank_py = sorted(
+            range(len(py_margins)), key=lambda i: (abs(py_margins[i]), i)
+        )
+        rank_duck = sorted(
+            range(len(duck_margins)), key=lambda i: (abs(duck_margins[i]), i)
+        )
+        assert rank_py == rank_duck, (
+            f"{sf}: probe order diverged — DuckDB margins rank "
+            f"{rank_duck}, sdot margins rank {rank_py}; "
+            "ann_multiprobe_topk's oracle will hash-mismatch"
+        )
+        # signs must agree too (they define the base bucket itself)
+        assert [m > 0 for m in py_margins] == [m > 0 for m in duck_margins]
+        disc = max(
+            abs(a - b) for a, b in zip(py_margins, duck_margins)
+        )
+        abs_sorted = sorted(abs(m) for m in py_margins)
+        min_gap = min(
+            b - a for a, b in zip(abs_sorted, abs_sorted[1:])
+        )
+        assert min_gap > 1e6 * max(disc, 1e-18), (
+            f"{sf}: adjacent |margin| gap {min_gap:g} is within reach of "
+            f"the cross-engine fold discrepancy {disc:g} — the probe "
+            "order is now tie-fragile; re-anchor the oracle margins"
+        )

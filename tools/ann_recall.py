@@ -130,7 +130,12 @@ def measure(
             cidx = np.where(mask)[0]
             got = set(topk_ids(sims_all[qi][cidx], ids[cidx], k))
             hits += len(exact & got)
-        return hits / (len(q_idx) * k)
+        # Denominator per query is min(k, n-1): a corpus with fewer
+        # than k non-self vectors has an exact top-k shorter than k,
+        # and dividing by k there would understate recall on tiny
+        # inputs (both shipped datasets satisfy n > k, so this is a
+        # no-op for them).
+        return hits / (len(q_idx) * min(k, n - 1))
 
     report: dict = {"sf_dir": sf_dir, "n_vectors": int(n), "k": k,
                     "n_queries": int(len(q_idx)), "n_clusters": n_clusters,
