@@ -517,9 +517,64 @@ def lsh_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def ivf_geometry(
+    n: int, k: int = 10, oversample: int = 32, max_cells: int = 65536
+) -> tuple[int, int]:
+    """Auto-size an IVF index for an ``n``-vector corpus. Returns
+    ``(n_cells, nprobe)``.
+
+    - ``n_cells ~ sqrt(N)`` — the standard IVF balance point: the
+      centroid argsort the driver runs per query costs O(n_cells) and
+      each probed cell scan costs O(N / n_cells); sqrt(N) equalizes
+      them (10^9 vectors -> ~31.6k cells of ~31.6k vectors). Capped at
+      ``max_cells`` so the driver-side centroid matrix stays small
+      (65536 x 1024-dim float64 = 0.5 GB — the practical ceiling
+      before a hierarchical/PQ coarse quantizer is the right tool).
+    - ``nprobe`` scaled by the expected cell occupancy ``N/n_cells``:
+      enough probes that the candidate pool covers ``oversample * k``
+      vectors (so the exact rerank has real choices even when the
+      nearest cell is sparse), floored at 2% of the cells (the
+      fraction under which the r7 recall study measured near-uniform
+      data degrading toward the random-probe baseline).
+
+    A fixed ``n_clusters=16`` left near-uniform recall at 0.595
+    (r7 study): 4 of 16 cells is 25% of a corpus-independent grid — it
+    over-scans small corpora and under-partitions big ones. This rule
+    keeps the scanned fraction ``nprobe/n_cells`` shrinking as the
+    corpus grows while the absolute candidate pool keeps covering the
+    rerank.
+    """
+    import math
+
+    if n <= 0:
+        return 1, 1
+    n_cells = max(1, min(int(round(math.sqrt(n))), max_cells, n))
+    occupancy = max(1, n // n_cells)
+    nprobe = max(
+        1,
+        -(-oversample * k // occupancy),  # ceil: cover oversample*k
+        -(-n_cells // 50),  # >= 2% of cells
+    )
+    return n_cells, min(nprobe, n_cells)
+
+
+def _resolve_geometry(
+    df: DataFrame, n_clusters, nprobe, k: int
+) -> tuple[int, int | None]:
+    """Resolve 'auto' n_clusters/nprobe via :func:`ivf_geometry` (one
+    count() job, only when auto is requested)."""
+    if n_clusters == "auto" or nprobe == "auto":
+        cells, probes = ivf_geometry(df.count(), k=k)
+        if n_clusters == "auto":
+            n_clusters = cells
+        if nprobe == "auto":
+            nprobe = probes
+    return n_clusters, nprobe
+
+
 def ivf_centroids(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     n_iter: int = 10,
     seed: int = 42,
     sample: int = 4096,
@@ -536,8 +591,14 @@ def ivf_centroids(
     smallest ids instead of an rng sample; combined with ``n_iter=0``
     this is a seeded Voronoi coarse quantizer — fully order-independent
     and reproducible in plain SQL, which is what the correctness oracle
-    replays (the probe-pruned search plan is identical either way)."""
+    replays (the probe-pruned search plan is identical either way).
+
+    ``n_clusters='auto'`` sizes the codebook by the sqrt(N) rule
+    (:func:`ivf_geometry`; one count() job)."""
     import numpy as np
+
+    if n_clusters == "auto":
+        n_clusters = ivf_geometry(df.count())[0]
 
     def _rand_sample(n: int) -> list:
         # A bare .limit(n) takes the FIRST partitions — whatever file
@@ -587,7 +648,7 @@ def ivf_centroids(
 
 def ivf_centroids_mllib(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     n_iter: int = 20,
     seed: int = 42,
     vec_col: str = "embedding",
@@ -597,9 +658,13 @@ def ivf_centroids_mllib(
     `array_to_vector` columns and only the (n_clusters x dim) centroid
     matrix comes back. Returns the same plain-list centroid shape as
     :func:`ivf_centroids`, so `ivf_assign`/`ivf_topk` work unchanged
-    with either trainer."""
+    with either trainer. ``n_clusters='auto'`` applies the sqrt(N)
+    rule (:func:`ivf_geometry`)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if n_clusters == "auto":
+        n_clusters = ivf_geometry(df.count())[0]
 
     vecs = df.select(
         array_to_vector(_as_double(F.col(vec_col))).alias("features")
@@ -748,8 +813,8 @@ def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_clusters: int = 16,
-    nprobe: int = 4,
+    n_clusters: int | str = 16,
+    nprobe: int | str = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -758,9 +823,14 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the ``nprobe``
     clusters nearest the query. Self-contained (trains inline); at
-    scale the assignment is precomputed + partitioned."""
+    scale the assignment is precomputed + partitioned.
+
+    Pass ``n_clusters='auto'`` / ``nprobe='auto'`` to size the index
+    by :func:`ivf_geometry` (sqrt(N) cells, occupancy-scaled probes;
+    costs one count() job)."""
     import numpy as np
 
+    n_clusters, nprobe = _resolve_geometry(corpus, n_clusters, nprobe, k)
     cent = ivf_centroids(
         corpus,
         n_clusters,
@@ -917,7 +987,7 @@ def ivf_topk_indexed(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -926,7 +996,12 @@ def ivf_topk_indexed(
     only those cluster partitions. This is the 100 TB serving path —
     the candidate scan is bounded by ``nprobe/n_clusters`` of the
     corpus no matter how large the index grows, and the pruning happens
-    at the source (no data read from unprobed clusters)."""
+    at the source (no data read from unprobed clusters).
+
+    ``nprobe='auto'`` derives the probe count from the index's own
+    geometry without touching the data files: a sqrt(N)-built index
+    has occupancy ~ n_cells, so ivf_geometry(n_cells**2) reproduces
+    the build-time probe choice from the centroid count alone."""
     import json
 
     import numpy as np
@@ -934,6 +1009,8 @@ def ivf_topk_indexed(
     cent = json.loads(
         _hadoop_read_text(spark, f"{path.rstrip('/')}/_centroids.json")
     )
+    if nprobe == "auto":
+        nprobe = ivf_geometry(len(cent) ** 2, k=k)[1]
     q = np.array(query_vec, dtype=float)
     d = ((np.array(cent) - q[None, :]) ** 2).sum(1)
     probe = [int(i) for i in d.argsort()[:nprobe]]

@@ -410,3 +410,40 @@ def test_multiprobe_margin_parity_with_duckdb():
             f"the cross-engine fold discrepancy {disc:g} — the probe "
             "order is now tie-fragile; re-anchor the oracle margins"
         )
+
+
+def test_ivf_topk_auto_geometry_end_to_end(spark, sf_dir):
+    """n_clusters='auto'/nprobe='auto' wire ivf_geometry through the
+    operator. On a corpus small enough that the occupancy rule probes
+    every cell (sf0.001: ~50 vectors -> 7 cells, 7 probes), the auto
+    config must degrade gracefully to EXACT top-k — the documented
+    small-corpus behavior of the rule."""
+    from promi_spark.operators.similarity import (
+        cosine_topk,
+        ivf_geometry,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    cells, probes = ivf_geometry(n)
+    qvec = list(emb.orderBy("vec_id").first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            corpus, qvec, k=10, n_clusters="auto", nprobe="auto"
+        ).collect()
+    ]
+    assert len(approx) == 10
+    if probes == cells:  # full scan -> must equal brute force exactly
+        exact = [r["vec_id"] for r in cosine_topk(corpus, qvec, k=10).collect()]
+        assert approx == exact
+    # determinism
+    again = [
+        r["vec_id"]
+        for r in ivf_topk(
+            corpus, qvec, k=10, n_clusters="auto", nprobe="auto"
+        ).collect()
+    ]
+    assert approx == again

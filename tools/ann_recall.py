@@ -162,6 +162,35 @@ def measure(
         print(f"  ivf n_clusters={n_clusters} nprobe={nprobe}: "
               f"recall@{k} = {r:.4f}", flush=True)
 
+    # ---- IVF auto geometry (r8): sqrt(N) cells, occupancy-scaled
+    # nprobe — the sizes ivf_topk(n_clusters='auto', nprobe='auto')
+    # would pick for this corpus ----
+    auto_cells, auto_probe = sim.ivf_geometry(n, k=k)
+    cent_a = sim.ivf_centroids(emb, auto_cells, n_iter=10, seed=42)
+    assigned_a = {
+        r.vec_id: r.cluster
+        for r in sim.ivf_assign(emb, cent_a)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    cluster_of_a = np.array([assigned_a[int(i)] for i in ids])
+    Ca = np.array(cent_a, dtype=np.float64)
+    d2a = ((V[:, None, :] - Ca[None, :, :]) ** 2).sum(2)
+    probes_a = np.argsort(d2a, axis=1)[:, :auto_probe]
+
+    def mask_auto(qi):
+        return np.isin(cluster_of_a, probes_a[qi])
+
+    r_auto = recall(mask_auto)
+    report["ivf_auto"] = {
+        "n_cells": int(auto_cells),
+        "nprobe": int(auto_probe),
+        "scanned_cell_frac": round(auto_probe / auto_cells, 4),
+        "recall": round(r_auto, 4),
+    }
+    print(f"  ivf AUTO n_cells={auto_cells} nprobe={auto_probe}: "
+          f"recall@{k} = {r_auto:.4f}", flush=True)
+
     # ---- LSH: operator hyperplanes + operator bucket column, probe
     # sets from the operator's own multiprobe_buckets ----
     for bits in lsh_bits:
