@@ -211,32 +211,94 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash
     signature. Returns (a, b) with a < b, distinct.
 
-    Plan shape: signature build (one doc-key shuffle) → explode to
-    ``bands`` rows/doc → shuffle on (band, bucket) → within-bucket
-    equi-join. Bucket sizes are the skew risk at scale; the band hash
-    includes the band index so buckets stay spread across partitions,
-    and AQE skew-join splits pathological buckets.
+    Plan shape: signature build (one doc-key shuffle) → exact-signature
+    class collapse → explode REPRESENTATIVES to ``bands`` rows/class →
+    shuffle on (band, bucket) → within-bucket equi-join → expand class
+    pairs back to member pairs (see :func:`_banded_pairs` for why the
+    collapse is the mega-bucket guard). Residual bucket skew among
+    DISTINCT signatures is spread by the band hash (it includes the
+    band index) and split by AQE skew-join; ``max_bucket_size``
+    additionally caps it hard.
     """
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
-    return _banded_pairs(sigs, num_hashes, bands)
+    return _banded_pairs(sigs, num_hashes, bands, max_bucket_size)
 
 
-def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _banded_pairs(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
+    cache: bool = True,
+) -> DataFrame:
     """(a, b) distinct candidate pairs from a (k, sig, ...) relation:
-    explode to band buckets, within-bucket self-equi-join."""
-    banded = sigs.select(
+    exact-signature class collapse, band-bucket self-equi-join on class
+    representatives, then expansion back to member pairs.
+
+    The collapse is the boilerplate-corpus guard (r7 verdict): a crawl
+    corpus with m byte-identical (or shingle-identical) docs puts all m
+    in the SAME bucket of EVERY band, and banding them individually
+    made the within-bucket self-join emit O(m² × bands) rows before
+    the distinct — AQE splits the partitions but not the pair count.
+    Docs with identical signatures are provably candidates of each
+    other (same bucket in all bands) and have identical collision
+    behavior against everyone else, so: group by the full signature,
+    band ONE representative per class (min key), and reconstruct the
+    member pair set afterwards — within-class pairs directly (each
+    emitted exactly once, no distinct, no band multiplicity) and
+    cross-class pairs by expanding the distinct representative pairs
+    over the two classes' members (classes are disjoint, so expansion
+    introduces no duplicates). The output pair SET is identical to
+    banding every doc individually; the DuckDB oracle bounds its
+    replay with the same class-collapse technique, so both engines
+    mirror each other's structure.
+
+    ``max_bucket_size`` (optional, counts CLASSES per band bucket —
+    identical docs can no longer inflate it) is the hard cap for
+    near-identical-but-distinct boilerplate: buckets holding more
+    classes than the cap are dropped from candidate generation. That
+    trades recall for a bound — a true near-dup pair typically
+    collides in several bands, so it survives unless ALL its buckets
+    are over the cap — and is OFF by default because dropping
+    candidates changes the output contract.
+
+    Cost when the corpus has no duplicate signatures (the common
+    case): classes == docs, and the extra collapse/expansion joins are
+    doc-count-sized shuffles of (key, rep) pairs — noise next to the
+    tokenize/explode/signature stages. The (k, sig, rep) tagging
+    relation is persisted (docs × ~0.5 KB) so the signature aggregate
+    upstream runs once, not once per downstream reference.
+    """
+    keyed = sigs.select("k", "sig")
+    cls = keyed.groupBy("sig").agg(F.min("k").alias("rep"))
+    tagged = keyed.join(cls, "sig")
+    if cache:
+        tagged = tagged.persist()
+    reps = tagged.filter(F.col("k") == F.col("rep")).select("k", "sig")
+    mem = tagged.select("k", "rep")
+
+    banded = reps.select(
         "k",
         F.posexplode(band_buckets(F.col("sig"), num_hashes, bands)).alias(
             "band", "bucket"
         ),
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -246,6 +308,25 @@ def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
         .distinct()
     )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("a"), F.col("k").alias("ka")), "a"
+        )
+        .join(mem.select(F.col("rep").alias("b"), F.col("k").alias("kb")), "b")
+        .select(
+            F.least("ka", "kb").alias("a"), F.greatest("ka", "kb").alias("b")
+        )
+    )
+    x = mem.alias("x")
+    y = mem.alias("y")
+    within = x.join(
+        y, (F.col("x.rep") == F.col("y.rep")) & (F.col("x.k") < F.col("y.k"))
+    ).select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+    out = within.unionByName(cross)
+    # release handle for the tagging cache (mirrors minhash_dedup's
+    # gram_cache contract)
+    out.sig_cache = tagged if cache else None
+    return out
 
 
 def jaccard(a_shingles: Column, b_shingles: Column) -> Column:
@@ -264,9 +345,16 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     cache: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
     >= threshold. Returns (a, b, jaccard_sim).
+
+    Candidate generation collapses exact-signature classes before
+    banding (see :func:`_banded_pairs`) so byte-identical boilerplate
+    cannot blow up the bucket join; ``max_bucket_size`` optionally
+    hard-caps residual near-identical skew (recall trade, off by
+    default).
 
     Single-scan by construction: the (k, gram-hash) row relation — the
     output of the dominant tokenize→explode stage — is persisted
@@ -301,7 +389,13 @@ def minhash_dedup(
     rows = gram_hash_rows(df, key_col, text_col, shingle_n)
     if cache:
         rows = rows.persist()
-    cands = _banded_pairs(_sigs_from_rows(rows, num_hashes), num_hashes, bands)
+    cands = _banded_pairs(
+        _sigs_from_rows(rows, num_hashes),
+        num_hashes,
+        bands,
+        max_bucket_size,
+        cache=cache,
+    )
     sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
     out = (
         cands.join(sh.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a")
@@ -313,10 +407,12 @@ def minhash_dedup(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
-    # explicit release handle: the persisted gram relation, for callers
+    # explicit release handles: the persisted gram relation and the
+    # candidate generator's (k, sig, rep) tagging relation, for callers
     # (e.g. the NearDupDedup flow segment) that want to unpersist as
     # soon as their action completes instead of waiting for session end
     out.gram_cache = rows if cache else None
+    out.sig_cache = cands.sig_cache
     return out
 
 
@@ -443,7 +539,7 @@ def minhash_dedup_incremental(
         .filter(F.col("jaccard_sim") >= threshold)
     )
     if include_new_pairs:
-        cands_new = _banded_pairs(sigs_new, num_hashes, bands)
+        cands_new = _banded_pairs(sigs_new, num_hashes, bands, cache=cache)
         within = (
             cands_new.join(
                 sh_new.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a"

@@ -95,11 +95,16 @@ def test_minhash_map_side_combine(spark, sf):
 
 def test_minhash_dedup_single_gram_subtree(spark, sf):
     """minhash_dedup tokenizes/explodes the corpus exactly once: the
-    gram-row relation is persisted and every consumer (signature build,
-    banding self-join, both verify sides) reads the cache. Formatted
-    explain prints the cached subtree once — exactly one arrays_zip
-    (the gram zip-explode) and one scan of documents.parquet must
-    appear, and all four doc-level readers must be InMemoryTableScans."""
+    gram-row relation is persisted and every consumer reads the cache.
+    Formatted explain prints the cached subtree once — exactly one
+    arrays_zip (the gram zip-explode) and one scan of
+    documents.parquet must appear, and every doc-level reader must be
+    an InMemoryTableScan. Since the r8 class-collapse rewrite there
+    are TEN cached readers across TWO caches: 4 of the gram cache
+    (signature aggregate x2 — class grouping + tagging join — and the
+    collect_set verify x2) and 6 of the ~0.5 KB/doc (k, sig, rep)
+    tagging cache (rep banding x2, within-class pairs x2, cross-class
+    expansion x2)."""
     from promi_spark.operators.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -108,7 +113,7 @@ def test_minhash_dedup_single_gram_subtree(spark, sf):
         plan = explain(out)
         assert plan.count("arrays_zip") == 1
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
-        assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 4
+        assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 10
     finally:
         out.sparkSession.catalog.clearCache()
 
