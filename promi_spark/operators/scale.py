@@ -389,7 +389,9 @@ def global_ntile(
     loudly (on a real cluster, use ``spark.sparkContext.setCheckpointDir``
     + ``.checkpoint()`` for executor-loss resilience). The handle is
     attached as ``out.rank_cache``; ``unpersist()`` on it is a no-op
-    (checkpoint blocks are freed by the ContextCleaner on GC).
+    (checkpoint blocks are freed by the ContextCleaner on GC) — a
+    long-lived session issuing many calls should free each result
+    with :func:`release_global_ntile` once fully consumed.
     """
     spark = df.sparkSession
     try:
@@ -402,7 +404,9 @@ def global_ntile(
         .sortWithinPartitions(*cols)
         .withColumn("__mid", F.monotonically_increasing_id())
     )
+    ids_before = _persistent_rdd_ids(spark)
     d = d_pre.localCheckpoint(eager=True)
+    ckpt_ids = _persistent_rdd_ids(spark) - ids_before
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy(F.shiftright("__mid", 33).alias("_pid"))
@@ -414,6 +418,7 @@ def global_ntile(
         out = df.withColumn(bucket_col, F.lit(None).cast("int"))
         out.rank_cache = d
         out.rank_plan = d_pre
+        out.rank_cache_ids = ckpt_ids
         return out
     offsets: list[Column] = []
     acc = 0
@@ -441,7 +446,47 @@ def global_ntile(
     # the distributed shape (the checkpointed plan is an ExistingRDD
     # scan — the range exchange already ran)
     out.rank_plan = d_pre
+    # checkpoint RDD ids for release_global_ntile (DataFrame.unpersist
+    # on a localCheckpoint handle is a no-op; the storage belongs to
+    # the internal RDD, reachable only by id)
+    out.rank_cache_ids = ckpt_ids
     return out
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs currently pinned in the block manager (JVM
+    SparkContext.getPersistentRDDs keys)."""
+    it = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    )
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def release_global_ntile(out: DataFrame) -> None:
+    """Free the checkpointed rank blocks of a :func:`global_ntile`
+    result once the caller has fully consumed/written it (r7 advice:
+    every call eagerly materializes the ranked relation, and without
+    this the blocks are only freed by the ContextCleaner on GC — a
+    long-lived session issuing many global_ntile calls accumulates
+    executor storage). ``DataFrame.unpersist()`` cannot do this — the
+    storage belongs to the *internal* checkpointed RDD, so the ids are
+    recorded at checkpoint time and unpersisted here directly.
+
+    After release the output (and anything derived from it that has
+    not been materialized) is NO LONGER COMPUTABLE — the checkpoint
+    cut the lineage — so call only when every downstream action is
+    done. No-op on anything without recorded ids."""
+    ids = getattr(out, "rank_cache_ids", None)
+    if not ids:
+        return
+    jmap = out.sparkSession.sparkContext._jsc.sc().getPersistentRDDs()
+    for rid in ids:
+        if jmap.contains(rid):
+            jmap.apply(rid).unpersist(False)
+    out.rank_cache_ids = set()
 
 
 def zorder_value(cols: list[Column], bits: int = 16) -> Column:

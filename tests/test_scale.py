@@ -346,3 +346,29 @@ def test_corpus_shuffle_plan_is_shard_partitioned(spark):
     plan = explain(corpus_shuffle(df, n_shards=8))
     assert "SinglePartition" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_global_ntile_release_frees_checkpoint_blocks(spark):
+    """r7 advice: every global_ntile call eagerly pins its ranked
+    relation and DataFrame.unpersist() is a no-op on a localCheckpoint
+    handle — release_global_ntile must free the recorded internal-RDD
+    blocks once the caller is done, and be idempotent."""
+    from promi_spark.operators.scale import (
+        _persistent_rdd_ids,
+        global_ntile,
+        release_global_ntile,
+    )
+
+    df = spark.range(5000).withColumn(
+        "v", F.pmod(F.col("id") * 37, F.lit(500))
+    )
+    before = _persistent_rdd_ids(spark)
+    out = global_ntile(df, 8, [F.col("v"), F.col("id")], "b")
+    assert out.rank_cache_ids  # checkpoint recorded
+    assert out.rank_cache_ids <= _persistent_rdd_ids(spark) - before
+    assert out.count() == 5000  # fully consume first
+    release_global_ntile(out)
+    leftover = _persistent_rdd_ids(spark) - before
+    assert not leftover, f"checkpoint blocks survived release: {leftover}"
+    assert out.rank_cache_ids == set()  # handle cleared
+    release_global_ntile(out)  # idempotent no-op

@@ -178,6 +178,19 @@ def main() -> int:
     budget = float(opt("--oracle-budget", "120"))
     sample_keys = float(opt("--sample-keys", "0"))
     slice_fallback = float(opt("--slice-fallback", "0"))
+    # r7 advice: with --sample-keys P1 the fallback slices the ORIGINAL
+    # data at the composed rate P1*P2. The coin is deterministic and
+    # idempotent, so P2 >= 1 would reproduce the main slice exactly and
+    # its oracle would time out identically — the precise failure mode
+    # the fallback exists to escape. Reject it at parse time.
+    if slice_fallback and not (0 < slice_fallback < 1):
+        raise SystemExit(
+            f"--slice-fallback must be in (0, 1), got {slice_fallback:g}: "
+            "the fallback key-slice must be a STRICT subset of the main "
+            "data (the md5 coin is idempotent — a rate >= 1 re-selects "
+            "the identical rows and the fallback oracle times out "
+            "exactly like the main one)"
+        )
     no_oracle = "--no-oracle" in args
     args = [a for a in args if a != "--no-oracle"]
     only = set(args)
