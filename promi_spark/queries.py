@@ -3133,62 +3133,12 @@ def q_media_embeddings(spark, sf_dir):
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-7 rotation, oldest driver
-    # witness first) ----
-    "knn_cosine",  # last driver row r1
-    "order_priority_counts",  # r1
-    "part_brand_volume",  # r1
-    "tpch_q6",  # r1
-    "filter_concept_in",  # r3
-    "filter_time_before_after",  # r3
-    "filter_time_eq_tol",  # r3
-    "intersect_set_op",  # r3
-    "trace_time_contained",  # r3
-    "activity_stats",  # r4
-    "cosine_near_dups_exact",  # r4
-    "doc_fingerprint",  # r4
-    "embedding_norms",  # r4
-    "event_gaps",  # r4
-    "except_set_op",  # r4
-    "filter_concept_eq",  # r4
-    "filter_org_eq",  # r4
-    "filter_org_match",  # r4
-    "filter_time_contained",  # r4
-    "footprint",  # r4
-    "per_trace_counts",  # r4
-    "props_json_stats",  # r4
-    "repetition_stats",  # r4
-    "sample_events",  # r4
-    "simhash_signatures",  # r4
-    "split_train",  # r4
-    "token_counts_docs",  # r4
-    "top_traces_by_events",  # r4
-    "tpch_q1",  # r4
-    "trace_starts_ends_in",  # r4
-    "trace_variants",  # r4
-    "activity_dow_cube",  # r5
-    "asof_attribution",  # r5
-    "chronology_violations_injected",  # r5
-    "classifier_counts",  # r5
-    "cnf_filter",  # r5
-    "decontaminate",  # r5
-    "dedup_exact_docs",  # r5
-    "dfg_endpoints",  # r5
-    "doc_length_quantiles",  # r5
-    "filter_concept_eq_strict",  # r5
-    "filter_trace_scope",  # r5
-    "heuristic_dependency",  # r5
-    "lang_id_docs",  # r5
-    "line_dedup_docs",  # r5
-    "mixture_sample",  # r5
-    "pack_index",  # r5
-    "pii_scrub",  # r5
-    "revenue_by_nation",  # r5
-    "ann_multiprobe_topk",  # NEW in r7 — first driver witness
-    # ---- out of the driver window: every entry below is driver-green
-    # from round 5 or 6 and re-checked locally by the
-    # tools/check_oracle.py cross-scale sweeps ----
-    "stats_counts",  # r5
+    # ---- 50-slot driver window (round-8 rotation, oldest driver
+    # witness first): corpus_shuffle has never been in a driver
+    # window, then the r5-vintage entries, then the r6 block in
+    # alphabetical order up to the 50th slot ----
+    "corpus_shuffle",  # NEW late in r7 — first driver witness now
+    "stats_counts",  # last driver row r5
     "text_quality",  # r5
     "tpch_q18",  # r5
     "trace_intervals",  # r5
@@ -3201,7 +3151,6 @@ _ORDER = [
     "chunk_docs",  # r6
     "cohort_retention",  # r6
     "corpus_cardinality",  # r6
-    "corpus_shuffle",  # NEW in r7 (late) — sweep-witnessed, rotates into the window next round
     "cross_doc_substrings",  # r6
     "dedup_components",  # r6
     "dedup_components_stars",  # r6
@@ -3238,6 +3187,10 @@ _ORDER = [
     "tpch_q3",  # r6
     "trace_clusters",  # r6
     "user_event_pivot",  # r6
+    # ---- out of the driver window: the 7 remaining r6-witnessed
+    # entries (rotate in first next round), then the block the r7
+    # driver window re-witnessed; all re-checked locally by the
+    # tools/check_oracle.py cross-scale sweeps ----
     "value_histogram",  # r6
     "value_hour_corr",  # r6
     "value_outliers",  # r6
@@ -3245,6 +3198,56 @@ _ORDER = [
     "winnow_fingerprints",  # r6
     "xes_roundtrip",  # r6
     "zorder_events",  # r6
+    "knn_cosine",  # r7
+    "order_priority_counts",  # r7
+    "part_brand_volume",  # r7
+    "tpch_q6",  # r7
+    "filter_concept_in",  # r7
+    "filter_time_before_after",  # r7
+    "filter_time_eq_tol",  # r7
+    "intersect_set_op",  # r7
+    "trace_time_contained",  # r7
+    "activity_stats",  # r7
+    "cosine_near_dups_exact",  # r7
+    "doc_fingerprint",  # r7
+    "embedding_norms",  # r7
+    "event_gaps",  # r7
+    "except_set_op",  # r7
+    "filter_concept_eq",  # r7
+    "filter_org_eq",  # r7
+    "filter_org_match",  # r7
+    "filter_time_contained",  # r7
+    "footprint",  # r7
+    "per_trace_counts",  # r7
+    "props_json_stats",  # r7
+    "repetition_stats",  # r7
+    "sample_events",  # r7
+    "simhash_signatures",  # r7
+    "split_train",  # r7
+    "token_counts_docs",  # r7
+    "top_traces_by_events",  # r7
+    "tpch_q1",  # r7
+    "trace_starts_ends_in",  # r7
+    "trace_variants",  # r7
+    "activity_dow_cube",  # r7
+    "asof_attribution",  # r7
+    "chronology_violations_injected",  # r7
+    "classifier_counts",  # r7
+    "cnf_filter",  # r7
+    "decontaminate",  # r7
+    "dedup_exact_docs",  # r7
+    "dfg_endpoints",  # r7
+    "doc_length_quantiles",  # r7
+    "filter_concept_eq_strict",  # r7
+    "filter_trace_scope",  # r7
+    "heuristic_dependency",  # r7
+    "lang_id_docs",  # r7
+    "line_dedup_docs",  # r7
+    "mixture_sample",  # r7
+    "pack_index",  # r7
+    "pii_scrub",  # r7
+    "revenue_by_nation",  # r7
+    "ann_multiprobe_topk",  # r7
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
     "bpe_learned_tokens",
