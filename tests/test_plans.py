@@ -733,3 +733,31 @@ def test_example_flows_execute(spark, tmp_path, monkeypatch):
         res = execute(spark, flow)
         out = spark.read.parquet(str(tmp_path / flow["pipes"][-1]["name"]))
         assert out.count() > 0
+
+
+def test_readme_quickstart_documented_counts(spark, tmp_path):
+    """The README quickstart promises exact numbers for
+    examples/clean_corpus.yml on the sf0.001 fixtures; this pin keeps
+    the documented first-command experience honest (r7 verdict #6).
+    Only the export path is rewritten into the sandbox — every other
+    attribute runs verbatim from the shipped YAML."""
+    import yaml
+
+    from promi_spark.plans import execute
+
+    flow = yaml.safe_load(open("/root/repo/examples/clean_corpus.yml"))
+    for pipe in flow["pipes"]:
+        attrs = pipe.get("sink", {}).get("attributes", {})
+        if "path" in attrs:
+            attrs["path"] = str(tmp_path / "clean_corpus")
+    res = execute(spark, flow)
+    # the documented corpus_profile artifact, value for value
+    assert res.artifacts["corpus_profile"] == {
+        "n_docs": 500,
+        "n_tokens": 27939,
+        "mean_chars": 306.31,
+        "mean_punct_ratio": 0.0,
+    }
+    out = spark.read.parquet(str(tmp_path / "clean_corpus"))
+    assert out.count() == 457  # 500 in, 43 removed by dedup+decontam
+    assert out.select("shard").distinct().count() == 16
