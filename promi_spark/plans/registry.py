@@ -465,11 +465,14 @@ def _near_dup_dedup(ctx, df, threshold: float = 0.7,
     from promi_spark.operators.dedup import dedup_components, minhash_dedup
 
     pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
-    # release the gram-row cache (and the component labels, when
-    # clustering) once the flow's sinks have run — segment-persisted
-    # relations must not outlive the flow in a long-lived session
+    # release the segment-persisted relations (gram rows, the r8
+    # signature-class tagging, and the component labels when
+    # clustering) once the flow's sinks have run — they must not
+    # outlive the flow in a long-lived session
     if pairs.gram_cache is not None:
         ctx.defer(pairs.gram_cache.unpersist)
+    if pairs.sig_cache is not None:
+        ctx.defer(pairs.sig_cache.unpersist)
     if transitive:
         comp = dedup_components(pairs)
         ctx.defer(comp.labels_cache.unpersist)
@@ -598,6 +601,8 @@ def _leakage_safe_split(ctx, df, ratio: float, side: str | None = None,
     pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
     if pairs.gram_cache is not None:
         ctx.defer(pairs.gram_cache.unpersist)
+    if pairs.sig_cache is not None:
+        ctx.defer(pairs.sig_cache.unpersist)
     out = leakage_safe_split(df, pairs, ratio, key_col=key_col, seed=seed)
     ctx.defer(out.labels_cache.unpersist)
     if side is not None:

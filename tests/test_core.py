@@ -351,7 +351,9 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    assert names[49] == "ann_multiprobe_topk"
+    # (r8 rotation: corpus_shuffle + r5 vintage + r6 block)
+    assert names[0] == "corpus_shuffle"
+    assert names[49] == "user_event_pivot"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
