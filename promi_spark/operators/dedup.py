@@ -274,6 +274,31 @@ def _banded_pairs(
     relation is persisted (docs × ~0.5 KB) so the signature aggregate
     upstream runs once, not once per downstream reference.
     """
+    return _collapsed_banded_pairs(
+        sigs,
+        lambda s: band_buckets(s, num_hashes, bands),
+        max_bucket_size,
+        cache,
+    )
+
+
+def _collapsed_banded_pairs(
+    sigs: DataFrame,
+    band_codes,
+    max_bucket_size: int | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """Shared banding core for every LSH family (MinHash bands,
+    SimHash chunk bands, hyperplane sign-bit bands): exact-signature
+    class collapse → band one representative per class with
+    ``band_codes`` (a Column function: sig column → array<long> of
+    per-band bucket codes) → within-bucket self-equi-join on
+    representatives → expand back to member pairs. See
+    :func:`_banded_pairs` for the full semantics/guard discussion.
+    The persisted (k, sig, rep) tagging relation rides on the result
+    as ``.sig_cache`` — callers should release it when done, and MAY
+    read it as their verify-side (k, sig) source to avoid recomputing
+    the signature pipeline."""
     keyed = sigs.select("k", "sig")
     cls = keyed.groupBy("sig").agg(F.min("k").alias("rep"))
     tagged = keyed.join(cls, "sig")
@@ -284,9 +309,7 @@ def _banded_pairs(
 
     banded = reps.select(
         "k",
-        F.posexplode(band_buckets(F.col("sig"), num_hashes, bands)).alias(
-            "band", "bucket"
-        ),
+        F.posexplode(band_codes(F.col("sig"))).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
         ok_buckets = (
@@ -1105,6 +1128,8 @@ def simhash_candidates(
     bands: int = 4,
     max_hamming: int | None = None,
     hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Hamming-near candidate pairs: docs sharing any 16-bit chunk of
     the signature (full recall for hamming distance < bands). Optional
@@ -1113,44 +1138,52 @@ def simhash_candidates(
     The band key is the chunk's bit pattern read as an integer (Horner)
     — the chunk is already <= 16 bits, so it needs no hashing, and the
     integer code keeps the candidate join SQL-replayable for the oracle
-    (paired with ``hash_mode='md5'``)."""
+    (paired with ``hash_mode='md5'``).
+
+    r8: candidate generation runs through the shared
+    :func:`_collapsed_banded_pairs` core — byte-identical docs have
+    identical simhash bits, so they collapse to one banded
+    representative exactly like the MinHash path (the same boilerplate
+    mega-bucket guard), and the verify join reads the persisted
+    (k, bits) tagging relation instead of re-running the
+    tokenize→simhash pipeline per side. ``max_bucket_size`` caps
+    residual near-identical bucket skew (counts classes, off by
+    default); release the cache via the result's ``.sig_cache``."""
     chunk = 64 // bands
     bits_df = simhash_bits_df(df, key_col, text_col, hash_mode=hash_mode)
-    banded = bits_df.select(
-        "k",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.aggregate(
-                    F.slice(F.col("bits"), b * chunk + 1, chunk),
-                    F.lit(0).cast("long"),
-                    lambda acc, bit: acc * 2 + bit,
-                ),
-            )
-        ).alias("band", "chunk_hash"),
-    )
-    # Bare (k, band, chunk_hash) candidate rows — the 64-element bits
-    # array stays out of the exploded shuffle — deduplicated BEFORE the
-    # verify join, so a pair colliding in k bands folds the hamming
-    # distance once, not k times (the _banded_pairs shape).
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
-            & (F.col("a.k") < F.col("b.k")),
+
+    def codes(sig):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.aggregate(
+                F.slice(sig, b * chunk + 1, chunk),
+                F.lit(0).cast("long"),
+                lambda acc, bit: acc * 2 + bit,
+            ),
         )
-        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
-        .distinct()
+
+    cands = _collapsed_banded_pairs(
+        bits_df.select("k", F.col("bits").alias("sig")),
+        codes,
+        max_bucket_size,
+        cache,
+    )
+    verify_src = (
+        cands.sig_cache
+        if cands.sig_cache is not None
+        else bits_df.select("k", F.col("bits").alias("sig"))
     )
     pairs = (
         cands.join(
-            bits_df.select(F.col("k").alias("a"), F.col("bits").alias("bits_a")),
+            verify_src.select(
+                F.col("k").alias("a"), F.col("sig").alias("bits_a")
+            ),
             "a",
         )
         .join(
-            bits_df.select(F.col("k").alias("b"), F.col("bits").alias("bits_b")),
+            verify_src.select(
+                F.col("k").alias("b"), F.col("sig").alias("bits_b")
+            ),
             "b",
         )
         .select(
@@ -1161,4 +1194,5 @@ def simhash_candidates(
     )
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    pairs.sig_cache = cands.sig_cache
     return pairs

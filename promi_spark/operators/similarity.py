@@ -410,6 +410,8 @@ def lsh_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bounded scale path: vectors
     sharing any band of their hyperplane sign-bits become candidates;
@@ -439,8 +441,19 @@ def lsh_near_dups(
     so the 2^(bits/bands) bucket space is still spread across ``bands``
     distinct shuffle keys; AQE splits pathological buckets.
 
+    r8: candidate generation runs through the shared class-collapse
+    core (``dedup._collapsed_banded_pairs``) — byte-identical vectors
+    (re-embedded duplicate docs) have identical sign bits and collapse
+    to one banded representative, the same mega-bucket guard as the
+    MinHash/SimHash paths; the sign-bit pipeline is computed once into
+    the persisted tagging relation instead of once per self-join side.
+    ``max_bucket_size`` caps residual bucket skew (counts classes, off
+    by default); release the cache via the result's ``.sig_cache``.
+
     ``dim`` avoids a driver peek when the vector width is known.
     """
+    from promi_spark.operators.dedup import _collapsed_banded_pairs
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
@@ -454,34 +467,22 @@ def lsh_near_dups(
         .cast("long")
         for p in planes
     ]
-    banded = base.withColumn("bits", F.array(*sign_bits)).select(
-        "k",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.aggregate(
-                    F.slice(F.col("bits"), bnd * per_band + 1, per_band),
-                    F.lit(0).cast("long"),
-                    lambda acc, bit: acc * 2 + bit,
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
-    # Candidate generation carries bare (k, band, bucket) rows — the
-    # vector payload stays out of the bands-way exploded shuffle — and
-    # pairs are deduplicated BEFORE the verify join, so a pair colliding
-    # in k bands pays the cosine dot product once, not k times (the
-    # _banded_pairs shape from the MinHash path).
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.k") < F.col("b.k")),
+
+    def codes(sig):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.aggregate(
+                F.slice(sig, bnd * per_band + 1, per_band),
+                F.lit(0).cast("long"),
+                lambda acc, bit: acc * 2 + bit,
+            ),
         )
-        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
-        .distinct()
+
+    cands = _collapsed_banded_pairs(
+        base.select("k", F.array(*sign_bits).alias("sig")),
+        codes,
+        max_bucket_size,
+        cache,
     )
     # Arrow-kernel pairwise dot for the candidate verify (bit-identical
     # to the fold — see pair_dot_udf); norms and the round stay JVM
@@ -490,7 +491,7 @@ def lsh_near_dups(
         / (F.col("na") * F.col("nb")),
         6,
     )
-    return (
+    out = (
         cands.join(
             base.select(
                 F.col("k").alias("a"),
@@ -510,6 +511,8 @@ def lsh_near_dups(
         .select("a", "b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+    out.sig_cache = cands.sig_cache
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -449,3 +449,55 @@ def test_minhash_candidates_match_python_banding_replay(spark):
                 expected.add((a, b))
     got = {(r["a"], r["b"]) for r in minhash_candidates(docs).collect()}
     assert got == expected
+
+
+def test_simhash_and_lsh_share_the_megabucket_guard(spark):
+    """The class collapse covers the whole banded family: byte-identical
+    docs (identical simhash bits) and identical embeddings (identical
+    sign bits) band one representative each; member pairs reconstruct
+    exactly — hamming 0 / cosine 1.0 within the class."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import simhash_candidates
+    from promi_spark.operators.similarity import lsh_near_dups
+
+    n_dup = 2000
+    docs = spark.range(n_dup + 3).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_dup,
+            F.lit("identical boilerplate page body text for every crawl"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("distinct page "),
+                (F.col("id") * 104729).cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    sh = simhash_candidates(docs, max_hamming=0)
+    within = sh.filter((F.col("a") < n_dup) & (F.col("b") < n_dup))
+    assert within.count() == n_dup * (n_dup - 1) // 2
+    assert within.agg(F.max("hamming")).first()[0] == 0
+
+    vecs = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") < 400,
+            F.array(F.lit(1.0), F.lit(2.0), F.lit(-0.5), F.lit(0.25)),
+        )
+        .otherwise(
+            F.array(
+                (F.col("id") % 7).cast("double") + 0.1,
+                -(F.col("id") % 5).cast("double") - 0.2,
+                (F.col("id") % 3).cast("double") - 1.0,
+                F.lit(0.5),
+            )
+        )
+        .alias("embedding"),
+    )
+    ld = lsh_near_dups(vecs, threshold=0.999, bits=8, bands=2, dim=4)
+    dup_pairs = ld.filter((F.col("a") < 400) & (F.col("b") < 400))
+    assert dup_pairs.count() == 400 * 399 // 2
+    assert dup_pairs.agg(F.min("cosine_sim")).first()[0] == 1.0
