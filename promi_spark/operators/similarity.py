@@ -859,13 +859,14 @@ def ivf_topk(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     init: str = "rng_sample",
     n_iter: int = 10,
+    target_cluster_size: int = 250,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
     coarse k-means partition of the embedding space, exact cosine
@@ -882,13 +883,20 @@ def semantic_dedup(
 
     Size ``n_clusters`` ~ N / target_cluster_size (e.g. 10^9 vectors /
     10^4 per cluster = 10^5 clusters): the self-join shuffles on
-    ``cluster`` and AQE splits skewed cells. Pass ``centroids`` from
-    :func:`ivf_centroids_mllib` for the distributed 100 TB index build;
-    the default trains inline from a sample. ``init='lowest_ids'`` with
-    ``n_iter=0`` gives the SQL-replayable seeded quantizer the oracle
-    uses (reference near-dup semantics: ``dedup.rs`` pair contracts —
-    the embedding-space analog of MinHash pair generation).
+    ``cluster`` and AQE splits skewed cells. ``n_clusters='auto'``
+    applies that rule directly — ``max(1, ceil(N /
+    target_cluster_size))`` via one count() job — which is what keeps
+    the within-cluster verify ~linear in N (a frozen cluster count
+    made the r7 sf1 soak quadratic: 92.7x runtime for 10x data). Pass
+    ``centroids`` from :func:`ivf_centroids_mllib` for the distributed
+    100 TB index build; the default trains inline from a sample.
+    ``init='lowest_ids'`` with ``n_iter=0`` gives the SQL-replayable
+    seeded quantizer the oracle uses (reference near-dup semantics:
+    ``dedup.rs`` pair contracts — the embedding-space analog of
+    MinHash pair generation).
     """
+    if n_clusters == "auto":
+        n_clusters = max(1, -(-df.count() // target_cluster_size))
     cent = centroids or ivf_centroids(
         df, n_clusters, n_iter=n_iter, seed=seed,
         vec_col=vec_col, init=init, id_col=id_col,

@@ -447,3 +447,28 @@ def test_ivf_topk_auto_geometry_end_to_end(spark, sf_dir):
         ).collect()
     ]
     assert approx == again
+
+
+def test_semantic_dedup_auto_cluster_count(spark, sf_dir):
+    """n_clusters='auto' executes the documented N/target_cluster_size
+    rule (the sizing that keeps within-cluster verify ~linear in N);
+    it must equal the explicitly computed count, pair for pair."""
+    from promi_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    explicit_k = max(1, -(-n // 10))
+    auto = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in semantic_dedup(
+            emb, threshold=0.3, n_clusters="auto", target_cluster_size=10
+        ).collect()
+    }
+    explicit = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in semantic_dedup(
+            emb, threshold=0.3, n_clusters=explicit_k
+        ).collect()
+    }
+    assert auto == explicit
+    assert auto  # found pairs at this threshold
