@@ -500,6 +500,15 @@ def minhash_dedup_incremental(
     :func:`minhash_dedup` over the combined corpus — identical recall.
     The banding geometry comes from the index's ``_index_meta.json``;
     the batch is hashed with the same parameters by construction.
+
+    Skew note: the within-batch pair generation runs through the r8
+    class-collapse guard, but the cross probe join against the
+    persisted index does not (the index layout predates the batch) —
+    a boilerplate-heavy batch probing a boilerplate-heavy index can
+    still emit m_batch x m_index candidates for one bucket. The
+    production ordering that bounds this is ExactDedup before the
+    ingest gate (drop byte-identical batch docs first), exactly as in
+    ``examples/clean_corpus.yml``.
     """
     import json
 
