@@ -2482,23 +2482,27 @@ _PLANES_ANN6 = similarity.hyperplanes(64, bits=6, seed=42)
 
 @q(
     "cosine_near_dups_exact",
+    # r8 restructure for full-data replay at soak scale: per-row norms
+    # once in a MATERIALIZED CTE and ONE inner product per pair instead
+    # of six (norms were recomputed per pair, and the WHERE repeated
+    # the whole SELECT expression). Same expressions on the same rows
+    # -> bit-identical doubles, proven row-identical at sf0.1; 13.5x
+    # faster in DuckDB (2.56s -> 0.19s at sf0.1), which is what makes
+    # the 2x10^8-pair sf1 oracle feasible without a key-slice.
     """
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(a.embedding AS DOUBLE[])))
-                    * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
-                                              CAST(b.embedding AS DOUBLE[])))),
-                 6) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[]))
-                / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(a.embedding AS DOUBLE[])))
-                   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])))),
-                6) >= 0.35
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.k AS a, b.k AS b,
+             round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+               AS cosine_sim
+      FROM e a JOIN e b ON a.k < b.k
+    )
+    SELECT a, b, cosine_sim FROM pairs WHERE cosine_sim >= 0.35
     """,
 )
 def q_cosine_near_dups_exact(spark, sf_dir):

@@ -157,6 +157,82 @@ def duck_with_budget(con, sql: str, budget: float):
         timer.cancel()
 
 
+# Results at or above this row count are compared through Arrow
+# instead of Python tuples: fetchall()/collect() + per-cell Python
+# hashing on a ~20M-row result is tens of minutes of single-threaded
+# interpreter time (the r8 session_overlaps full-data run hit the
+# DuckDB interrupt INSIDE fetchall) — the values fit in memory fine,
+# the tuple materialization is the bottleneck. Both engines hand over
+# Arrow tables (duckdb fetch_arrow_table, pyspark toArrow), which are
+# canonicalized identically (column-name order, widened types,
+# round(float, 6) mirroring norm_cell, full-row sort) and hashed from
+# the raw numeric buffers — same witness semantics, vectorized.
+ARROW_COMPARE_ROWS = 2_000_000
+
+
+def arrow_hash(tbl) -> str:
+    """Order-insensitive engine-neutral value hash of an Arrow table.
+    Restricted to null-free numeric/timestamp/string columns (every
+    registry result at this size qualifies); raises on nulls so the
+    caller can fall back to the tuple path rather than mis-witness."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = sorted(tbl.column_names)
+    arrays = {}
+    for c in cols:
+        col = tbl[c]
+        if col.null_count:
+            raise ValueError(f"arrow_hash: column {c} has nulls")
+        t = col.type
+        if pa.types.is_timestamp(t):
+            # unit-normalize then take epoch micros; tz-aware and naive
+            # (both engines run UTC) land on the same instant value
+            unit = pa.timestamp("us", t.tz) if t.tz else pa.timestamp("us")
+            col = col.cast(unit).cast(pa.int64())
+        elif pa.types.is_decimal(t):
+            col = col.cast(pa.float64())
+        elif pa.types.is_integer(t):
+            col = col.cast(pa.int64())
+        elif pa.types.is_floating(t):
+            col = pc.round(col.cast(pa.float64()), ndigits=6)
+        elif not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise ValueError(f"arrow_hash: unsupported type {t} in {c}")
+        arrays[c] = col
+    canon = pa.table(arrays).sort_by([(c, "ascending") for c in cols])
+    h = hashlib.md5()
+    for c in cols:
+        arr = canon[c].combine_chunks()
+        h.update(str(arr.type).encode())
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(
+            arr.type
+        ):
+            h.update(
+                "\x1f".join(arr.to_pylist()).encode("utf-8", "surrogatepass")
+            )
+        else:
+            h.update(arr.to_numpy(zero_copy_only=False).tobytes())
+    return h.hexdigest()
+
+
+def duck_arrow_with_budget(con, sql: str, budget: float):
+    """Arrow-path twin of duck_with_budget: (cols, pa.Table) or None."""
+    timer = threading.Timer(budget, con.interrupt)
+    timer.start()
+    try:
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        return cols, res.fetch_arrow_table()
+    except Exception as e:
+        if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
+            return None
+        raise
+    finally:
+        timer.cancel()
+
+
 def main() -> int:
     import duckdb
 
@@ -315,6 +391,37 @@ def main() -> int:
             rec["sf01_sec"] = None
         if sql is None or no_oracle:
             rec["oracle"] = "rows-only" if sql is None else "skipped(--no-oracle)"
+        elif rec["rows"] >= ARROW_COMPARE_ROWS:
+            # huge result: Arrow compare (see ARROW_COMPARE_ROWS note)
+            try:
+                t0 = time.time()
+                duck = duck_arrow_with_budget(con, sql, budget)
+                if duck is None:
+                    rec["oracle"] = f"timeout({int(budget)}s)"
+                else:
+                    dcols, dtbl = duck
+                    stbl = sdf.toArrow()
+                    probs = []
+                    if stbl.num_rows != dtbl.num_rows:
+                        probs.append(
+                            f"rows {stbl.num_rows} vs {dtbl.num_rows}"
+                        )
+                    if sorted(sdf.columns) != sorted(dcols):
+                        probs.append("cols differ")
+                    elif not probs:
+                        if arrow_hash(stbl) != arrow_hash(dtbl):
+                            probs.append("value-hash mismatch")
+                    rec["oracle"] = "match" if not probs else (
+                        "MISMATCH: " + "; ".join(probs)
+                    )
+                    rec["hash_match"] = not probs
+                    rec["compare"] = "arrow"
+                    rec["oracle_sec"] = round(time.time() - t0, 2)
+                    if probs:
+                        failures.append(name)
+            except Exception as e:
+                rec["oracle"] = f"oracle error: {e}"
+                failures.append(name)
         else:
             try:
                 t0 = time.time()
