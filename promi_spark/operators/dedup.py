@@ -449,11 +449,14 @@ def write_minhash_index(
     shingle_n: int = 3,
 ) -> None:
     """Persist the corpus dedup index: one row per document carrying its
-    MinHash signature (the banding side) AND its distinct gram-hash set
-    (the verify side) — the artifact an ingest pipeline probes so each
-    incoming batch pays tokenization for ITS OWN docs only, never a
-    corpus rescan. One tokenize pass, one doc-key shuffle; the geometry
-    rides alongside as ``_index_meta.json`` so probes fail fast on a
+    MinHash signature (the banding side), its distinct gram-hash set
+    (the verify side), and its exact-signature class representative
+    ``rep`` (the skew-guard side: probes band one doc per class) — the
+    artifact an ingest pipeline probes so each incoming batch pays
+    tokenization for ITS OWN docs only, never a corpus rescan. One
+    tokenize pass, one doc-key shuffle plus one signature-class shuffle
+    (both amortized over every future probe); the geometry rides
+    alongside as ``_index_meta.json`` so probes fail fast on a
     mismatched configuration instead of silently missing pairs.
     """
     import json
@@ -464,7 +467,13 @@ def write_minhash_index(
     try:
         sigs = _sigs_from_rows(rows, num_hashes)
         sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
-        sigs.join(sh, "k").write.mode("overwrite").parquet(path)
+        # exact-signature class representative, computed once at build
+        # time so probes can band one doc per class (the r8 boilerplate
+        # guard) without an index-proportional shuffle per batch
+        cls = sigs.groupBy("sig").agg(F.min("k").alias("rep"))
+        sigs.join(cls, "sig").join(sh, "k").write.mode("overwrite").parquet(
+            path
+        )
     finally:
         rows.unpersist()
     _hadoop_write_text(
@@ -501,14 +510,22 @@ def minhash_dedup_incremental(
     The banding geometry comes from the index's ``_index_meta.json``;
     the batch is hashed with the same parameters by construction.
 
-    Skew note: the within-batch pair generation runs through the r8
-    class-collapse guard, but the cross probe join against the
-    persisted index does not (the index layout predates the batch) —
-    a boilerplate-heavy batch probing a boilerplate-heavy index can
-    still emit m_batch x m_index candidates for one bucket. The
-    production ordering that bounds this is ExactDedup before the
-    ingest gate (drop byte-identical batch docs first), exactly as in
-    ``examples/clean_corpus.yml``.
+    Skew note: BOTH pair generators run through the r8 class-collapse
+    guard. The within-batch side collapses exact-signature classes
+    per batch; the cross probe bands one representative per class on
+    each side — the index's classes were computed at build time
+    (:func:`write_minhash_index` writes a ``rep`` column), so the
+    probe stays batch-proportional, and the batch's classes cost one
+    batch-sized shuffle. A boilerplate-heavy batch probing a
+    boilerplate-heavy index thus emits ONE banded collision per
+    (class, class) pair instead of m_batch x m_index x bands
+    pre-distinct rows; the true m_batch x m_index member pairs are
+    reconstructed losslessly only for classes that actually collide
+    (they all still verify — that output size is the real answer, as
+    everywhere in this family). An index written before the ``rep``
+    column existed degrades to per-doc banding through the same code
+    path. ExactDedup before the ingest gate (as in
+    ``examples/clean_corpus.yml``) remains the cheapest front line.
     """
     import json
 
@@ -535,22 +552,50 @@ def minhash_dedup_incremental(
             ).alias("band", "bucket"),
         )
 
-    cross = (
-        banded(sigs_new)
+    # band ONE doc per exact-signature class on both probe sides (the
+    # r8 boilerplate guard, extended to the cross probe): the index
+    # carries its class representative from build time, so no
+    # index-proportional shuffle happens here; the batch computes its
+    # own classes (batch-proportional). Identical signatures collide on
+    # exactly the same buckets, so expanding representative collisions
+    # back to member pairs reproduces the per-doc join's pair set.
+    if "rep" not in idx.columns:
+        # pre-class index: every doc is its own class — same code path,
+        # per-doc banding exactly as before the guard
+        idx = idx.withColumn("rep", F.col("k"))
+    cls_n = sigs_new.groupBy("sig").agg(F.min("k").alias("rep"))
+    tag_n = sigs_new.join(cls_n, "sig").select("k", "sig", "rep")
+    reps_n = tag_n.filter(F.col("k") == F.col("rep")).select("k", "sig")
+    mem_n = tag_n.select("k", "rep")
+    reps_i = idx.filter(F.col("k") == F.col("rep")).select("k", "sig")
+    mem_i = idx.select("k", "rep")
+    rep_cross = (
+        banded(reps_n)
         .alias("n")
         .join(
-            banded(idx.select("k", "sig")).alias("i"),
+            banded(reps_i).alias("i"),
             (F.col("n.band") == F.col("i.band"))
-            & (F.col("n.bucket") == F.col("i.bucket"))
-            & (F.col("n.k") != F.col("i.k")),
+            & (F.col("n.bucket") == F.col("i.bucket")),
         )
+        .select(F.col("n.k").alias("rn"), F.col("i.k").alias("ri"))
+        .distinct()
+    )
+    cross = (
+        rep_cross.join(
+            mem_n.select(F.col("rep").alias("rn"), F.col("k").alias("nk")),
+            "rn",
+        )
+        .join(
+            mem_i.select(F.col("rep").alias("ri"), F.col("k").alias("ik")),
+            "ri",
+        )
+        .filter(F.col("nk") != F.col("ik"))
         .select(
-            F.least(F.col("n.k"), F.col("i.k")).alias("a"),
-            F.greatest(F.col("n.k"), F.col("i.k")).alias("b"),
-            F.col("n.k").alias("nk"),
-            F.col("i.k").alias("ik"),
+            F.least(F.col("nk"), F.col("ik")).alias("a"),
+            F.greatest(F.col("nk"), F.col("ik")).alias("b"),
+            "nk",
+            "ik",
         )
-        .select("a", "b", "nk", "ik")
         .distinct()
     )
     verified = (

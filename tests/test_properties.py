@@ -501,3 +501,109 @@ def test_simhash_and_lsh_share_the_megabucket_guard(spark):
     dup_pairs = ld.filter((F.col("a") < 400) & (F.col("b") < 400))
     assert dup_pairs.count() == 400 * 399 // 2
     assert dup_pairs.agg(F.min("cosine_sim")).first()[0] == 1.0
+
+
+def test_incremental_cross_probe_rides_the_class_guard(spark, tmp_path):
+    """The cross probe against a persisted index bands one doc per
+    exact-signature class on BOTH sides (index classes computed at
+    build time — the r8.5 closure of the last unguarded banding path):
+    a boilerplate-heavy batch probing a boilerplate-heavy index must
+    produce the complete cross pair set, the index must carry a
+    collapsed ``rep`` column, and the probe's pair set must equal the
+    full guarded batch run restricted to batch-touching pairs."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        write_minhash_index,
+    )
+
+    boiler = (
+        "the same boilerplate terms of service text that appears on "
+        "every scraped page of this crawl corpus"
+    )
+    n_idx, n_new, n_uniq = 800, 200, 30
+    total = n_idx + n_new + n_uniq
+    df = spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_idx + n_new, F.lit(boiler))
+        .otherwise(
+            F.concat(
+                F.lit("unique document number "),
+                F.col("id"),
+                F.lit(" carrying distinct content token "),
+                (F.col("id") * 7919).cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    old = df.filter((F.col("doc_id") >= n_idx + n_new) | (F.col("doc_id") < n_idx))
+    new = df.filter(
+        (F.col("doc_id") >= n_idx) & (F.col("doc_id") < n_idx + n_new)
+    )
+    path = str(tmp_path / "mh_guard_index")
+    write_minhash_index(old, path)
+
+    idx = spark.read.parquet(path)
+    assert "rep" in idx.columns
+    # the boilerplate class collapsed to ONE representative at build
+    n_reps = (
+        idx.filter(F.col("k") < n_idx)
+        .select("rep")
+        .distinct()
+        .count()
+    )
+    assert n_reps == 1
+
+    inc = minhash_dedup_incremental(new, path, cache=False)
+    # complete cross set (n_idx x n_new) + complete within-batch set
+    expected = n_idx * n_new + n_new * (n_new - 1) // 2
+    assert inc.count() == expected
+    # set-equality with the guarded full batch run restricted to pairs
+    # touching the batch — distributed exceptAll, no driver collect
+    full = minhash_dedup(df, cache=False).filter(
+        ((F.col("a") >= n_idx) & (F.col("a") < n_idx + n_new))
+        | ((F.col("b") >= n_idx) & (F.col("b") < n_idx + n_new))
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+def test_incremental_probe_pre_class_index_fallback(spark, tmp_path):
+    """An index written without the build-time ``rep`` column (pre-r8.5
+    layout) degrades to per-doc banding through the same probe code
+    path — identical pair set, nothing raises."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_legacy_index")
+    write_minhash_index(old, path)
+
+    with_rep = {
+        (r["a"], r["b"]): r["jaccard_sim"]
+        for r in minhash_dedup_incremental(
+            new, path, threshold=0.5, cache=False
+        ).collect()
+    }
+    # strip the rep column in place to simulate the legacy layout
+    legacy = str(tmp_path / "mh_legacy_stripped")
+    spark.read.parquet(path).drop("rep").write.parquet(legacy)
+    import shutil
+
+    shutil.copy(f"{path}/_index_meta.json", f"{legacy}/_index_meta.json")
+    without_rep = {
+        (r["a"], r["b"]): r["jaccard_sim"]
+        for r in minhash_dedup_incremental(
+            new, legacy, threshold=0.5, cache=False
+        ).collect()
+    }
+    assert with_rep == without_rep and with_rep
