@@ -1864,14 +1864,16 @@ def q_per_source_cap(spark, sf_dir):
 )
 def q_session_overlaps(spark, sf_dir):
     """Cross-user concurrent sessions: pure interval-overlap join (no
-    equi key) via the bucketized rewrite — hash join on hour buckets +
-    later-start bucket dedup, never a cartesian range join. Oracle:
+    equi key) via the bucketized rewrite — hash join on duration-scaled
+    epoch buckets (p50 session length, auto-derived) + later-start
+    bucket dedup, never a cartesian range join. Oracle:
     DuckDB's IEJoin on the naive two-inequality self-join is
     near-quadratic at ~1M sessions over a 30-day span (>37 min at sf1,
     vs the 2400 s soak budget), so the oracle pre-filters candidates
-    with MINUTE-bucket equality (deliberately a different granularity
-    than the engine's hour buckets and a DISTINCT-based dedup rather
-    than the later-start-bucket rule) and applies the same exact
+    with MINUTE-bucket equality (deliberately a fixed granularity
+    distinct from the engine's duration-derived buckets, and a
+    DISTINCT-based dedup rather than the later-start-bucket rule)
+    and applies the same exact
     overlap predicate — proven row-identical to the naive self-join by
     EXCEPT in both directions at sf0.1, 14x faster there and ~150x at
     sf1. Soundness: two overlapping intervals always share the minute

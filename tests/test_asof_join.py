@@ -165,3 +165,81 @@ def test_interval_overlap_join_matches_naive_cross(spark, sf_dir):
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
     sess.unpersist()
+
+
+def test_interval_overlap_auto_bucket_matches_fixed(spark, sf_dir):
+    """bucket_seconds='auto' (the default) derives a duration-scaled
+    width and produces the IDENTICAL pair set as any fixed width —
+    width is purely a candidate-volume knob. On the session corpus
+    (p50 ~ tens of seconds) auto must land far below the old 3600 s
+    fixed default."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.joins import (
+        _auto_bucket_seconds,
+        interval_overlap_join,
+    )
+    from promi_spark.queries import q_user_sessions
+
+    sess = (
+        q_user_sessions(spark, sf_dir)
+        .select("user_id", "session_id", "session_start", "session_end")
+        .cache()
+    )
+    kw = dict(
+        start_col="session_start",
+        end_col="session_end",
+        extra=F.col("user_id") < F.col("user_id_r"),
+    )
+    cols = ["user_id", "session_id", "user_id_r", "session_id_r"]
+    auto = interval_overlap_join(sess, sess, **kw).select(*cols)
+    fixed = interval_overlap_join(sess, sess, bucket_seconds=3600, **kw).select(
+        *cols
+    )
+    assert auto.exceptAll(fixed).count() == 0
+    assert fixed.exceptAll(auto).count() == 0
+    w = _auto_bucket_seconds(
+        sess, sess, "session_start", "session_end",
+        "session_start", "session_end",
+    )
+    assert 1 <= w < 3600
+
+
+def test_interval_overlap_auto_bucket_floors_and_tail_guard(spark):
+    """Zero-length intervals floor the auto width at 1 s; a heavy
+    duration tail raises it to ~p99/256 so one interval cannot explode
+    into unbounded bucket rows; empty input falls back without a job
+    crash."""
+    from promi_spark.operators.joins import (
+        _auto_bucket_seconds,
+        interval_overlap_join,
+    )
+
+    def intervals(rows):
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(rows)],
+            "id long, s string, e string",
+        ).selectExpr(
+            "id", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e"
+        )
+
+    instant = intervals(
+        [("2024-01-01 00:00:00", "2024-01-01 00:00:00")] * 9
+    )
+    assert _auto_bucket_seconds(instant, instant, "s", "e", "s", "e") == 1
+
+    # p50 = 0 but one 10-day interval: width ~ p99/256 ~ 3375 s, so the
+    # long interval explodes into ~256 rows instead of ~860k 1 s rows
+    tail = intervals(
+        [("2024-01-01 00:00:00", "2024-01-01 00:00:00")] * 9
+        + [("2024-01-01 00:00:00", "2024-01-11 00:00:00")]
+    )
+    w = _auto_bucket_seconds(tail, tail, "s", "e", "s", "e")
+    assert 2000 <= w <= 4000
+
+    empty = instant.filter("id < 0")
+    assert _auto_bucket_seconds(empty, empty, "s", "e", "s", "e") == 3600
+    assert (
+        interval_overlap_join(empty, empty, start_col="s", end_col="e").count()
+        == 0
+    )
