@@ -25,7 +25,7 @@ shuffle, and the shuffle payload is just docs × num_hashes longs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from promi_spark.operators.text import tokens
@@ -299,9 +299,15 @@ def _collapsed_banded_pairs(
     as ``.sig_cache`` — callers should release it when done, and MAY
     read it as their verify-side (k, sig) source to avoid recomputing
     the signature pipeline."""
-    keyed = sigs.select("k", "sig")
-    cls = keyed.groupBy("sig").agg(F.min("k").alias("rep"))
-    tagged = keyed.join(cls, "sig")
+    # rep via a sig-partitioned window, NOT groupBy(sig) + self-join:
+    # the join form evaluates the upstream signature pipeline once per
+    # side (measured 2.7x on lsh_near_dups at sf1, whose 64-hyperplane
+    # sign pipeline is the costliest expression in the family); the
+    # window form is one evaluation and one exchange on sig, then the
+    # persist makes every downstream reference a cache read
+    tagged = sigs.select("k", "sig").withColumn(
+        "rep", F.min("k").over(Window.partitionBy("sig"))
+    )
     if cache:
         tagged = tagged.persist()
     reps = tagged.filter(F.col("k") == F.col("rep")).select("k", "sig")
@@ -563,8 +569,9 @@ def minhash_dedup_incremental(
         # pre-class index: every doc is its own class — same code path,
         # per-doc banding exactly as before the guard
         idx = idx.withColumn("rep", F.col("k"))
-    cls_n = sigs_new.groupBy("sig").agg(F.min("k").alias("rep"))
-    tag_n = sigs_new.join(cls_n, "sig").select("k", "sig", "rep")
+    tag_n = sigs_new.select("k", "sig").withColumn(
+        "rep", F.min("k").over(Window.partitionBy("sig"))
+    )
     reps_n = tag_n.filter(F.col("k") == F.col("rep")).select("k", "sig")
     mem_n = tag_n.select("k", "rep")
     reps_i = idx.filter(F.col("k") == F.col("rep")).select("k", "sig")

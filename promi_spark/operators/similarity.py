@@ -448,7 +448,10 @@ def lsh_near_dups(
     MinHash/SimHash paths; the sign-bit pipeline is computed once into
     the persisted tagging relation instead of once per self-join side.
     ``max_bucket_size`` caps residual bucket skew (counts classes, off
-    by default); release the cache via the result's ``.sig_cache``.
+    by default); release the caches via the result's ``.sig_cache``
+    (the (k, sig, rep) tagging relation) and ``.pair_cache`` (the
+    persisted candidate pairs — the plan boundary that keeps the
+    verify stage from re-executing the banding pipeline).
 
     ``dim`` avoids a driver peek when the vector width is known.
     """
@@ -484,6 +487,17 @@ def lsh_near_dups(
         max_bucket_size,
         cache,
     )
+    sig_cache = cands.sig_cache
+    if cache:
+        # Plan-boundary persist of the (a, b) pair relation before the
+        # verify: letting the verify's joins + sim expression plan
+        # against the live collapse/expansion subtree re-executes the
+        # candidate pipeline inside the verify stage — measured 223 s
+        # vs 32 s for the IDENTICAL 66M-pair result at sf1 (and the
+        # boundary also beats the r7 pre-collapse path 2.7x). Pairs
+        # are two longs each (MEMORY_AND_DISK, spills at scale);
+        # release via the result's ``.pair_cache``.
+        cands = cands.persist()
     # Arrow-kernel pairwise dot for the candidate verify (bit-identical
     # to the fold — see pair_dot_udf); norms and the round stay JVM
     sim = F.round(
@@ -511,7 +525,8 @@ def lsh_near_dups(
         .select("a", "b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
-    out.sig_cache = cands.sig_cache
+    out.sig_cache = sig_cache
+    out.pair_cache = cands if cache else None
     return out
 
 

@@ -100,11 +100,12 @@ def test_minhash_dedup_single_gram_subtree(spark, sf):
     arrays_zip (the gram zip-explode) and one scan of
     documents.parquet must appear, and every doc-level reader must be
     an InMemoryTableScan. Since the r8 class-collapse rewrite there
-    are TEN cached readers across TWO caches: 4 of the gram cache
-    (signature aggregate x2 — class grouping + tagging join — and the
-    collect_set verify x2) and 6 of the ~0.5 KB/doc (k, sig, rep)
-    tagging cache (rep banding x2, within-class pairs x2, cross-class
-    expansion x2)."""
+    are NINE cached readers across TWO caches: 3 of the gram cache
+    (ONE signature aggregate — the rep tagging is a sig-partitioned
+    window over it, not a groupBy + self-join, so the signature
+    pipeline evaluates once — and the collect_set verify x2) and 6 of
+    the ~0.5 KB/doc (k, sig, rep) tagging cache (rep banding x2,
+    within-class pairs x2, cross-class expansion x2)."""
     from promi_spark.operators.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -113,7 +114,7 @@ def test_minhash_dedup_single_gram_subtree(spark, sf):
         plan = explain(out)
         assert plan.count("arrays_zip") == 1
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
-        assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 10
+        assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 9
     finally:
         out.sparkSession.catalog.clearCache()
 
