@@ -212,6 +212,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash
     signature. Returns (a, b) with a < b, distinct.
@@ -224,9 +225,21 @@ def minhash_candidates(
     DISTINCT signatures is spread by the band hash (it includes the
     band index) and split by AQE skew-join; ``max_bucket_size``
     additionally caps it hard.
+
+    With ``cache=True`` (default) the (k, sig, rep) signature-class
+    tagging relation is persisted — the collapse/expansion plan reads
+    it four times, and without the persist each read re-runs the
+    signature pipeline (measured 2.7x on the LSH sibling at sf1). The
+    handle rides on the result as ``.sig_cache``: release it with
+    ``out.sig_cache.unpersist()`` once the caller's action completes
+    (it is a plain Python attribute — LOST on any further DataFrame
+    transformation, so capture it before chaining). Long-lived
+    sessions running many distinct corpora should either release per
+    call or pass ``cache=False`` to trade the re-evaluations for zero
+    pinned storage.
     """
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
-    return _banded_pairs(sigs, num_hashes, bands, max_bucket_size)
+    return _banded_pairs(sigs, num_hashes, bands, max_bucket_size, cache)
 
 
 def _banded_pairs(
@@ -532,6 +545,22 @@ def minhash_dedup_incremental(
     column existed degrades to per-doc banding through the same code
     path. ExactDedup before the ingest gate (as in
     ``examples/clean_corpus.yml``) remains the cheapest front line.
+
+    Cache contract (``cache=True``): TWO persisted relations ride on
+    the result — ``.gram_cache`` (the batch's tokenized gram rows) and
+    ``.sig_cache`` (the within-batch signature-class tagging, ``None``
+    unless ``include_new_pairs``). A long-lived ingest session MUST
+    release both once the batch's action completes::
+
+        pairs = minhash_dedup_incremental(batch, idx)
+        pairs.write.parquet(...)
+        for h in (pairs.gram_cache, pairs.sig_cache):
+            if h is not None:
+                h.unpersist()
+
+    or pass ``cache=False`` (as the streaming gate does) to pin
+    nothing at the cost of re-evaluating the batch pipeline per
+    downstream reference.
     """
     import json
 
@@ -640,7 +669,16 @@ def minhash_dedup_incremental(
         )
         verified = verified.unionByName(within)
     out = verified
+    # explicit release handles, mirroring minhash_dedup's contract: the
+    # batch gram rows AND the within-batch (k, sig, rep) tagging
+    # relation that _banded_pairs persists. r8 leaked the latter — in a
+    # long-lived ingest session (this function's target use case) every
+    # batch pinned one more relation in executor storage with no
+    # release path short of spark.catalog.clearCache().
     out.gram_cache = rows_new if cache else None
+    out.sig_cache = (
+        cands_new.sig_cache if include_new_pairs and cache else None
+    )
     return out
 
 

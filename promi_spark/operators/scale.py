@@ -404,9 +404,8 @@ def global_ntile(
         .sortWithinPartitions(*cols)
         .withColumn("__mid", F.monotonically_increasing_id())
     )
-    ids_before = _persistent_rdd_ids(spark)
     d = d_pre.localCheckpoint(eager=True)
-    ckpt_ids = _persistent_rdd_ids(spark) - ids_before
+    ckpt_ids = _checkpoint_rdd_ids(d)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy(F.shiftright("__mid", 33).alias("_pid"))
@@ -455,7 +454,10 @@ def global_ntile(
 
 def _persistent_rdd_ids(spark) -> set[int]:
     """Ids of RDDs currently pinned in the block manager (JVM
-    SparkContext.getPersistentRDDs keys)."""
+    SparkContext.getPersistentRDDs keys). Observability/test helper —
+    NOT used to attribute checkpoint ownership (see
+    :func:`_checkpoint_rdd_ids` for why a before/after diff of this
+    set is race-prone)."""
     it = (
         spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
     )
@@ -463,6 +465,28 @@ def _persistent_rdd_ids(spark) -> set[int]:
     while it.hasNext():
         ids.add(it.next())
     return ids
+
+
+def _checkpoint_rdd_ids(d: DataFrame) -> set[int]:
+    """The persisted RDD id(s) backing a ``localCheckpoint``-ed
+    DataFrame, read DIRECTLY off its analyzed plan: after the
+    checkpoint the plan is a ``LogicalRDD`` node whose ``rdd`` field IS
+    the pinned block-manager entry. The r8 implementation diffed the
+    global ``getPersistentRDDs`` map before/after the checkpoint, which
+    attributed any RDD persisted CONCURRENTLY by another thread/job to
+    this call — :func:`release_global_ntile` would then unpersist an
+    unrelated cache (silently dropping another computation's storage,
+    or cutting another localCheckpoint's only copy). The direct read
+    has no window to race in. Empty set if the plan shape is ever not
+    a LogicalRDD (future Spark change) — release then degrades to the
+    documented ContextCleaner-on-GC behavior rather than guessing."""
+    try:
+        plan = d._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return {plan.rdd().id()}
+    except Exception:
+        pass
+    return set()
 
 
 def release_global_ntile(out: DataFrame) -> None:

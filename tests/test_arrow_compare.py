@@ -67,6 +67,60 @@ def test_hash_contract(pa):
     assert arrow_hash(t1) == arrow_hash(t5)
 
 
-def test_nulls_are_rejected_not_miswitnessed(pa):
-    with pytest.raises(ValueError, match="nulls"):
-        arrow_hash(pa.table({"a": [1, None, 3]}))
+def test_nullable_columns_witness_correctly(pa):
+    """r8 advice: nulls used to raise — and the soak loop's generic
+    except turned a legitimately-nullable 2M-row result into a false
+    failure with no fallback. arrow_hash now canonicalizes nulls via
+    an explicit indicator companion column: equal multisets (nulls
+    included) hash equal regardless of row order, a null never
+    collides with the fill sentinel, and null-pattern differences are
+    detected."""
+    t1 = pa.table({"a": [1, None, 3], "s": ["x", None, "z"]})
+    t2 = pa.table({"a": [3, 1, None], "s": ["z", "x", None]})
+    assert arrow_hash(t1) == arrow_hash(t2)
+    # null must NOT hash like the sentinel (0 / "")
+    t3 = pa.table({"a": [1, 0, 3], "s": ["x", "", "z"]})
+    assert arrow_hash(t1) != arrow_hash(t3)
+    # a changed null pattern is a real difference
+    t4 = pa.table({"a": [1, None, 3], "s": ["x", "y", None]})
+    assert arrow_hash(t1) != arrow_hash(t4)
+    # null timestamps and floats canonicalize too
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    t5 = pa.table({"t": [ts, None], "f": [1.5, None]})
+    t6 = pa.table({"t": [None, ts], "f": [None, 1.5]})
+    assert arrow_hash(t5) == arrow_hash(t6)
+
+
+def test_unsupported_types_still_raise(pa):
+    """Nested types stay on the tuple path (the caller catches
+    ValueError and falls back instead of failing the witness)."""
+    with pytest.raises(ValueError, match="unsupported"):
+        arrow_hash(pa.table({"a": [[1, 2], [3]]}))
+
+
+def test_negative_zero_canonicalized(pa):
+    """r8 advice: two engines producing +/-epsilon around zero round to
+    -0.0 vs 0.0 — equal values, different byte patterns (and unstable
+    sort order among ties). Both must hash identically."""
+    t1 = pa.table({"f": [-1e-9, 1.0], "k": [1, 2]})
+    t2 = pa.table({"f": [1e-9, 1.0], "k": [1, 2]})
+    assert arrow_hash(t1) == arrow_hash(t2)
+    # literal -0.0 vs 0.0 as well
+    t3 = pa.table({"f": [-0.0, 1.0], "k": [1, 2]})
+    t4 = pa.table({"f": [0.0, 1.0], "k": [1, 2]})
+    assert arrow_hash(t3) == arrow_hash(t4)
+
+
+def test_arrow_rows_fallback_matches_tuple_witness(pa):
+    """_arrow_rows feeds the tuple-compare fallback: same hash as the
+    engine-native tuple materialization, column order respected."""
+    from tools.check_oracle import table_hash
+    from tools.soak import _arrow_rows
+
+    cols = ["a", "s"]
+    t = pa.table({"s": ["x", "y"], "a": [1, 2]})
+    rows = _arrow_rows(t, cols)
+    assert rows == [(1, "x"), (2, "y")]
+    assert table_hash(cols, rows) == table_hash(cols, [(1, "x"), (2, "y")])

@@ -372,3 +372,53 @@ def test_global_ntile_release_frees_checkpoint_blocks(spark):
     assert not leftover, f"checkpoint blocks survived release: {leftover}"
     assert out.rank_cache_ids == set()  # handle cleared
     release_global_ntile(out)  # idempotent no-op
+
+
+def test_checkpoint_ids_read_off_the_plan_not_a_global_diff(spark):
+    """r8 advice: checkpoint ownership used to be attributed by diffing
+    getPersistentRDDs before/after — any RDD persisted CONCURRENTLY in
+    that window was claimed by this call, and release_global_ntile
+    would then unpersist an unrelated cache. The ids now come directly
+    off the checkpointed DataFrame's own LogicalRDD: an unrelated
+    persist landing between the checkpoint and the read is never
+    claimed, and release leaves it untouched."""
+    from promi_spark.operators.scale import (
+        _checkpoint_rdd_ids,
+        _persistent_rdd_ids,
+        global_ntile,
+        release_global_ntile,
+    )
+
+    d = (
+        spark.range(500)
+        .withColumn("v", F.pmod(F.col("id") * 7, F.lit(50)))
+        .localCheckpoint(eager=True)
+    )
+    # an unrelated relation persisted AFTER the checkpoint — the old
+    # set-diff (taken around this point by a concurrent thread) would
+    # have swallowed it; the plan read must not
+    bystander = spark.range(100).persist()
+    bystander.count()
+    ids = _checkpoint_rdd_ids(d)
+    assert len(ids) == 1
+    byst_ids = _persistent_rdd_ids(spark) - ids
+    assert byst_ids, "bystander cache should be pinned"
+    assert ids.isdisjoint(byst_ids)
+    d.unpersist()
+
+    # end-to-end: release_global_ntile with a bystander persisted mid-
+    # flight frees ONLY its own checkpoint blocks
+    out = global_ntile(
+        spark.range(3000).withColumn("v", F.pmod(F.col("id") * 13, F.lit(97))),
+        6,
+        [F.col("v"), F.col("id")],
+        "b",
+    )
+    assert len(out.rank_cache_ids) == 1
+    assert out.rank_cache_ids.isdisjoint(byst_ids)
+    assert out.count() == 3000
+    release_global_ntile(out)
+    after = _persistent_rdd_ids(spark)
+    assert out.rank_cache_ids == set()
+    assert byst_ids <= after, "release must not touch unrelated caches"
+    bystander.unpersist()

@@ -564,3 +564,56 @@ def test_dedup_components_high_diameter_bounded_plan(spark):
         deep.count("Join"),
         shallow.count("Join"),
     )
+
+
+def test_incremental_dedup_exposes_and_releases_all_caches(spark, tmp_path):
+    """r8 advice (medium): with include_new_pairs=True and cache=True
+    the within-batch candidate generator persists a signature-class
+    tagging relation that had NO release handle — a long-lived ingest
+    session pinned one more relation per batch until clearCache. The
+    result must now carry BOTH handles (gram_cache + sig_cache),
+    releasing them must leave the block manager where it started, and
+    cache=False must pin nothing."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        write_minhash_index,
+    )
+    from promi_spark.operators.scale import _persistent_rdd_ids
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index_caches")
+    write_minhash_index(old, path)
+
+    spark.catalog.clearCache()
+    base = _persistent_rdd_ids(spark)
+
+    pairs = minhash_dedup_incremental(new, path, threshold=0.5)
+    assert pairs.gram_cache is not None
+    assert pairs.sig_cache is not None
+    pairs.count()  # materialize (pins both relations)
+    assert _persistent_rdd_ids(spark) - base, "caches should be pinned"
+    pairs.gram_cache.unpersist()
+    pairs.sig_cache.unpersist()
+    leaked = _persistent_rdd_ids(spark) - base
+    assert not leaked, f"persisted relations survived release: {leaked}"
+
+    # probe-only path: no within-batch tagging exists to expose
+    probe_only = minhash_dedup_incremental(
+        new, path, threshold=0.5, include_new_pairs=False
+    )
+    assert probe_only.sig_cache is None
+    assert probe_only.gram_cache is not None
+    probe_only.gram_cache.unpersist()
+
+    # cache=False pins nothing and exposes nothing
+    spark.catalog.clearCache()
+    base = _persistent_rdd_ids(spark)
+    nocache = minhash_dedup_incremental(new, path, threshold=0.5, cache=False)
+    nocache.count()
+    assert nocache.gram_cache is None and nocache.sig_cache is None
+    assert not (_persistent_rdd_ids(spark) - base)

@@ -171,22 +171,29 @@ ARROW_COMPARE_ROWS = 2_000_000
 
 
 def arrow_hash(tbl) -> str:
-    """Order-insensitive engine-neutral value hash of an Arrow table.
-    Restricted to null-free numeric/timestamp/string columns (every
-    registry result at this size qualifies); raises on nulls so the
-    caller can fall back to the tuple path rather than mis-witness."""
+    """Order-insensitive engine-neutral value hash of an Arrow table
+    of numeric/timestamp/string columns. Nullable columns are
+    supported (r8 advice — the old version raised, and the soak loop's
+    generic ``except`` turned a legitimately-null 2M-row result into a
+    false failure): each nullable column contributes an explicit null
+    -indicator companion column, then nulls are filled with a fixed
+    sentinel — the indicator participates in both the canonical row
+    sort and the hash, so a null never collides with a real sentinel
+    value and both engines canonicalize identically. Raises
+    ``ValueError`` only on unsupported TYPES (nested/binary/...), where
+    the caller falls back to the tuple-compare path."""
     import hashlib
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    cols = sorted(tbl.column_names)
     arrays = {}
-    for c in cols:
+    for c in sorted(tbl.column_names):
         col = tbl[c]
-        if col.null_count:
-            raise ValueError(f"arrow_hash: column {c} has nulls")
         t = col.type
+        nulls = col.null_count
+        if nulls:
+            arrays[c + "\x00isnull"] = pc.is_null(col).cast(pa.int8())
         if pa.types.is_timestamp(t):
             # unit-normalize then take epoch micros; tz-aware and naive
             # (both engines run UTC) land on the same instant value
@@ -196,11 +203,29 @@ def arrow_hash(tbl) -> str:
             col = col.cast(pa.float64())
         elif pa.types.is_integer(t):
             col = col.cast(pa.int64())
+        elif pa.types.is_boolean(t):
+            col = col.cast(pa.int64())
         elif pa.types.is_floating(t):
             col = pc.round(col.cast(pa.float64()), ndigits=6)
+            # canonicalize -0.0 -> 0.0 BEFORE the sort and the buffer
+            # hash: round() can land either side of zero on values
+            # within +/-5e-7, the two compare equal but have different
+            # byte patterns (false "value-hash mismatch"), and their
+            # relative sort order among ties is engine-arrival order
+            col = pc.add(col, pa.scalar(0.0))
         elif not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             raise ValueError(f"arrow_hash: unsupported type {t} in {c}")
+        if nulls:
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type
+            ):
+                col = pc.fill_null(col, "")
+            else:
+                col = pc.fill_null(col, pa.scalar(0, col.type) if
+                                   pa.types.is_integer(col.type)
+                                   else pa.scalar(0.0))
         arrays[c] = col
+    cols = list(arrays)
     canon = pa.table(arrays).sort_by([(c, "ascending") for c in cols])
     h = hashlib.md5()
     for c in cols:
@@ -215,6 +240,13 @@ def arrow_hash(tbl) -> str:
         else:
             h.update(arr.to_numpy(zero_copy_only=False).tobytes())
     return h.hexdigest()
+
+
+def _arrow_rows(tbl, cols):
+    """Arrow table -> list of row tuples in the given column order (the
+    tuple-compare fallback's input; avoids a second collect/fetchall)."""
+    data = tbl.to_pydict()
+    return list(zip(*(data[c] for c in cols))) if cols else []
 
 
 def duck_arrow_with_budget(con, sql: str, budget: float):
@@ -409,13 +441,24 @@ def main() -> int:
                     if sorted(sdf.columns) != sorted(dcols):
                         probs.append("cols differ")
                     elif not probs:
-                        if arrow_hash(stbl) != arrow_hash(dtbl):
-                            probs.append("value-hash mismatch")
+                        try:
+                            if arrow_hash(stbl) != arrow_hash(dtbl):
+                                probs.append("value-hash mismatch")
+                            rec["compare"] = "arrow"
+                        except ValueError:
+                            # a type arrow_hash cannot canonicalize
+                            # (nested/binary/...): fall through to the
+                            # tuple path rather than fail the witness —
+                            # slow at this size but correct (r8 advice)
+                            if table_hash(
+                                sdf.columns, _arrow_rows(stbl, sdf.columns)
+                            ) != table_hash(dcols, _arrow_rows(dtbl, dcols)):
+                                probs.append("value-hash mismatch")
+                            rec["compare"] = "arrow+tuple-fallback"
                     rec["oracle"] = "match" if not probs else (
                         "MISMATCH: " + "; ".join(probs)
                     )
                     rec["hash_match"] = not probs
-                    rec["compare"] = "arrow"
                     rec["oracle_sec"] = round(time.time() - t0, 2)
                     if probs:
                         failures.append(name)
