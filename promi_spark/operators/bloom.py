@@ -1,0 +1,286 @@
+"""Distributed Bloom-filter membership: a persisted, reusable sketch
+for huge reference sets (benchmark-suite n-grams, a committed corpus'
+fingerprints) probed by later batches without re-scanning — the
+membership analog of :func:`operators.dedup.write_minhash_index`.
+
+Spark's own runtime bloom filter (used by ``text.ngram_overlap
+(broadcast=False)``) is built per-query and thrown away; this module
+makes the sketch a first-class ARTIFACT: build once over the reference
+side, persist as parquet, probe from every ingest batch at a cost
+proportional to the batch. The filter is represented as a sparse
+``(word: long, mask: long)`` relation — ``m_bits/64`` rows max,
+independent of the reference set's cardinality — so a billion-gram
+benchmark suite probes through a few-MB broadcast instead of a
+multi-GB exact set.
+
+Guarantees (classic Bloom semantics): NO false negatives — every value
+inserted at build time always probes positive — and a false-positive
+rate of ``(1 - e^(-k*n/m))^k`` for values never inserted. For the
+decontamination use case FPs err in the SAFE direction: the flagged
+set is a superset of the exact-overlap set, so contaminated documents
+are never missed (pinned by ``tests/test_bloom.py``).
+
+Everything is JVM-side codegen (xxhash64 / bit ops / broadcast hash
+join); no Python UDFs. Reference: the operator family extends the
+reference engine's capability surface (its Validator/Buffer have no
+membership sketch; ``src/lib.rs`` declares no dedup stack at all) with
+the standard production primitive.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Classic sizing: optimal bits ``m = -n ln p / (ln 2)^2`` and
+    hash count ``k = (m/n) ln 2``, rounded to practical integers.
+    Returns ``(m_bits, k)``; ``m_bits`` is rounded up to a multiple of
+    64 so the sparse word relation packs exactly."""
+    if n_items <= 0:
+        return 64, 1
+    m = -n_items * math.log(fp_rate) / (math.log(2) ** 2)
+    m_bits = max(64, int(math.ceil(m / 64.0)) * 64)
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    return m_bits, min(k, 16)
+
+
+def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a value: ``pmod(xxhash64(value, i), m)``
+    per hash index — engine-deterministic (Spark's xxhash64 is a fixed
+    public algorithm), partition-invariant, and codegen-compiled."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Build the sparse filter relation ``(word, mask)`` over a value
+    column. One narrow explode of the k positions per value, then ONE
+    map-side-combined ``bit_or`` aggregation on the word index — the
+    exchange carries at most ``m_bits/64`` rows per task regardless of
+    input cardinality, so the build scales to any reference set the
+    cluster can scan."""
+    pos = F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias(
+        "__pos"
+    )
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright("__pos", 6).alias("word"),
+            F.expr(
+                "shiftleft(1L, CAST(pmod(__pos, 64) AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__bit").alias("mask"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe every row's ``col`` value against the filter: adds
+    ``flag_col`` (true = possibly inserted, false = DEFINITELY not).
+
+    Plan shape: the k positions explode per row (narrow), the sparse
+    word relation broadcasts (``m_bits/8`` bytes worst case — size the
+    filter, not the data), hits are counted with one map-side-combined
+    aggregation keyed by the probed VALUE, and the verdict joins back
+    onto the original rows by that value. The only exchanges are on
+    the probe side's distinct values — the reference set never moves,
+    and duplicate values are probed once."""
+    vals = df.select(F.col(col).alias("__v")).distinct()
+    ex = vals.select(
+        "__v",
+        F.posexplode(F.array(*_positions(F.col("__v"), m_bits, k))).alias(
+            "__i", "__pos"
+        ),
+    ).select(
+        "__v",
+        F.shiftright("__pos", 6).alias("word"),
+        F.expr(
+            "shiftleft(1L, CAST(pmod(__pos, 64) AS INT))"
+        ).alias("__bit"),
+    )
+    hits = (
+        ex.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "__v",
+            (
+                F.coalesce(
+                    F.col("mask").bitwiseAND(F.col("__bit")) != 0,
+                    F.lit(False),
+                )
+            ).cast("int").alias("__hit"),
+        )
+        .groupBy("__v")
+        .agg((F.sum("__hit") == k).alias(flag_col))
+    )
+    return df.join(
+        hits.withColumnRenamed("__v", col), col, "left"
+    ).fillna({flag_col: False})
+
+
+def write_bloom_index(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_items: int | None = None,
+    fp_rate: float = 0.01,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> dict:
+    """Persist a Bloom index over ``df[col]`` as parquet plus an
+    ``_index_meta.json`` sidecar carrying the geometry (probes fail
+    fast on a mismatched configuration instead of silently probing
+    wrong bits — same contract as the MinHash index). Geometry comes
+    either explicitly (``m_bits``+``k``) or from ``bloom_params`` with
+    ``n_items`` (defaults to one count job when omitted). Returns the
+    meta dict."""
+    import json
+
+    from promi_spark.operators.similarity import _hadoop_write_text
+
+    if m_bits is None or k is None:
+        n = n_items if n_items is not None else df.select(col).distinct().count()
+        m_bits, k = bloom_params(n, fp_rate)
+    bloom_build(df, col, m_bits, k).write.mode("overwrite").parquet(path)
+    meta = {"m_bits": m_bits, "k": k, "col": col}
+    _hadoop_write_text(
+        df.sparkSession, f"{path.rstrip('/')}/_index_meta.json", json.dumps(meta)
+    )
+    return meta
+
+
+def read_bloom_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Load a persisted Bloom index and its geometry sidecar."""
+    import json
+
+    from promi_spark.operators.similarity import _hadoop_read_text
+
+    meta = json.loads(
+        _hadoop_read_text(spark, f"{path.rstrip('/')}/_index_meta.json")
+    )
+    return spark.read.parquet(path), meta
+
+
+def _doc_grams(
+    df: DataFrame, key_col: str | None, text_col: str, n: int
+) -> DataFrame:
+    """(k, n_grams, g) distinct word n-grams per doc — byte-identical
+    gram strings to ``text.ngram_overlap`` so the bloom and exact
+    decontamination paths flag the same true overlaps.
+    ``key_col=None`` emits a constant key (gram extraction only)."""
+    from promi_spark.operators.text import tokens
+
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gr = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+            )
+        )
+    )
+    key = F.lit(0) if key_col is None else F.col(key_col)
+    toks_df = df.select(
+        key.alias("k"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toks_df.select(
+        "k", F.size(gr).alias("n_grams"), F.explode_outer(gr).alias("g")
+    )
+
+
+def write_bench_bloom(
+    bench: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n: int = 5,
+    fp_rate: float = 1e-6,
+) -> dict:
+    """Build + persist the benchmark-suite decontamination sketch: the
+    distinct word n-grams of the benchmark corpus, bloomed. Run once
+    per benchmark release; every training batch then probes it via
+    :func:`decontaminate_bloom` without touching the benchmark data.
+
+    ``fp_rate`` is PER GRAM; a document's false-flag probability
+    compounds by union bound to ``~n_grams x fp_rate``, so the default
+    is sized for document-level accuracy (1e-6 -> ~0.01% of 100-gram
+    docs falsely flagged) — Bloom size grows only linearly in
+    ``-ln(fp_rate)``, so the tight default costs ~2x the bits of a
+    casual 1e-3."""
+    import json
+
+    from promi_spark.operators.similarity import _hadoop_write_text
+
+    grams = (
+        _doc_grams(bench, None, text_col, n)
+        .select(F.col("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    meta = write_bloom_index(grams, path, "g", fp_rate=fp_rate)
+    meta["n"] = n
+    _hadoop_write_text(
+        bench.sparkSession,
+        f"{path.rstrip('/')}/_index_meta.json",
+        json.dumps(meta),
+    )
+    return meta
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    index_path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination against a PERSISTED bloom sketch
+    (:func:`write_bench_bloom`): flags every training doc whose word
+    n-gram overlap with the benchmark reaches ``min_shared`` POSSIBLE
+    hits. Returns (doc_id, n_grams, maybe_shared, contaminated).
+
+    vs ``text.ngram_overlap``: no false negatives (every true overlap
+    is flagged — the safe direction for decontamination), a bounded
+    false-positive rate that over-drops slightly (size ``fp_rate`` at
+    build time), and a probe cost proportional to the BATCH with a
+    fixed-size broadcast — the benchmark corpus itself is never read
+    again. Counts are of maybe-hits, so ``maybe_shared >= n_shared``
+    (exact) row-by-row."""
+    spark = train.sparkSession
+    bloom, meta = read_bloom_index(spark, index_path)
+    ex = _doc_grams(train, key_col, text_col, meta["n"])
+    probed = bloom_probe(
+        ex, bloom, "g", meta["m_bits"], meta["k"], flag_col="__hit"
+    )
+    return (
+        probed.groupBy("k")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(
+                F.when(F.col("g").isNotNull() & F.col("__hit"), 1).otherwise(
+                    0
+                )
+            ).alias("maybe_shared"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_grams",
+            "maybe_shared",
+            (F.col("maybe_shared") >= min_shared).alias("contaminated"),
+        )
+    )

@@ -22,7 +22,7 @@ order to try them:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -284,6 +284,88 @@ def mixture_sample(
         ).otherwise(thresh)
     coin = coin_hex(F.col(key_col).cast("string"), seed, salt="mix")
     return df.filter(coin < thresh)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-LM
+    sampling rule, public formulation per Conneau & Lample 2019 /
+    XLM-R): resample so source i's share moves from its natural token
+    share p_i toward p_i^alpha (alpha < 1 flattens the mix — low-
+    resource sources keep everything, dominant sources are
+    downsampled; alpha = 1 is the identity; alpha > 1 sharpens).
+
+    A sampler can only DROP rows, so rates are normalized to the
+    no-upsampling optimum: ``rate_i = (n_i / n_ref)^(alpha-1)`` with
+    ``n_ref = min_j n_j`` for alpha <= 1 (``max_j`` for alpha > 1), so
+    the reference source keeps rate 1 and every other rate lands in
+    (0, 1]. ``n_i / n_ref`` is a ratio of exact integer token sums —
+    the totals cancel — so both engines feed ``pow`` the identical
+    double, and the rate is rounded to 9 digits before the threshold
+    conversion so a last-ulp ``pow`` divergence cannot flip a row.
+
+    Selection is the same engine-portable md5 coin as Split/Sample/
+    mixture_sample (row kept iff ``coin < threshold_hex(rate)``), so
+    the sample is reproducible across engines/sessions/partitionings
+    and rate changes produce superset/subset chains. Plan shape: one
+    |sources|-row aggregate (map-side combined), a window over that
+    tiny relation, a broadcast join back, then a narrow codegen
+    filter — the corpus is scanned once and never shuffled. A source
+    with zero tokens gets rate 1 (``pow(0, negative) = inf``): it
+    contributes nothing to the mix, so dropping its docs is never
+    required for the target distribution.
+    """
+    from promi_spark.operators.split import coin_hex
+    from promi_spark.operators.text import token_count
+
+    ref = F.min("__nt") if alpha <= 1 else F.max("__nt")
+    rates = (
+        df.groupBy(F.col(source_col).alias("__src"))
+        .agg(F.sum(token_count(F.col(text_col))).alias("__nt"))
+        .select(
+            "__src",
+            F.round(
+                F.pow(
+                    F.col("__nt")
+                    / ref.over(Window.partitionBy()).cast("double"),
+                    F.lit(alpha - 1.0),
+                ),
+                9,
+            ).alias("__rate"),
+        )
+        .select(
+            "__src",
+            F.when(F.col("__rate") >= 1.0, F.lit("g"))
+            .otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.floor(
+                                F.col("__rate") * F.lit(float(16**8))
+                            ).cast("bigint")
+                        )
+                    ),
+                    8,
+                    "0",
+                )
+            )
+            .alias("__thr"),
+        )
+    )
+    coin = coin_hex(F.col(key_col).cast("string"), seed, salt="tmix")
+    return (
+        df.join(
+            F.broadcast(rates), F.col(source_col) == F.col("__src"), "inner"
+        )
+        .filter(coin < F.col("__thr"))
+        .drop("__src", "__thr")
+    )
 
 
 def write_shards(

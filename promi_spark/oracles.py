@@ -620,3 +620,46 @@ def shard_assignment_sql(n_shards: int, seed: int = 0) -> str:
              % {n_shards} AS shard
     FROM documents
     """
+
+
+def temperature_mixture_sql(
+    alpha: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """Replay of operators.scale.temperature_mixture: exact integer
+    token sums per source, the same ``(n_i / n_ref)^(alpha-1)`` rate
+    (ratio of integers — both engines feed pow the identical double;
+    9-digit round collapses any last-ulp pow divergence), the same
+    8-hex threshold conversion (``'g'`` for rate >= 1, matching
+    split.hex_threshold), and the same md5 coin with salt 'tmix'."""
+    ref = "min" if alpha <= 1 else "max"
+    ntok = (
+        r"CASE WHEN len(trim(text)) = 0 THEN 0 "
+        r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+    )
+    return f"""
+    WITH per AS (
+      SELECT {source_col} AS src, SUM({ntok}) AS nt
+      FROM {table} GROUP BY 1
+    ),
+    thr AS (
+      SELECT src,
+             CASE WHEN r >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(
+                         CAST(floor(r * 4294967296.0) AS BIGINT))), 8, '0')
+             END AS t
+      FROM (
+        SELECT src,
+               round(pow(nt / CAST({ref}(nt) OVER () AS DOUBLE),
+                         {alpha!r} - 1.0), 9) AS r
+        FROM per
+      )
+    )
+    SELECT d.{key_col}, d.{source_col}
+    FROM {table} d JOIN thr ON d.{source_col} = thr.src
+    WHERE substr(md5(CAST(d.{key_col} AS VARCHAR) || ':{seed}:tmix'), 1, 8)
+          < thr.t
+    """

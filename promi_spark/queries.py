@@ -2341,6 +2341,44 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+@q("temperature_mixture", oracles.temperature_mixture_sql(alpha=0.3))
+def q_temperature_mixture(spark, sf_dir):
+    """Alpha-temperature source rebalancing (the multilingual-LM
+    sampling rule): rates derived IN-PLAN from exact integer token
+    sums — one |sources|-row aggregate broadcast back, then the same
+    narrow md5-coin filter as mixture_sample. r9."""
+    from promi_spark.operators.scale import temperature_mixture
+
+    return temperature_mixture(
+        load_table(spark, "documents", sf_dir), alpha=0.3
+    ).select("doc_id", "source")
+
+
+@q("bloom_decontaminate", None)  # xxhash64 sketch — not SQL-replayable
+def q_bloom_decontaminate(spark, sf_dir):
+    """Decontamination against a PERSISTED Bloom sketch of the
+    benchmark n-grams (probe cost ∝ batch, fixed-size broadcast, no
+    false negatives). Rows-only: the sketch hashes with Spark's
+    xxhash64, which DuckDB cannot replay; the superset-of-exact and
+    FP-rate contracts are pinned by tests/test_bloom.py. r9."""
+    import hashlib
+
+    from promi_spark.operators.bloom import (
+        decontaminate_bloom,
+        write_bench_bloom,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    path = (
+        "/tmp/promi_spark_bench_bloom_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    write_bench_bloom(bench, path, n=5)
+    return decontaminate_bloom(train, path)
+
+
 @q(
     "lang_id_docs",
     r"""
@@ -3154,71 +3192,20 @@ def q_media_embeddings(spark, sf_dir):
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-8 rotation, oldest driver
-    # witness first): corpus_shuffle has never been in a driver
-    # window, then the r5-vintage entries, then the r6 block in
-    # alphabetical order up to the 50th slot ----
-    "corpus_shuffle",  # NEW late in r7 — first driver witness now
-    "stats_counts",  # last driver row r5
-    "text_quality",  # r5
-    "tpch_q18",  # r5
-    "trace_intervals",  # r5
-    "user_sessions",  # r5
-    "validation_globals",  # r5
-    "ann_lsh_topk",  # r6
-    "arrow_roundtrip",  # r6
-    "bpe_token_counts",  # r6
-    "chronology_violations",  # r6
-    "chunk_docs",  # r6
-    "cohort_retention",  # r6
-    "corpus_cardinality",  # r6
-    "cross_doc_substrings",  # r6
-    "dedup_components",  # r6
-    "dedup_components_stars",  # r6
-    "dfg",  # r6
-    "eventually_follows",  # r6
-    "filter_concept_match",  # r6
-    "funnel_counts",  # r6
-    "handover_network",  # r6
-    "heuristic_net",  # r6
-    "incremental_dedup",  # r6
-    "ivf_topk",  # r6
-    "knn_classify",  # r6
-    "knn_join_topk",  # r6
-    "leakage_safe_split",  # r6
-    "lineitem_unpivot_stats",  # r6
-    "lm_quality",  # r6
-    "lsh_near_dups",  # r6
-    "minhash_near_dups",  # r6
-    "mllib_minhash_near_dups",  # r6
-    "path_prefixes",  # r6
-    "per_source_cap",  # r6
-    "phrase_search_docs",  # r6
-    "rfm_segments",  # r6
-    "rolling_user_activity",  # r6
-    "semantic_dedup",  # r6
-    "session_overlaps",  # r6
-    "shard_assignment",  # r6
-    "simhash_near_dups",  # r6
-    "source_mix",  # r6
-    "state_islands",  # r6
-    "tfidf_terms",  # r6
-    "top_bigrams",  # r6
-    "tpch_q14",  # r6
-    "tpch_q3",  # r6
-    "trace_clusters",  # r6
-    "user_event_pivot",  # r6
-    # ---- out of the driver window: the 7 remaining r6-witnessed
-    # entries (rotate in first next round), then the block the r7
-    # driver window re-witnessed; all re-checked locally by the
-    # tools/check_oracle.py cross-scale sweeps ----
-    "value_histogram",  # r6
-    "value_hour_corr",  # r6
-    "value_outliers",  # r6
-    "weighted_sample_docs",  # r6
-    "winnow_fingerprints",  # r6
-    "xes_roundtrip",  # r6
-    "zorder_events",  # r6
+    # ---- 50-slot driver window (round-9 rotation, oldest driver
+    # witness first): the two operators NEW this round (first driver
+    # witness; bloom_decontaminate is rows-only by design), then the
+    # 7 remaining r6-witnessed entries, then the r7-witnessed block
+    # up to the 50th slot ----
+    "temperature_mixture",  # NEW r9
+    "bloom_decontaminate",  # NEW r9
+    "value_histogram",  # last driver row r6
+    "value_hour_corr",  # last driver row r6
+    "value_outliers",  # last driver row r6
+    "weighted_sample_docs",  # last driver row r6
+    "winnow_fingerprints",  # last driver row r6
+    "xes_roundtrip",  # last driver row r6
+    "zorder_events",  # last driver row r6
     "knn_cosine",  # r7
     "order_priority_counts",  # r7
     "part_brand_volume",  # r7
@@ -3260,6 +3247,10 @@ _ORDER = [
     "dfg_endpoints",  # r7
     "doc_length_quantiles",  # r7
     "filter_concept_eq_strict",  # r7
+    # ---- out of the driver window: the 9 remaining r7-witnessed
+    # entries (rotate in first next round), then the r8 driver window
+    # block; all re-checked locally by the tools/check_oracle.py
+    # cross-scale sweeps ----
     "filter_trace_scope",  # r7
     "heuristic_dependency",  # r7
     "lang_id_docs",  # r7
@@ -3269,6 +3260,56 @@ _ORDER = [
     "pii_scrub",  # r7
     "revenue_by_nation",  # r7
     "ann_multiprobe_topk",  # r7
+    "corpus_shuffle",  # r8
+    "stats_counts",  # r8
+    "text_quality",  # r8
+    "tpch_q18",  # r8
+    "trace_intervals",  # r8
+    "user_sessions",  # r8
+    "validation_globals",  # r8
+    "ann_lsh_topk",  # r8
+    "arrow_roundtrip",  # r8
+    "bpe_token_counts",  # r8
+    "chronology_violations",  # r8
+    "chunk_docs",  # r8
+    "cohort_retention",  # r8
+    "corpus_cardinality",  # r8
+    "cross_doc_substrings",  # r8
+    "dedup_components",  # r8
+    "dedup_components_stars",  # r8
+    "dfg",  # r8
+    "eventually_follows",  # r8
+    "filter_concept_match",  # r8
+    "funnel_counts",  # r8
+    "handover_network",  # r8
+    "heuristic_net",  # r8
+    "incremental_dedup",  # r8
+    "ivf_topk",  # r8
+    "knn_classify",  # r8
+    "knn_join_topk",  # r8
+    "leakage_safe_split",  # r8
+    "lineitem_unpivot_stats",  # r8
+    "lm_quality",  # r8
+    "lsh_near_dups",  # r8
+    "minhash_near_dups",  # r8
+    "mllib_minhash_near_dups",  # r8
+    "path_prefixes",  # r8
+    "per_source_cap",  # r8
+    "phrase_search_docs",  # r8
+    "rfm_segments",  # r8
+    "rolling_user_activity",  # r8
+    "semantic_dedup",  # r8
+    "session_overlaps",  # r8
+    "shard_assignment",  # r8
+    "simhash_near_dups",  # r8
+    "source_mix",  # r8
+    "state_islands",  # r8
+    "tfidf_terms",  # r8
+    "top_bigrams",  # r8
+    "tpch_q14",  # r8
+    "tpch_q3",  # r8
+    "trace_clusters",  # r8
+    "user_event_pivot",  # r8
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
     "bpe_learned_tokens",

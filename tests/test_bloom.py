@@ -1,0 +1,132 @@
+"""Bloom membership index (operators/bloom.py): classic guarantees —
+zero false negatives, false-positive rate near theory — plus the
+persisted-index round trip, partition invariance, and the
+decontamination superset contract (bloom-flagged ⊇ exact-flagged)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from promi_spark.operators.bloom import (
+    bloom_build,
+    bloom_params,
+    bloom_probe,
+    decontaminate_bloom,
+    read_bloom_index,
+    write_bench_bloom,
+    write_bloom_index,
+)
+
+
+def _vals(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+
+
+def test_bloom_params_sizing():
+    m, k = bloom_params(10**6, 0.01)
+    # optimal m/n for p=0.01 is ~9.59 bits/item, k ~ 7
+    assert 9.5 * 10**6 < m < 9.7 * 10**6 and m % 64 == 0
+    assert k == 7
+    assert bloom_params(0) == (64, 1)
+    # k caps at 16 even for very tight rates
+    assert bloom_params(1000, 1e-9)[1] == 16
+
+
+def test_no_false_negatives_and_fp_near_theory(spark):
+    m, k = bloom_params(5000, 0.01)
+    bf = bloom_build(_vals(spark, 0, 5000), "val", m, k)
+    res = bloom_probe(_vals(spark, 0, 10000), bf, "val", m, k)
+    num = F.expr("CAST(substr(val, 2, 10) AS INT)")
+    fn = res.filter((num < 5000) & ~F.col("maybe_member")).count()
+    fp = res.filter((num >= 5000) & F.col("maybe_member")).count()
+    assert fn == 0, "Bloom filters NEVER false-negative"
+    # 5000 never-inserted probes at p=0.01 → ~50 FPs; allow wide margin
+    assert fp < 150, f"FP rate far above theory: {fp}/5000"
+    assert fp > 0, "suspiciously perfect — probe path likely broken"
+
+
+def test_probe_partition_invariance(spark):
+    """Same verdicts regardless of probe-side layout (xxhash64 is
+    content-hashing, the aggregation is keyed by value)."""
+    m, k = bloom_params(1000, 0.01)
+    bf = bloom_build(_vals(spark, 0, 1000), "val", m, k)
+    probe = _vals(spark, 500, 1500)
+    a = {
+        r["val"]: r["maybe_member"]
+        for r in bloom_probe(probe.repartition(1), bf, "val", m, k).collect()
+    }
+    b = {
+        r["val"]: r["maybe_member"]
+        for r in bloom_probe(probe.repartition(13), bf, "val", m, k).collect()
+    }
+    assert a == b
+
+
+def test_index_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "bloom_idx")
+    meta = write_bloom_index(_vals(spark, 0, 2000), path, "val", fp_rate=0.01)
+    bf, meta2 = read_bloom_index(spark, path)
+    assert meta2 == meta and meta["col"] == "val"
+    res = bloom_probe(
+        _vals(spark, 0, 2000), bf, "val", meta["m_bits"], meta["k"]
+    )
+    assert res.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, tmp_path, sf_dir):
+    """The production contract: bloom decontamination never misses a
+    truly contaminated doc (no false negatives), over-drops only at
+    the configured per-gram rate, and maybe_shared >= exact n_shared
+    row by row."""
+    from promi_spark.io import load_table
+    from promi_spark.operators.text import ngram_overlap
+
+    docs_df = load_table(spark, "documents", sf_dir)
+    bench = docs_df.filter(F.col("doc_id") % 7 == 0)
+    train = docs_df.filter(F.col("doc_id") % 7 != 0)
+    path = str(tmp_path / "bench_bloom")
+    meta = write_bench_bloom(bench, path, n=5, fp_rate=1e-6)
+    assert meta["n"] == 5 and meta["m_bits"] % 64 == 0
+
+    bl = {
+        r["doc_id"]: (r["contaminated"], r["maybe_shared"], r["n_grams"])
+        for r in decontaminate_bloom(train, path).collect()
+    }
+    ex = {
+        r["doc_id"]: (r["contaminated"], r["n_shared"], r["n_grams"])
+        for r in ngram_overlap(train, bench, n=5).collect()
+    }
+    assert set(bl) == set(ex)
+    for d, (e_flag, e_shared, e_grams) in ex.items():
+        b_flag, b_shared, b_grams = bl[d]
+        assert b_grams == e_grams, d
+        assert b_shared >= e_shared, d
+        if e_flag:
+            assert b_flag, f"bloom missed truly contaminated doc {d}"
+    # at fp=1e-6 per gram, extra flags should be essentially zero here
+    extra = [d for d in bl if bl[d][0] and not ex[d][0]]
+    assert len(extra) <= 2, extra
+
+
+def test_bloom_plan_is_jvm_side(spark):
+    """No interpreted Python anywhere; the probe joins the sparse word
+    relation as a BROADCAST hash join (the filter is sized to
+    broadcast — the reference set never shuffles)."""
+    m, k = bloom_params(1000, 0.01)
+    bf = bloom_build(_vals(spark, 0, 1000), "val", m, k)
+    plan = (
+        bloom_probe(_vals(spark, 0, 2000), bf, "val", m, k)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -422,3 +422,70 @@ def test_checkpoint_ids_read_off_the_plan_not_a_global_diff(spark):
     assert out.rank_cache_ids == set()
     assert byst_ids <= after, "release must not touch unrelated caches"
     bystander.unpersist()
+
+
+def test_temperature_mixture_matches_duckdb(spark, duck, sf_dir):
+    """Cross-engine witness for the alpha-temperature sampler at both
+    normalizer branches (alpha < 1 -> min-source reference, alpha > 1
+    -> max-source reference)."""
+    from promi_spark.io import load_table
+    from promi_spark.operators.scale import temperature_mixture
+    from promi_spark.oracles import temperature_mixture_sql
+
+    docs = load_table(spark, "documents", sf_dir)
+    for alpha in (0.3, 2.0):
+        got = sorted(
+            (r["doc_id"], r["source"])
+            for r in temperature_mixture(docs, alpha=alpha)
+            .select("doc_id", "source")
+            .collect()
+        )
+        want = sorted(duck.execute(temperature_mixture_sql(alpha)).fetchall())
+        assert got == want, f"alpha={alpha}"
+        assert 0 < len(got) < docs.count()
+
+
+def test_temperature_mixture_semantics(spark, sf_dir):
+    """alpha=1 is the identity; raising alpha (toward 1 from below)
+    only ADDS rows per source (superset chain, same md5-coin contract
+    as Split/Sample/mixture_sample); the sampled mix is FLATTER than
+    the natural mix (the whole point of temperature sampling)."""
+    from promi_spark.io import load_table
+    from promi_spark.operators.scale import temperature_mixture
+    from promi_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    assert temperature_mixture(docs, alpha=1.0).count() == n
+
+    keep_03 = {r["doc_id"] for r in temperature_mixture(docs, 0.3).collect()}
+    keep_07 = {r["doc_id"] for r in temperature_mixture(docs, 0.7).collect()}
+    assert keep_03 <= keep_07
+
+    def max_share(df):
+        per = (
+            df.groupBy("source")
+            .agg(F.sum(token_count(F.col("text"))).alias("nt"))
+            .collect()
+        )
+        tot = sum(r["nt"] for r in per)
+        return max(r["nt"] for r in per) / tot
+
+    assert max_share(temperature_mixture(docs, 0.3)) < max_share(docs)
+
+
+def test_temperature_mixture_plan_is_narrow(spark, sf_dir):
+    """One tiny per-source aggregate broadcast back; the corpus itself
+    is filtered narrowly — no corpus-sized exchange, no Python."""
+    from promi_spark.io import load_table
+    from promi_spark.operators.scale import temperature_mixture
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = explain(temperature_mixture(docs, alpha=0.3))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the only exchanges belong to the |sources|-row aggregate side:
+    # one for the groupBy(source), one SinglePartition for the window
+    # over the |sources|-row result; the corpus side never exchanges
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
