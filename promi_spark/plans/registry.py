@@ -515,6 +515,73 @@ def _mixture_sample(ctx, df, rates: dict, strata_col: str = "source",
     )
 
 
+@register("TemperatureMixture", "alpha-temperature source rebalancing "
+          "(the multilingual-LM sampling rule): per-source keep rates "
+          "(n_i/n_ref)^(alpha-1) derived in-plan from exact integer "
+          "token sums; same md5 coin family as MixtureSample",
+          {"stream"},
+          params=[Param("alpha", float,
+                        description="temperature in (0, inf); <1 flattens"
+                        " the mix, 1 is the identity"),
+                  Param("source_col", str, "source"),
+                  Param("text_col", str, "text"),
+                  Param("key", str, "doc_id"),
+                  Param("seed", int, 0)])
+def _temperature_mixture(ctx, df, alpha: float, source_col: str = "source",
+                         text_col: str = "text", key: str = "doc_id",
+                         seed: int = 0, **_):
+    from promi_spark.operators.scale import temperature_mixture
+
+    if isinstance(alpha, bool) or not isinstance(alpha, (int, float)) \
+            or not float(alpha) > 0.0:
+        raise FlowConfigError(
+            f"TemperatureMixture: alpha must be a positive number, "
+            f"got {alpha!r}"
+        )
+    return temperature_mixture(
+        df, float(alpha), source_col=source_col, text_col=text_col,
+        key_col=key, seed=seed,
+    )
+
+
+@register("BloomDecontaminate", "drop (or flag) docs overlapping a "
+          "PERSISTED benchmark Bloom sketch (write_bench_bloom): "
+          "batch-proportional probe, fixed-size broadcast, zero false "
+          "negatives",
+          {"stream"},
+          params=[Param("index_path", str,
+                        description="path written by write_bench_bloom"),
+                  Param("key", str, "doc_id"),
+                  Param("text_col", str, "text"),
+                  Param("min_shared", int, 1),
+                  Param("action", str, "drop",
+                        "'drop' removes flagged docs; 'flag' keeps all "
+                        "rows and adds the contaminated column")])
+def _bloom_decontaminate(ctx, df, index_path: str, key: str = "doc_id",
+                         text_col: str = "text", min_shared: int = 1,
+                         action: str = "drop", **_):
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.bloom import decontaminate_bloom
+
+    if action not in ("drop", "flag"):
+        raise FlowConfigError(
+            f"BloomDecontaminate: action must be 'drop' or 'flag', "
+            f"got {action!r}"
+        )
+    verdict = decontaminate_bloom(
+        df, index_path, key_col=key, text_col=text_col,
+        min_shared=min_shared,
+    ).select(key, "contaminated")
+    if action == "flag":
+        return df.join(verdict, key, "left")
+    return df.join(
+        verdict.filter(F.col("contaminated")).select(key),
+        key,
+        "left_anti",
+    )
+
+
 @register("PerKeyCap", "domain cap: keep at most n rows per key by "
           "md5-coin rank (C4/RefinedWeb-style 'no domain contributes "
           "more than n docs'; partitioning-invariant kept set)",

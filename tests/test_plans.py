@@ -761,3 +761,102 @@ def test_readme_quickstart_documented_counts(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "clean_corpus"))
     assert out.count() == 457  # 500 in, 43 removed by dedup+decontam
     assert out.select("shard").distinct().count() == 16
+
+
+def test_temperature_and_bloom_segments(spark, tmp_path):
+    """Round-9 segments: TemperatureMixture (alpha rebalancing) and
+    BloomDecontaminate (persisted-sketch gate) composed in one flow;
+    drop mode removes every truly contaminated doc (zero false
+    negatives), flag mode keeps all rows; malformed alpha/action
+    rejected at flow-build time."""
+    import yaml
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.bloom import write_bench_bloom
+    from promi_spark.operators.text import ngram_overlap
+    from promi_spark.plans import execute
+    from promi_spark.plans.registry import FlowConfigError
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    bloom_path = str(tmp_path / "bench_bloom")
+    write_bench_bloom(bench, bloom_path, n=5)
+
+    out = str(tmp_path / "curated")
+    flow = yaml.safe_load(f"""
+pipes:
+  - name: Curate
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: BloomDecontaminate
+        attributes: {{index_path: {bloom_path}, action: drop}}
+      - name: TemperatureMixture
+        attributes: {{alpha: 0.5}}
+    sink:
+      name: ShardExport
+      attributes: {{path: {out}, n_shards: 4}}
+""")
+    execute(spark, flow, base_dir=str(tmp_path))
+    got = spark.read.parquet(out)
+    kept = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 0 < len(kept) < docs.count()
+    # no truly contaminated doc survives the drop gate
+    exact = ngram_overlap(docs, bench, n=5)
+    contaminated = {
+        r["doc_id"] for r in exact.filter("contaminated").collect()
+    }
+    assert kept.isdisjoint(contaminated)
+
+    flag_flow = yaml.safe_load(f"""
+pipes:
+  - name: Flagged
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: BloomDecontaminate
+        attributes: {{index_path: {bloom_path}, action: flag}}
+    sink:
+      name: ShardExport
+      attributes: {{path: {out}_flag, n_shards: 4}}
+""")
+    execute(spark, flag_flow, base_dir=str(tmp_path))
+    flagged = spark.read.parquet(f"{out}_flag")
+    assert flagged.count() == docs.count()
+    assert "contaminated" in flagged.columns
+    assert flagged.filter("contaminated").count() >= len(contaminated)
+
+    for attrs, pat in (
+        ({"alpha": -0.5}, "alpha"),
+        ({"alpha": 0.5, "action": "purge"}, None),
+    ):
+        bad = yaml.safe_load(f"""
+pipes:
+  - name: Bad
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: TemperatureMixture
+        attributes: {{alpha: {attrs['alpha']}}}
+    sink:
+      name: Void
+""") if "action" not in attrs else yaml.safe_load(f"""
+pipes:
+  - name: Bad
+    source:
+      name: DocumentsTable
+      attributes: {{sf_dir: /root/testdata/sf0.001}}
+    streams:
+      - name: BloomDecontaminate
+        attributes: {{index_path: {bloom_path}, action: purge}}
+    sink:
+      name: Void
+""")
+        import pytest as _pytest
+
+        with _pytest.raises(FlowConfigError):
+            execute(spark, bad, base_dir=str(tmp_path))
