@@ -327,6 +327,60 @@ def streaming_neardup_ingest(
     )
 
 
+def streaming_decontaminate_ingest(
+    docs: DataFrame,
+    bloom_index_path: str,
+    good_path: str,
+    reject_path: str,
+    checkpoint: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+):
+    """Streaming benchmark-decontamination gate: every micro-batch of
+    incoming documents is probed against the persisted benchmark Bloom
+    sketch (:func:`operators.bloom.write_bench_bloom`); clean docs land
+    in ``good_path``, docs sharing >= ``min_shared`` (possible)
+    benchmark n-grams in ``reject_path`` with their maybe-shared count.
+
+    Per-batch cost is proportional to the BATCH (its own tokenize +
+    gram explode) plus a fixed-size broadcast of the sparse bloom
+    relation — the benchmark corpus is never read at ingest time, and
+    Bloom semantics guarantee zero false negatives (a truly
+    contaminated doc can never reach ``good_path``; the per-gram FP
+    rate set at build time bounds over-rejection). The sketch is
+    refreshed only when the benchmark suite changes. Returns the
+    started query (availableNow trigger; caller awaits/stops)."""
+    from promi_spark.operators.bloom import decontaminate_bloom
+
+    def _gate(batch: DataFrame, batch_id: int):
+        if not batch.head(1):
+            return
+        verdict = decontaminate_bloom(
+            batch,
+            bloom_index_path,
+            key_col=key_col,
+            text_col=text_col,
+            min_shared=min_shared,
+        )
+        flagged = verdict.filter(F.col("contaminated")).select(
+            key_col, "maybe_shared", "n_grams"
+        )
+        batch.join(flagged.select(key_col), key_col, "left_anti").write.mode(
+            "append"
+        ).parquet(good_path)
+        flagged.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(reject_path)
+
+    return (
+        docs.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dfg(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

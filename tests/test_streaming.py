@@ -422,3 +422,61 @@ def test_streaming_outliers_prefix_causal(spark, tmp_path):
     # event 4 (10.2 vs all-10s, sd=0) cannot score; spike 5 flags
     assert [e for e, _ in got] == [5]
     assert got[0][1] > 2
+
+
+def test_streaming_decontaminate_ingest_gate(spark, tmp_path):
+    """r9 ingest gate: micro-batches probed against the persisted
+    benchmark Bloom sketch; docs sharing benchmark n-grams land in the
+    reject sink (zero false negatives — Bloom semantics), clean docs
+    append to good. The benchmark corpus is never read at ingest."""
+    from promi_spark.operators.bloom import write_bench_bloom
+    from promi_spark.streaming import streaming_decontaminate_ingest
+
+    bench_text = (
+        "the held out benchmark question asks about the capital of a "
+        "small alpine country in winter"
+    )
+    bench = spark.createDataFrame(
+        [(0, bench_text)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bloom_idx")
+    write_bench_bloom(bench, idx, n=5)
+
+    new = spark.createDataFrame(
+        [
+            # contains a verbatim 5-gram from the benchmark -> reject
+            (100, "as the held out benchmark question asks students often panic"),
+            # clean
+            (101, "fresh training document with entirely different content about engines"),
+            # full benchmark copy -> reject
+            (102, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    new.repartition(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming_decontaminate_ingest(
+        stream,
+        idx,
+        good_path=str(tmp_path / "good"),
+        reject_path=str(tmp_path / "reject"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    good = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "good")).collect()
+    }
+    rej = {
+        r["doc_id"]: r["maybe_shared"]
+        for r in spark.read.parquet(str(tmp_path / "reject")).collect()
+    }
+    assert good == {101}
+    assert set(rej) == {100, 102}
+    assert rej[102] > rej[100] >= 1  # the full copy shares more grams
