@@ -860,3 +860,35 @@ pipes:
 
         with _pytest.raises(FlowConfigError):
             execute(spark, bad, base_dir=str(tmp_path))
+
+
+def test_decontaminated_mix_example_documented_counts(spark, tmp_path):
+    """The shipped examples/decontaminated_mix.yml runs verbatim after
+    its documented one-line sketch-build step, and its output counts
+    are pinned: 500 docs -> 385 after the Bloom drop gate (bench =
+    doc_id % 7 == 0 here) + alpha=0.5 temperature rebalance, exported
+    as 8 shards covering all 20 sources. Only the index/export paths
+    are rewritten into the sandbox."""
+    import yaml
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.bloom import write_bench_bloom
+    from promi_spark.plans import execute
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    idx = str(tmp_path / "bench_bloom")
+    write_bench_bloom(docs.filter(F.col("doc_id") % 7 == 0), idx, n=5)
+
+    flow = yaml.safe_load(open("/root/repo/examples/decontaminated_mix.yml"))
+    out_path = str(tmp_path / "mix")
+    for pipe in flow["pipes"]:
+        for seg in pipe.get("streams", []):
+            if seg["name"] == "BloomDecontaminate":
+                seg["attributes"]["index_path"] = idx
+        pipe["sink"]["attributes"]["path"] = out_path
+    execute(spark, flow)
+    out = spark.read.parquet(out_path)
+    assert out.count() == 385
+    assert out.select("shard").distinct().count() == 8
+    assert out.select("source").distinct().count() == 20
