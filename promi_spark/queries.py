@@ -3193,12 +3193,12 @@ def q_media_embeddings(spark, sf_dir):
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
     # ---- 50-slot driver window (round-9 rotation, oldest driver
-    # witness first): the two operators NEW this round (first driver
-    # witness; bloom_decontaminate is rows-only by design), then the
-    # 7 remaining r6-witnessed entries, then the r7-witnessed block
-    # up to the 50th slot ----
+    # witness first): the NEW oracled operator first, then the 7
+    # remaining r6-witnessed entries, then the r7-witnessed block up
+    # to the 50th slot; every slot carries a DuckDB oracle (the also-
+    # new bloom_decontaminate is rows-only by design -> rows-only
+    # block) ----
     "temperature_mixture",  # NEW r9
-    "bloom_decontaminate",  # NEW r9
     "value_histogram",  # last driver row r6
     "value_hour_corr",  # last driver row r6
     "value_outliers",  # last driver row r6
@@ -3312,6 +3312,7 @@ _ORDER = [
     "user_event_pivot",  # r8
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
+    "bloom_decontaminate",  # NEW r9 — xxhash64 sketch, pytest-pinned
     "bpe_learned_tokens",
     "topic_map",
     "dfg_alignment_fitness",

@@ -351,9 +351,12 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    # (r8 rotation: corpus_shuffle + r5 vintage + r6 block)
-    assert names[0] == "corpus_shuffle"
-    assert names[49] == "user_event_pivot"
+    # (r9 rotation: the new temperature_mixture + the 7 remaining
+    # r6-witnessed entries + the r7 block through filter_trace_scope;
+    # bloom_decontaminate is rows-only by design and lives in the
+    # rows-only block so the window stays 100% hash-witnessed)
+    assert names[0] == "temperature_mixture"
+    assert names[49] == "filter_trace_scope"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
