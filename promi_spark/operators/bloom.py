@@ -260,19 +260,51 @@ def decontaminate_bloom(
     build time), and a probe cost proportional to the BATCH with a
     fixed-size broadcast — the benchmark corpus itself is never read
     again. Counts are of maybe-hits, so ``maybe_shared >= n_shared``
-    (exact) row-by-row."""
+    (exact) row-by-row.
+
+    Plan shape (deliberately NOT the generic :func:`bloom_probe`,
+    which dedups by value and then joins verdicts back — a third
+    gram-stream exchange): the k positions explode per (doc, gram) row
+    (narrow), the sparse filter broadcast-joins on the word index, and
+    the verdict folds through exactly TWO map-side-combined exchanges —
+    (doc, gram) for the all-k-hits test, then doc for the rollup. The
+    k-row amplification between them never shuffles."""
     spark = train.sparkSession
     bloom, meta = read_bloom_index(spark, index_path)
+    m_bits, k = meta["m_bits"], meta["k"]
     ex = _doc_grams(train, key_col, text_col, meta["n"])
-    probed = bloom_probe(
-        ex, bloom, "g", meta["m_bits"], meta["k"], flag_col="__hit"
+    # explode_outer keeps gram-less docs (g null -> no positions, zero
+    # hits); a null gram must NOT hash (xxhash64(null, i) degenerates
+    # to the seed hash and could false-positive)
+    pos_arr = F.when(
+        F.col("g").isNull(), F.array().cast("array<long>")
+    ).otherwise(F.array(*_positions(F.col("g"), m_bits, k)))
+    exploded = ex.select(
+        "k", "n_grams", "g", F.explode_outer(pos_arr).alias("__pos")
+    ).select(
+        "k",
+        "n_grams",
+        "g",
+        F.shiftright("__pos", 6).alias("word"),
+        F.expr("shiftleft(1L, CAST(pmod(__pos, 64) AS INT))").alias("__bit"),
+    )
+    hit = F.coalesce(
+        F.col("mask").bitwiseAND(F.col("__bit")) != 0, F.lit(False)
+    ).cast("int")
+    per_gram = (
+        exploded.join(F.broadcast(bloom), "word", "left")
+        .groupBy("k", "g")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            (F.sum(hit) == k).cast("int").alias("__gram_hit"),
+        )
     )
     return (
-        probed.groupBy("k")
+        per_gram.groupBy("k")
         .agg(
             F.first("n_grams").alias("n_grams"),
             F.sum(
-                F.when(F.col("g").isNotNull() & F.col("__hit"), 1).otherwise(
+                F.when(F.col("g").isNotNull(), F.col("__gram_hit")).otherwise(
                     0
                 )
             ).alias("maybe_shared"),

@@ -130,3 +130,25 @@ def test_bloom_plan_is_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_plan_two_exchanges(spark, tmp_path, sf_dir):
+    """The inline probe keeps the gram stream to exactly two map-side-
+    combined exchanges ((doc, gram) hit test, then the doc rollup); the
+    sparse filter joins as a broadcast, never a shuffle."""
+    import re
+
+    from promi_spark.io import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "bb_plan")
+    write_bench_bloom(docs.filter(F.col("doc_id") % 7 == 0), path, n=5)
+    df = decontaminate_bloom(docs.filter(F.col("doc_id") % 7 != 0), path)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
