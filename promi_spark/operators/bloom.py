@@ -204,12 +204,57 @@ def _doc_grams(
     )
 
 
+def merge_bloom_indexes(
+    spark: SparkSession, paths: list[str], out_path: str
+) -> dict:
+    """Union persisted Bloom indexes into one (benchmark suites
+    accrete: new eval releases arrive as their own sketches and the
+    ingest gate probes a single merged filter). Bloom union is exact:
+    OR-ing the bit arrays of same-geometry filters yields precisely
+    the filter that would have been built over the union of the
+    inserted values — no recall loss, and the FP rate degrades only as
+    the combined fill factor implies. Implementation: read the sparse
+    ``(word, mask)`` relations, one ``bit_or`` per word (map-side
+    combined, output bounded by ``m_bits/64`` rows). Geometry must
+    match EXACTLY (same ``m_bits``/``k``/``col`` and — for gram
+    sketches — the same ``n``); mismatches raise instead of silently
+    probing wrong bits."""
+    import json
+    from functools import reduce
+
+    from promi_spark.operators.similarity import _hadoop_write_text
+
+    if not paths:
+        raise ValueError("merge_bloom_indexes: need at least one index")
+    loaded = [read_bloom_index(spark, p) for p in paths]
+    meta0 = loaded[0][1]
+    for p, (_, meta) in zip(paths, loaded):
+        if meta != meta0:
+            raise ValueError(
+                f"merge_bloom_indexes: geometry mismatch — {paths[0]} has "
+                f"{meta0}, {p} has {meta}; rebuild with identical "
+                "parameters before merging"
+            )
+    merged = (
+        reduce(lambda a, b: a.unionByName(b), (df for df, _ in loaded))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    merged.write.mode("overwrite").parquet(out_path)
+    _hadoop_write_text(
+        spark, f"{out_path.rstrip('/')}/_index_meta.json", json.dumps(meta0)
+    )
+    return meta0
+
+
 def write_bench_bloom(
     bench: DataFrame,
     path: str,
     text_col: str = "text",
     n: int = 5,
     fp_rate: float = 1e-6,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> dict:
     """Build + persist the benchmark-suite decontamination sketch: the
     distinct word n-grams of the benchmark corpus, bloomed. Run once
@@ -221,7 +266,12 @@ def write_bench_bloom(
     is sized for document-level accuracy (1e-6 -> ~0.01% of 100-gram
     docs falsely flagged) — Bloom size grows only linearly in
     ``-ln(fp_rate)``, so the tight default costs ~2x the bits of a
-    casual 1e-3."""
+    casual 1e-3.
+
+    Suites that ACCRETE (new eval releases merged into one gate filter
+    via :func:`merge_bloom_indexes`) must pass explicit ``m_bits``/``k``
+    so every release shares one geometry — auto-sizing from each
+    release's own gram count would make the sketches unmergeable."""
     import json
 
     from promi_spark.operators.similarity import _hadoop_write_text
@@ -232,7 +282,9 @@ def write_bench_bloom(
         .filter(F.col("g").isNotNull())
         .distinct()
     )
-    meta = write_bloom_index(grams, path, "g", fp_rate=fp_rate)
+    meta = write_bloom_index(
+        grams, path, "g", fp_rate=fp_rate, m_bits=m_bits, k=k
+    )
     meta["n"] = n
     _hadoop_write_text(
         bench.sparkSession,

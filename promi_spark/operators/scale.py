@@ -322,41 +322,29 @@ def temperature_mixture(
     required for the target distribution.
     """
     from promi_spark.operators.split import coin_hex
-    from promi_spark.operators.text import token_count
 
-    ref = F.min("__nt") if alpha <= 1 else F.max("__nt")
-    rates = (
-        df.groupBy(F.col(source_col).alias("__src"))
-        .agg(F.sum(token_count(F.col(text_col))).alias("__nt"))
-        .select(
-            "__src",
-            F.round(
-                F.pow(
-                    F.col("__nt")
-                    / ref.over(Window.partitionBy()).cast("double"),
-                    F.lit(alpha - 1.0),
-                ),
-                9,
-            ).alias("__rate"),
-        )
-        .select(
-            "__src",
-            F.when(F.col("__rate") >= 1.0, F.lit("g"))
-            .otherwise(
-                F.lpad(
-                    F.lower(
-                        F.hex(
-                            F.floor(
-                                F.col("__rate") * F.lit(float(16**8))
-                            ).cast("bigint")
+    rates = temperature_rates(df, alpha, source_col, text_col).select(
+        F.col("source").alias("__src"),
+        # the same threshold conversion as split.hex_threshold, in-plan:
+        # hex() is uppercase in BOTH engines while the md5 coin is
+        # lowercase hex (uppercase sorts BEFORE lowercase digits), so
+        # the lower() is load-bearing — see the r9 temperature_mixture
+        # oracle mismatch
+        F.when(F.col("rate") >= 1.0, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(F.col("rate") * F.lit(float(16**8))).cast(
+                            "bigint"
                         )
-                    ),
-                    8,
-                    "0",
-                )
+                    )
+                ),
+                8,
+                "0",
             )
-            .alias("__thr"),
         )
+        .alias("__thr"),
     )
     coin = coin_hex(F.col(key_col).cast("string"), seed, salt="tmix")
     return (
@@ -365,6 +353,41 @@ def temperature_mixture(
         )
         .filter(coin < F.col("__thr"))
         .drop("__src", "__thr")
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The rate table behind :func:`temperature_mixture`, exposed as an
+    observability report: (source, n_tokens, rate) — what fraction of
+    each source the alpha-temperature sampler keeps. A pipeline reads
+    this (like :func:`operators.text.source_mix`) to review the mix
+    before committing the 100 TB sampling pass; the sampler itself
+    derives its thresholds from exactly this relation, so the report
+    can never drift from the executed rates. One map-side-combined
+    |sources|-row aggregate plus a window over that tiny relation."""
+    from promi_spark.operators.text import token_count
+
+    ref = F.min("__nt") if alpha <= 1 else F.max("__nt")
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(token_count(F.col(text_col))).alias("__nt"))
+        .select(
+            "source",
+            F.col("__nt").alias("n_tokens"),
+            F.round(
+                F.pow(
+                    F.col("__nt")
+                    / ref.over(Window.partitionBy()).cast("double"),
+                    F.lit(alpha - 1.0),
+                ),
+                9,
+            ).alias("rate"),
+        )
     )
 
 

@@ -663,3 +663,28 @@ def temperature_mixture_sql(
     WHERE substr(md5(CAST(d.{key_col} AS VARCHAR) || ':{seed}:tmix'), 1, 8)
           < thr.t
     """
+
+
+def temperature_rates_sql(
+    alpha: float,
+    source_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """Replay of operators.scale.temperature_rates: the rate table the
+    alpha-temperature sampler executes (same exact-integer pow input
+    and 9-digit round as temperature_mixture_sql)."""
+    ref = "min" if alpha <= 1 else "max"
+    ntok = (
+        r"CASE WHEN len(trim(text)) = 0 THEN 0 "
+        r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+    )
+    return f"""
+    SELECT src AS source,
+           nt AS n_tokens,
+           round(pow(nt / CAST({ref}(nt) OVER () AS DOUBLE),
+                     {alpha!r} - 1.0), 9) AS rate
+    FROM (
+      SELECT {source_col} AS src, SUM({ntok}) AS nt
+      FROM {table} GROUP BY 1
+    )
+    """

@@ -2354,6 +2354,19 @@ def q_temperature_mixture(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@q("temperature_rates", oracles.temperature_rates_sql(alpha=0.3))
+def q_temperature_rates(spark, sf_dir):
+    """The rate table behind temperature_mixture, as an observability
+    report (source, n_tokens, rate) — the sampler derives its
+    thresholds from exactly this relation, so the report can never
+    drift from the executed rates. r9."""
+    from promi_spark.operators.scale import temperature_rates
+
+    return temperature_rates(
+        load_table(spark, "documents", sf_dir), alpha=0.3
+    )
+
+
 @q("bloom_decontaminate", None)  # xxhash64 sketch — not SQL-replayable
 def q_bloom_decontaminate(spark, sf_dir):
     """Decontamination against a PERSISTED Bloom sketch of the
@@ -3199,6 +3212,7 @@ _ORDER = [
     # new bloom_decontaminate is rows-only by design -> rows-only
     # block) ----
     "temperature_mixture",  # NEW r9
+    "temperature_rates",  # NEW r9
     "value_histogram",  # last driver row r6
     "value_hour_corr",  # last driver row r6
     "value_outliers",  # last driver row r6

@@ -152,3 +152,32 @@ def test_decontaminate_plan_two_exchanges(spark, tmp_path, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_merge_bloom_indexes_exact_union(spark, tmp_path):
+    """Bloom union is exact: the merged filter's verdicts equal the
+    filter built over the union of inserted values, geometry sidecar
+    survives, and mismatched geometry is rejected loudly."""
+    from promi_spark.operators.bloom import merge_bloom_indexes
+
+    m, k = bloom_params(4000, 0.01)
+    p1, p2, pm = (str(tmp_path / d) for d in ("b1", "b2", "merged"))
+    write_bloom_index(_vals(spark, 0, 2000), p1, "val", m_bits=m, k=k)
+    write_bloom_index(_vals(spark, 2000, 4000), p2, "val", m_bits=m, k=k)
+    meta = merge_bloom_indexes(spark, [p1, p2], pm)
+    assert meta == {"m_bits": m, "k": k, "col": "val"}
+
+    merged, _ = read_bloom_index(spark, pm)
+    direct = bloom_build(_vals(spark, 0, 4000), "val", m, k)
+    got = {r["word"]: r["mask"] for r in merged.collect()}
+    want = {r["word"]: r["mask"] for r in direct.collect()}
+    assert got == want, "merged bit array must equal the union build"
+
+    probe = bloom_probe(_vals(spark, 0, 4000), merged, "val", m, k)
+    assert probe.filter(~F.col("maybe_member")).count() == 0
+
+    # geometry mismatch rejected
+    p3 = str(tmp_path / "b3")
+    write_bloom_index(_vals(spark, 0, 100), p3, "val", m_bits=128, k=2)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_bloom_indexes(spark, [p1, p3], str(tmp_path / "bad"))

@@ -356,7 +356,8 @@ def test_driver_window_all_oracled_and_sized():
     # bloom_decontaminate is rows-only by design and lives in the
     # rows-only block so the window stays 100% hash-witnessed)
     assert names[0] == "temperature_mixture"
-    assert names[49] == "filter_trace_scope"
+    assert names[1] == "temperature_rates"
+    assert names[49] == "filter_concept_eq_strict"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):

@@ -423,6 +423,7 @@ WINDOW_UNPARTITIONED_BOUNDED = {
     "topic_map",   # k KMeans clusters ranked for labeling
     "source_mix",  # per-source shares: |sources| rows
     "temperature_mixture",  # rate normalizer over the |sources|-row agg
+    "temperature_rates",    # same normalizer, report form
 }
 
 

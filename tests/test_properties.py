@@ -607,3 +607,63 @@ def test_incremental_probe_pre_class_index_fallback(spark, tmp_path):
         ).collect()
     }
     assert with_rep == without_rep and with_rep
+
+
+# r9: alpha-temperature sampling invariants -----------------------------------
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.tuples(
+        st.floats(min_value=0.05, max_value=0.95),
+        st.floats(min_value=0.05, max_value=0.95),
+    ).map(sorted)
+)
+def test_temperature_mixture_superset_chain(spark, alphas):
+    """For alpha_lo <= alpha_hi <= 1, every per-source keep rate is
+    monotone in alpha ((n_i/n_min)^(alpha-1) with n_i/n_min >= 1), and
+    the md5-coin contract turns that into a row-level SUPERSET chain —
+    the incremental-retuning guarantee mixture_sample documents,
+    inherited by the temperature form."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.operators.scale import temperature_mixture
+
+    a_lo, a_hi = alphas
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    lo = {r["doc_id"] for r in temperature_mixture(docs, a_lo).collect()}
+    hi = {r["doc_id"] for r in temperature_mixture(docs, a_hi).collect()}
+    assert lo <= hi
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase + " ", min_size=1,
+                max_size=40),
+        min_size=1, max_size=60, unique=True,
+    )
+)
+def test_bloom_never_false_negative(spark, values):
+    """Classic Bloom guarantee under arbitrary inserted strings: every
+    inserted value probes positive, whatever the geometry."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "val string")
+    m, k = bloom_params(len(values), 0.05)
+    bf = bloom_build(df, "val", m, k)
+    res = bloom_probe(df, bf, "val", m, k)
+    assert res.filter(~F.col("maybe_member")).count() == 0
