@@ -323,6 +323,13 @@ def decontaminate_bloom(
     k-row amplification between them never shuffles."""
     spark = train.sparkSession
     bloom, meta = read_bloom_index(spark, index_path)
+    if meta.get("col") != "g" or "n" not in meta:
+        raise ValueError(
+            f"decontaminate_bloom: {index_path} is not a benchmark n-gram "
+            f"sketch (meta {meta}); build it with write_bench_bloom — a "
+            "raw write_bloom_index artifact hashes a different value "
+            "domain and would probe silently wrong bits"
+        )
     m_bits, k = meta["m_bits"], meta["k"]
     ex = _doc_grams(train, key_col, text_col, meta["n"])
     # explode_outer keeps gram-less docs (g null -> no positions, zero

@@ -181,3 +181,14 @@ def test_merge_bloom_indexes_exact_union(spark, tmp_path):
     write_bloom_index(_vals(spark, 0, 100), p3, "val", m_bits=128, k=2)
     with pytest.raises(ValueError, match="geometry mismatch"):
         merge_bloom_indexes(spark, [p1, p3], str(tmp_path / "bad"))
+
+
+def test_decontaminate_rejects_non_gram_index(spark, tmp_path):
+    """Probing a raw value index as if it were a benchmark n-gram
+    sketch hashes a different value domain — it must fail loudly at
+    meta load, never probe silently wrong bits."""
+    path = str(tmp_path / "raw_idx")
+    write_bloom_index(_vals(spark, 0, 100), path, "val", fp_rate=0.01)
+    df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not a benchmark n-gram sketch"):
+        decontaminate_bloom(df, path)
