@@ -8,10 +8,16 @@ Spark's own runtime bloom filter (used by ``text.ngram_overlap
 makes the sketch a first-class ARTIFACT: build once over the reference
 side, persist as parquet, probe from every ingest batch at a cost
 proportional to the batch. The filter is represented as a sparse
-``(word: long, mask: long)`` relation — ``m_bits/64`` rows max,
-independent of the reference set's cardinality — so a billion-gram
-benchmark suite probes through a few-MB broadcast instead of a
-multi-GB exact set.
+``(word: long, mask: long)`` relation — ``m_bits/64`` rows max, i.e.
+up to ``m_bits/4`` bytes in-plan — independent of the reference set's
+CARDINALITY but not of its sizing: a real benchmark suite
+(~10^6–10^7 distinct grams at fp 1e-6) is a few-to-tens-of-MB
+broadcast, while 1e9 grams at fp 1e-6 is m ≈ 2.9e10 bits ≈ 3.6 GB of
+masks — far past sane broadcast limits. Probes therefore guard on the
+relation's size (persisted indexes carry their measured bytes in the
+meta sidecar; ad-hoc filters use the worst case from ``m_bits``) and
+fall back to a shuffled hash join on ``word`` above
+``BLOOM_BROADCAST_CEILING_BYTES`` instead of forcing a broadcast.
 
 Guarantees (classic Bloom semantics): NO false negatives — every value
 inserted at build time always probes positive — and a false-positive
@@ -30,9 +36,61 @@ the standard production primitive.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Above this estimated relation size the probe joins shuffled on `word`
+# instead of forcing a broadcast (executor memory x fan-out makes a
+# multi-GB forced broadcast an OOM, not a speedup). 256 MB is
+# comfortably inside a 4 GB executor and covers every realistic
+# benchmark-suite sketch (10^7 grams @ fp 1e-6 ≈ 42 MB of masks).
+BLOOM_BROADCAST_CEILING_BYTES = 256 << 20
+
+# Parquet-compressed bytes underestimate the in-memory hashed relation
+# (dictionary/RLE vs raw longs + hash-table overhead); scale measured
+# file sizes by this factor before comparing to the ceiling.
+_PARQUET_TO_MEMORY_FACTOR = 4
+
+
+def _bloom_relation_bytes(m_bits: int) -> int:
+    """Worst-case in-plan size of the sparse (word, mask) relation:
+    ``m_bits/64`` rows x 16 bytes (two longs)."""
+    return (m_bits // 64) * 16
+
+
+def _bloom_build_side(
+    bloom: DataFrame, m_bits: int, actual_bytes: int | None = None
+) -> DataFrame:
+    """The filter side of a probe join: broadcast when the estimated
+    relation size is under the ceiling, else the plain relation (the
+    optimizer plans a shuffled join on ``word``, which stays correct
+    at any size). Persisted indexes pass their measured parquet bytes
+    (scaled to an in-memory estimate); ad-hoc filters estimate the
+    worst case from the geometry."""
+    est = (
+        actual_bytes * _PARQUET_TO_MEMORY_FACTOR
+        if actual_bytes is not None
+        else _bloom_relation_bytes(m_bits)
+    )
+    if est <= BLOOM_BROADCAST_CEILING_BYTES:
+        return F.broadcast(bloom)
+    warnings.warn(
+        f"bloom filter relation estimated at {est / (1 << 20):.0f} MB "
+        f"(ceiling {BLOOM_BROADCAST_CEILING_BYTES >> 20} MB) — probing "
+        "via a shuffled join on the word index instead of a forced "
+        "broadcast; rebuild with a higher fp_rate or fewer items for a "
+        "broadcastable sketch",
+        stacklevel=3,
+    )
+    return bloom
+
+
+def _geometry(meta: dict) -> dict:
+    """The mergeability-relevant subset of an index's meta sidecar —
+    measured size ('bytes') is per-artifact bookkeeping, not geometry."""
+    return {k: v for k, v in meta.items() if k != "bytes"}
 
 
 def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
@@ -89,13 +147,16 @@ def bloom_probe(
     m_bits: int,
     k: int,
     flag_col: str = "maybe_member",
+    bloom_bytes: int | None = None,
 ) -> DataFrame:
     """Probe every row's ``col`` value against the filter: adds
     ``flag_col`` (true = possibly inserted, false = DEFINITELY not).
 
     Plan shape: the k positions explode per row (narrow), the sparse
-    word relation broadcasts (``m_bits/8`` bytes worst case — size the
-    filter, not the data), hits are counted with one map-side-combined
+    word relation broadcasts when it fits (``m_bits/4`` bytes worst
+    case, or the measured ``bloom_bytes`` of a persisted index — above
+    ``BLOOM_BROADCAST_CEILING_BYTES`` the join shuffles on ``word``
+    instead), hits are counted with one map-side-combined
     aggregation keyed by the probed VALUE, and the verdict joins back
     onto the original rows by that value. The only exchanges are on
     the probe side's distinct values — the reference set never moves,
@@ -114,7 +175,7 @@ def bloom_probe(
         ).alias("__bit"),
     )
     hits = (
-        ex.join(F.broadcast(bloom), "word", "left")
+        ex.join(_bloom_build_side(bloom, m_bits, bloom_bytes), "word", "left")
         .select(
             "__v",
             (
@@ -156,11 +217,26 @@ def write_bloom_index(
         n = n_items if n_items is not None else df.select(col).distinct().count()
         m_bits, k = bloom_params(n, fp_rate)
     bloom_build(df, col, m_bits, k).write.mode("overwrite").parquet(path)
-    meta = {"m_bits": m_bits, "k": k, "col": col}
+    meta = {
+        "m_bits": m_bits,
+        "k": k,
+        "col": col,
+        "bytes": _dir_bytes(df.sparkSession, path),
+    }
     _hadoop_write_text(
         df.sparkSession, f"{path.rstrip('/')}/_index_meta.json", json.dumps(meta)
     )
     return meta
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Measured on-disk bytes of a persisted index (drives the
+    broadcast-vs-shuffle probe decision with the REAL relation size
+    instead of the worst case the geometry implies)."""
+    from promi_spark.operators.similarity import _hadoop_path_fs
+
+    jpath, fs = _hadoop_path_fs(spark, path)
+    return int(fs.getContentSummary(jpath).getLength())
 
 
 def read_bloom_index(
@@ -218,7 +294,11 @@ def merge_bloom_indexes(
     combined, output bounded by ``m_bits/64`` rows). Geometry must
     match EXACTLY (same ``m_bits``/``k``/``col`` and — for gram
     sketches — the same ``n``); mismatches raise instead of silently
-    probing wrong bits."""
+    probing wrong bits. ``out_path`` must not be one of the inputs:
+    the inputs are read lazily, so overwriting one mid-merge would
+    corrupt (or refuse, engine-dependent) the very index being
+    accreted — write the merge to a fresh path and swap it into the
+    gate path outside."""
     import json
     from functools import reduce
 
@@ -226,14 +306,23 @@ def merge_bloom_indexes(
 
     if not paths:
         raise ValueError("merge_bloom_indexes: need at least one index")
+    out_norm = out_path.rstrip("/")
+    for p in paths:
+        if p.rstrip("/") == out_norm:
+            raise ValueError(
+                f"merge_bloom_indexes: out_path {out_path!r} is also an "
+                "input — the inputs are read lazily, so overwriting one "
+                "mid-merge corrupts the index being accreted. Write the "
+                "merge to a fresh path, then swap it into the gate path."
+            )
     loaded = [read_bloom_index(spark, p) for p in paths]
-    meta0 = loaded[0][1]
+    meta0 = _geometry(loaded[0][1])
     for p, (_, meta) in zip(paths, loaded):
-        if meta != meta0:
+        if _geometry(meta) != meta0:
             raise ValueError(
                 f"merge_bloom_indexes: geometry mismatch — {paths[0]} has "
-                f"{meta0}, {p} has {meta}; rebuild with identical "
-                "parameters before merging"
+                f"{meta0}, {p} has {_geometry(meta)}; rebuild with "
+                "identical parameters before merging"
             )
     merged = (
         reduce(lambda a, b: a.unionByName(b), (df for df, _ in loaded))
@@ -241,10 +330,11 @@ def merge_bloom_indexes(
         .agg(F.bit_or("mask").alias("mask"))
     )
     merged.write.mode("overwrite").parquet(out_path)
+    meta_out = dict(meta0, bytes=_dir_bytes(spark, out_path))
     _hadoop_write_text(
-        spark, f"{out_path.rstrip('/')}/_index_meta.json", json.dumps(meta0)
+        spark, f"{out_path.rstrip('/')}/_index_meta.json", json.dumps(meta_out)
     )
-    return meta0
+    return meta_out
 
 
 def write_bench_bloom(
@@ -296,10 +386,11 @@ def write_bench_bloom(
 
 def decontaminate_bloom(
     train: DataFrame,
-    index_path: str,
+    index_path: str | None = None,
     key_col: str = "doc_id",
     text_col: str = "text",
     min_shared: int = 1,
+    index: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Benchmark decontamination against a PERSISTED bloom sketch
     (:func:`write_bench_bloom`): flags every training doc whose word
@@ -317,12 +408,26 @@ def decontaminate_bloom(
     Plan shape (deliberately NOT the generic :func:`bloom_probe`,
     which dedups by value and then joins verdicts back — a third
     gram-stream exchange): the k positions explode per (doc, gram) row
-    (narrow), the sparse filter broadcast-joins on the word index, and
-    the verdict folds through exactly TWO map-side-combined exchanges —
-    (doc, gram) for the all-k-hits test, then doc for the rollup. The
-    k-row amplification between them never shuffles."""
-    spark = train.sparkSession
-    bloom, meta = read_bloom_index(spark, index_path)
+    (narrow), the sparse filter broadcast-joins on the word index
+    (shuffled on ``word`` instead above the broadcast ceiling — the
+    size decision uses the index's MEASURED bytes from its meta
+    sidecar), and the verdict folds through exactly TWO
+    map-side-combined exchanges — (doc, gram) for the all-k-hits test,
+    then doc for the rollup. The k-row amplification between them
+    never shuffles.
+
+    Repeated callers (the streaming ingest gate probes every
+    micro-batch) pass a preloaded ``index=(bloom_df, meta)`` from
+    :func:`read_bloom_index` so the parquet + sidecar are read once,
+    not per batch."""
+    if index is not None:
+        bloom, meta = index
+    else:
+        if index_path is None:
+            raise ValueError(
+                "decontaminate_bloom: pass index_path or a preloaded index"
+            )
+        bloom, meta = read_bloom_index(train.sparkSession, index_path)
     if meta.get("col") != "g" or "n" not in meta:
         raise ValueError(
             f"decontaminate_bloom: {index_path} is not a benchmark n-gram "
@@ -351,7 +456,11 @@ def decontaminate_bloom(
         F.col("mask").bitwiseAND(F.col("__bit")) != 0, F.lit(False)
     ).cast("int")
     per_gram = (
-        exploded.join(F.broadcast(bloom), "word", "left")
+        exploded.join(
+            _bloom_build_side(bloom, m_bits, meta.get("bytes")),
+            "word",
+            "left",
+        )
         .groupBy("k", "g")
         .agg(
             F.first("n_grams").alias("n_grams"),

@@ -317,9 +317,12 @@ def temperature_mixture(
     |sources|-row aggregate (map-side combined), a window over that
     tiny relation, a broadcast join back, then a narrow codegen
     filter — the corpus is scanned once and never shuffled. A source
-    with zero tokens gets rate 1 (``pow(0, negative) = inf``): it
-    contributes nothing to the mix, so dropping its docs is never
-    required for the target distribution.
+    with zero tokens is pinned to rate 1 explicitly (and excluded from
+    the pow reference — with alpha <= 1 it would otherwise BE the min
+    and null out every rate): it contributes nothing to the mix, so
+    dropping its docs is never required for the target distribution.
+    A NULL source is a stratum of its own (null-safe join), sampled at
+    its computed rate rather than dropped.
     """
     from promi_spark.operators.split import coin_hex
 
@@ -347,9 +350,15 @@ def temperature_mixture(
         .alias("__thr"),
     )
     coin = coin_hex(F.col(key_col).cast("string"), seed, salt="tmix")
+    # null-safe equality: a NULL source is a stratum of its own (groupBy
+    # keeps it, so temperature_rates computed a rate for it) — a plain
+    # equi-join would silently drop those rows even at alpha = 1,
+    # breaking the documented identity contract
     return (
         df.join(
-            F.broadcast(rates), F.col(source_col) == F.col("__src"), "inner"
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+            "inner",
         )
         .filter(coin < F.col("__thr"))
         .drop("__src", "__thr")
@@ -372,21 +381,32 @@ def temperature_rates(
     |sources|-row aggregate plus a window over that tiny relation."""
     from promi_spark.operators.text import token_count
 
-    ref = F.min("__nt") if alpha <= 1 else F.max("__nt")
+    # the pow reference must come from token-BEARING sources only: with
+    # alpha <= 1 a zero-token source would otherwise BE the min, making
+    # every other rate pow(x/0, negative) -> null and silently dropping
+    # the whole corpus downstream. A zero-token source is pinned to
+    # rate 1 explicitly — it contributes nothing to the token mix, so
+    # dropping its rows is never required for the target distribution.
+    nz = F.when(F.col("__nt") > 0, F.col("__nt"))
+    ref = F.min(nz) if alpha <= 1 else F.max(nz)
     return (
         df.groupBy(F.col(source_col).alias("source"))
         .agg(F.sum(token_count(F.col(text_col))).alias("__nt"))
         .select(
             "source",
             F.col("__nt").alias("n_tokens"),
-            F.round(
-                F.pow(
-                    F.col("__nt")
-                    / ref.over(Window.partitionBy()).cast("double"),
-                    F.lit(alpha - 1.0),
-                ),
-                9,
-            ).alias("rate"),
+            F.when(F.col("__nt") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.pow(
+                        F.col("__nt")
+                        / ref.over(Window.partitionBy()).cast("double"),
+                        F.lit(alpha - 1.0),
+                    ),
+                    9,
+                )
+            )
+            .alias("rate"),
         )
     )
 

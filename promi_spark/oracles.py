@@ -634,7 +634,15 @@ def temperature_mixture_sql(
     (ratio of integers — both engines feed pow the identical double;
     9-digit round collapses any last-ulp pow divergence), the same
     8-hex threshold conversion (``'g'`` for rate >= 1, matching
-    split.hex_threshold), and the same md5 coin with salt 'tmix'."""
+    split.hex_threshold), and the same md5 coin with salt 'tmix'.
+
+    Mirrors the engine's edge contracts exactly: ``nt`` is CAST to
+    BIGINT (DuckDB's integer SUM is HUGEINT → decimal128 through Arrow,
+    which hash-mismatches Spark's bigint — the r9 red row), the pow
+    reference is taken over token-bearing sources only with zero-token
+    sources pinned to rate 1, and the join back to the corpus is
+    null-safe (``IS NOT DISTINCT FROM``) so a NULL source stratum is
+    sampled by its own computed rate instead of being dropped."""
     ref = "min" if alpha <= 1 else "max"
     ntok = (
         r"CASE WHEN len(trim(text)) = 0 THEN 0 "
@@ -642,7 +650,7 @@ def temperature_mixture_sql(
     )
     return f"""
     WITH per AS (
-      SELECT {source_col} AS src, SUM({ntok}) AS nt
+      SELECT {source_col} AS src, CAST(SUM({ntok}) AS BIGINT) AS nt
       FROM {table} GROUP BY 1
     ),
     thr AS (
@@ -653,13 +661,16 @@ def temperature_mixture_sql(
              END AS t
       FROM (
         SELECT src,
-               round(pow(nt / CAST({ref}(nt) OVER () AS DOUBLE),
-                         {alpha!r} - 1.0), 9) AS r
+               CASE WHEN nt = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(pow(nt / CAST({ref}(CASE WHEN nt > 0 THEN nt END)
+                                              OVER () AS DOUBLE),
+                               {alpha!r} - 1.0), 9)
+               END AS r
         FROM per
       )
     )
     SELECT d.{key_col}, d.{source_col}
-    FROM {table} d JOIN thr ON d.{source_col} = thr.src
+    FROM {table} d JOIN thr ON d.{source_col} IS NOT DISTINCT FROM thr.src
     WHERE substr(md5(CAST(d.{key_col} AS VARCHAR) || ':{seed}:tmix'), 1, 8)
           < thr.t
     """
@@ -672,7 +683,12 @@ def temperature_rates_sql(
 ) -> str:
     """Replay of operators.scale.temperature_rates: the rate table the
     alpha-temperature sampler executes (same exact-integer pow input
-    and 9-digit round as temperature_mixture_sql)."""
+    and 9-digit round as temperature_mixture_sql). ``nt`` is CAST to
+    BIGINT — DuckDB's integer SUM is HUGEINT, which surfaces through
+    Arrow as decimal128(38,0) and hash-mismatches Spark's bigint (the
+    r9 red driver row). The pow reference is the min/max over
+    token-BEARING sources only, with zero-token sources pinned to
+    rate 1 — matching operators.scale.temperature_rates."""
     ref = "min" if alpha <= 1 else "max"
     ntok = (
         r"CASE WHEN len(trim(text)) = 0 THEN 0 "
@@ -681,10 +697,13 @@ def temperature_rates_sql(
     return f"""
     SELECT src AS source,
            nt AS n_tokens,
-           round(pow(nt / CAST({ref}(nt) OVER () AS DOUBLE),
-                     {alpha!r} - 1.0), 9) AS rate
+           CASE WHEN nt = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE round(pow(nt / CAST({ref}(CASE WHEN nt > 0 THEN nt END)
+                                          OVER () AS DOUBLE),
+                           {alpha!r} - 1.0), 9)
+           END AS rate
     FROM (
-      SELECT {source_col} AS src, SUM({ntok}) AS nt
+      SELECT {source_col} AS src, CAST(SUM({ntok}) AS BIGINT) AS nt
       FROM {table} GROUP BY 1
     )
     """

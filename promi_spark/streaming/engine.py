@@ -260,8 +260,14 @@ def streaming_neardup_ingest(
     aggregates). The index itself is refreshed by the periodic batch job
     (:func:`operators.dedup.write_minhash_index`) — an ingest stream
     appending to its own probe index would make results order-dependent
-    within a batch. Returns the started query (availableNow trigger;
-    caller awaits/stops)."""
+    within a batch.
+
+    Delivery semantics: the two parquet appends per batch are not
+    atomic, so a failure between them followed by checkpoint-driven
+    replay re-appends the batch — AT-LEAST-ONCE into both sinks.
+    Downstream consumers dedup by ``key_col`` (good rows) /
+    (``key_col``, ``_batch_id``) (reject rows). Returns the started
+    query (availableNow trigger; caller awaits/stops)."""
     from promi_spark.operators.dedup import minhash_dedup_incremental
 
     def _gate(batch: DataFrame, batch_id: int):
@@ -311,13 +317,19 @@ def streaming_neardup_ingest(
                 F.col("m.jaccard_sim").alias("jaccard_sim"),
             )
         )
-        survivors = batch.join(
-            rejects.select(key_col), key_col, "left_anti"
-        )
-        survivors.write.mode("append").parquet(good_path)
-        rejects.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(reject_path)
+        # persist: rejects feeds BOTH sinks — without it the whole
+        # shingle -> minhash -> band-probe pipeline runs twice per batch
+        rejects.persist()
+        try:
+            survivors = batch.join(
+                rejects.select(key_col), key_col, "left_anti"
+            )
+            survivors.write.mode("append").parquet(good_path)
+            rejects.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(reject_path)
+        finally:
+            rejects.unpersist()
 
     return (
         docs.writeStream.foreachBatch(_gate)
@@ -344,34 +356,55 @@ def streaming_decontaminate_ingest(
     benchmark n-grams in ``reject_path`` with their maybe-shared count.
 
     Per-batch cost is proportional to the BATCH (its own tokenize +
-    gram explode) plus a fixed-size broadcast of the sparse bloom
-    relation — the benchmark corpus is never read at ingest time, and
-    Bloom semantics guarantee zero false negatives (a truly
-    contaminated doc can never reach ``good_path``; the per-gram FP
-    rate set at build time bounds over-rejection). The sketch is
-    refreshed only when the benchmark suite changes. Returns the
-    started query (availableNow trigger; caller awaits/stops)."""
-    from promi_spark.operators.bloom import decontaminate_bloom
+    gram explode, run ONCE — the flagged verdict is persisted and
+    reused for both the anti-join and the reject write) plus a
+    fixed-size broadcast of the sparse bloom relation — the index
+    parquet + meta sidecar are read once at stream start (r9 advice:
+    they used to be re-read every micro-batch) and pinned in the
+    executor cache across batches; the benchmark corpus itself is
+    never read at ingest time. Bloom semantics guarantee zero false
+    negatives (a truly contaminated doc can never reach ``good_path``;
+    the per-gram FP rate set at build time bounds over-rejection). The
+    sketch is refreshed only when the benchmark suite changes —
+    restart the stream to pick up a new index.
+
+    Delivery semantics: the two parquet appends per batch are not
+    atomic, so a failure between them followed by checkpoint-driven
+    replay re-appends the batch — AT-LEAST-ONCE into both sinks (the
+    same contract as the sibling near-dup gate). Downstream consumers
+    dedup by ``key_col`` (good rows) / (``key_col``, ``_batch_id``)
+    (reject rows). Returns the started query (availableNow trigger;
+    caller awaits/stops)."""
+    from promi_spark.operators.bloom import decontaminate_bloom, read_bloom_index
+
+    index = read_bloom_index(docs.sparkSession, bloom_index_path)
+    index[0].persist()
 
     def _gate(batch: DataFrame, batch_id: int):
         if not batch.head(1):
             return
         verdict = decontaminate_bloom(
             batch,
-            bloom_index_path,
             key_col=key_col,
             text_col=text_col,
             min_shared=min_shared,
+            index=index,
         )
         flagged = verdict.filter(F.col("contaminated")).select(
             key_col, "maybe_shared", "n_grams"
         )
-        batch.join(flagged.select(key_col), key_col, "left_anti").write.mode(
-            "append"
-        ).parquet(good_path)
-        flagged.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(reject_path)
+        # persist: flagged feeds BOTH sinks — without it the whole
+        # tokenize -> gram-explode -> probe pipeline runs twice per batch
+        flagged.persist()
+        try:
+            batch.join(
+                flagged.select(key_col), key_col, "left_anti"
+            ).write.mode("append").parquet(good_path)
+            flagged.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(reject_path)
+        finally:
+            flagged.unpersist()
 
     return (
         docs.writeStream.foreachBatch(_gate)

@@ -113,6 +113,68 @@ def test_negative_zero_canonicalized(pa):
     assert arrow_hash(t3) == arrow_hash(t4)
 
 
+def test_decimal_hashes_like_float_never_like_int(pa):
+    """r9 post-mortem, driver-faithful semantics: the driver converts
+    DuckDB decimals to FLOAT before hashing (evidence from
+    CORRECTNESS_r09: value_histogram's decimal(22,1) vs Spark double
+    was green; temperature_rates' decimal(38,0) vs Spark bigint was
+    red). So a decimal column must hash EQUAL to a float64 column of
+    the same values, and DIFFERENT from an int64 column — which is
+    exactly how an un-cast DuckDB integer SUM (HUGEINT) gets caught
+    without false-alarming on legitimate decimal-vs-double oracles."""
+    import decimal
+
+    d = [decimal.Decimal(1), decimal.Decimal(2)]
+    td = pa.table({"n": pa.array(d, pa.decimal128(38, 0)), "k": [1, 2]})
+    ti = pa.table({"n": pa.array([1, 2], pa.int64()), "k": [1, 2]})
+    tf = pa.table({"n": pa.array([1.0, 2.0], pa.float64()), "k": [1, 2]})
+    assert arrow_hash(td) != arrow_hash(ti)
+    assert arrow_hash(td) == arrow_hash(tf)
+    td2 = pa.table(
+        {"k": [2, 1], "n": pa.array(list(reversed(d)), pa.decimal128(38, 0))}
+    )
+    assert arrow_hash(td) == arrow_hash(td2)
+
+
+def test_norm_cell_decimal_is_float_not_int():
+    """Tuple-path twin: Decimal('123') normalizes to the float line
+    ('123.0'), never the int line ('123') — the r9 red-row axis —
+    while matching a genuine float of the same value."""
+    import decimal
+
+    from tools.check_oracle import norm_cell
+
+    assert norm_cell(decimal.Decimal(123)) != norm_cell(123)
+    assert norm_cell(decimal.Decimal(123)) == norm_cell(123.0)
+    assert norm_cell(decimal.Decimal("1.5")) == norm_cell(1.5)
+
+
+def test_uncast_sum_oracle_is_caught(duck):
+    """End-to-end audit witness: an oracle written as a bare integer
+    SUM (DuckDB -> HUGEINT, decimal128 through Arrow) against a Spark
+    bigint result must FAIL the local hash, and the documented fix
+    (CAST ... AS BIGINT) must pass it. Rows are fetched exactly the way
+    tools/check_oracle now fetches them — through Arrow, because
+    DuckDB's Python fetchall() converts HUGEINT to plain int and made
+    this class of bug structurally invisible to the old tuple path
+    (the r9 temperature_rates red row)."""
+    from tools.check_oracle import table_hash
+
+    def duck_rows(sql):
+        res = duck.execute(sql)
+        cols = [d[0] for d in res.description]
+        tbl = res.fetch_arrow_table()
+        return list(zip(*(tbl[c].to_pylist() for c in cols)))
+
+    spark_rows = [(6,)]  # what Spark's F.sum over ints collects: int
+    bad_rows = duck_rows("SELECT SUM(x) AS s FROM (VALUES (1),(2),(3)) t(x)")
+    good_rows = duck_rows(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2),(3)) t(x)"
+    )
+    assert table_hash(["s"], spark_rows) != table_hash(["s"], bad_rows)
+    assert table_hash(["s"], spark_rows) == table_hash(["s"], good_rows)
+
+
 def test_arrow_rows_fallback_matches_tuple_witness(pa):
     """_arrow_rows feeds the tuple-compare fallback: same hash as the
     engine-native tuple materialization, column order respected."""

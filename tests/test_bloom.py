@@ -165,7 +165,15 @@ def test_merge_bloom_indexes_exact_union(spark, tmp_path):
     write_bloom_index(_vals(spark, 0, 2000), p1, "val", m_bits=m, k=k)
     write_bloom_index(_vals(spark, 2000, 4000), p2, "val", m_bits=m, k=k)
     meta = merge_bloom_indexes(spark, [p1, p2], pm)
-    assert meta == {"m_bits": m, "k": k, "col": "val"}
+    assert {k_: meta[k_] for k_ in ("m_bits", "k", "col")} == {
+        "m_bits": m,
+        "k": k,
+        "col": "val",
+    }
+    # measured size is bookkeeping, not geometry: the two inputs have
+    # different 'bytes' yet merge fine, and the merged sidecar carries
+    # its own measured size (drives the broadcast-vs-shuffle decision)
+    assert meta["bytes"] > 0
 
     merged, _ = read_bloom_index(spark, pm)
     direct = bloom_build(_vals(spark, 0, 4000), "val", m, k)
@@ -181,6 +189,94 @@ def test_merge_bloom_indexes_exact_union(spark, tmp_path):
     write_bloom_index(_vals(spark, 0, 100), p3, "val", m_bits=128, k=2)
     with pytest.raises(ValueError, match="geometry mismatch"):
         merge_bloom_indexes(spark, [p1, p3], str(tmp_path / "bad"))
+
+
+def test_merge_into_input_path_raises(spark, tmp_path):
+    """r9 advice: the accretion workflow's natural mistake — merging
+    the existing gate filter with a new release back INTO the gate
+    path — would overwrite a lazily-read input mid-merge. Must refuse
+    loudly before touching anything."""
+    from promi_spark.operators.bloom import merge_bloom_indexes
+
+    m, k = bloom_params(1000, 0.01)
+    p1, p2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    write_bloom_index(_vals(spark, 0, 500), p1, "val", m_bits=m, k=k)
+    write_bloom_index(_vals(spark, 500, 1000), p2, "val", m_bits=m, k=k)
+    with pytest.raises(ValueError, match="also an input"):
+        merge_bloom_indexes(spark, [p1, p2], p1)
+    with pytest.raises(ValueError, match="also an input"):
+        merge_bloom_indexes(spark, [p1, p2], p2 + "/")
+    # both inputs untouched
+    for p in (p1, p2):
+        bf, meta = read_bloom_index(spark, p)
+        assert bf.count() > 0 and meta["m_bits"] == m
+
+
+def test_broadcast_ceiling_falls_back_to_shuffled_join(spark, tmp_path):
+    """r9 advice: at fp 1e-6 a 1e9-gram suite implies a multi-GB
+    (word, mask) relation — forcing a broadcast there is an OOM, not a
+    plan. Above BLOOM_BROADCAST_CEILING_BYTES the probe must warn and
+    join shuffled on the word index, with identical verdicts."""
+    import warnings as w
+
+    from promi_spark.operators.bloom import (
+        _bloom_build_side,
+        _bloom_relation_bytes,
+        BLOOM_BROADCAST_CEILING_BYTES,
+    )
+
+    # worst-case formula: m_bits/64 rows x 16 bytes
+    assert _bloom_relation_bytes(1 << 31) == (1 << 31) // 64 * 16
+    assert _bloom_relation_bytes(1 << 31) > BLOOM_BROADCAST_CEILING_BYTES
+
+    small_m, k = bloom_params(1000, 0.01)
+    bf = bloom_build(_vals(spark, 0, 1000), "val", small_m, k)
+
+    # under the ceiling: broadcast side, no warning
+    with w.catch_warnings():
+        w.simplefilter("error")
+        _bloom_build_side(bf, small_m)
+
+    # geometry over the ceiling: warning + no FORCED broadcast hint in
+    # the plan (the optimizer/AQE may still pick a broadcast from the
+    # relation's MEASURED size — that is the point: measured, not
+    # forced past executor memory)
+    huge_m = 1 << 31
+    bf_huge = bloom_build(_vals(spark, 0, 1000), "val", huge_m, 1)
+    with pytest.warns(UserWarning, match="ceiling"):
+        probed = bloom_probe(
+            _vals(spark, 0, 2000), bf_huge, "val", huge_m, 1
+        )
+    assert "ResolvedHint" not in probed._jdf.queryExecution().analyzed().toString()
+    small_probe = bloom_probe(_vals(spark, 0, 2000), bf, "val", small_m, k)
+    assert "ResolvedHint" in small_probe._jdf.queryExecution().analyzed().toString()
+    # correctness unchanged on the shuffled path: zero false negatives
+    assert probed.filter(
+        (F.expr("CAST(substr(val, 2, 10) AS INT)") < 1000)
+        & ~F.col("maybe_member")
+    ).count() == 0
+
+    # a persisted index's MEASURED bytes override the worst case: tiny
+    # relation under a huge geometry still broadcasts (no warning)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        _bloom_build_side(bf_huge, huge_m, actual_bytes=1 << 20)
+
+    # and decontaminate_bloom honors huge measured bytes from the meta
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bb_ceiling")
+    meta = write_bench_bloom(docs, path, n=5)
+    bloom_df, _ = read_bloom_index(spark, path)
+    fake_meta = dict(meta, bytes=10**12)
+    with pytest.warns(UserWarning, match="ceiling"):
+        via_shuffle = decontaminate_bloom(
+            docs, index=(bloom_df, fake_meta)
+        ).collect()
+    via_bcast = decontaminate_bloom(docs, path).collect()
+    assert sorted(map(tuple, via_shuffle)) == sorted(map(tuple, via_bcast))
 
 
 def test_decontaminate_rejects_non_gram_index(spark, tmp_path):

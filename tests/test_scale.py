@@ -474,6 +474,73 @@ def test_temperature_mixture_semantics(spark, sf_dir):
     assert max_share(temperature_mixture(docs, 0.3)) < max_share(docs)
 
 
+def test_temperature_zero_token_and_null_source(spark):
+    """r9 advice regressions. (a) A source whose every doc is
+    empty/whitespace used to BE the min reference for alpha <= 1,
+    making every rate pow(x/0, negative) -> null and silently dropping
+    the ENTIRE corpus; the reference must come from token-bearing
+    sources only and the zero-token source is pinned to rate 1.
+    (b) Rows with a NULL source used to be dropped by the inner
+    equi-join even at alpha = 1, breaking the identity contract; NULL
+    is a stratum of its own (null-safe join). Both edge semantics are
+    cross-checked against the DuckDB oracle on the same corpus."""
+    import duckdb
+    import pandas as pd
+
+    from promi_spark.operators.scale import (
+        temperature_mixture,
+        temperature_rates,
+    )
+    from promi_spark.oracles import temperature_mixture_sql
+
+    rows = (
+        [(f"a{i}", "A", "w " * 40) for i in range(30)]
+        + [(f"b{i}", "B", "w w w") for i in range(30)]
+        + [(f"z{i}", "Z", "   ") for i in range(10)]
+        + [(f"n{i}", None, "w w") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+    rates = {r["source"]: r["rate"] for r in temperature_rates(docs, 0.5).collect()}
+    assert rates["Z"] == 1.0  # pinned, not NaN/0
+    # min token-BEARING source is the reference — here the NULL stratum
+    # (20 tokens), which gets a real rate instead of being dropped
+    assert rates[None] == 1.0
+    assert 0 < rates["B"] < 1.0
+    assert 0 < rates["A"] < rates["B"]
+
+    # alpha = 1 identity: nothing dropped, null-source rows included
+    assert temperature_mixture(docs, 1.0).count() == len(rows)
+
+    # alpha < 1 keeps every zero-token doc and every reference-source doc
+    kept = temperature_mixture(docs, 0.5)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert {f"z{i}" for i in range(10)} <= kept_ids
+    assert {f"n{i}" for i in range(10)} <= kept_ids
+    assert kept.count() < len(rows)  # A/B are downsampled
+
+    # the oracle mirrors both edge contracts exactly
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]),
+    )
+    key = lambda t: (t[0], t[1] is None, t[1] or "")  # noqa: E731
+    want = sorted(
+        ((d, s) for d, s in con.execute(temperature_mixture_sql(0.5)).fetchall()),
+        key=key,
+    )
+    got = sorted(
+        (
+            (r["doc_id"], r["source"])
+            for r in kept.select("doc_id", "source").collect()
+        ),
+        key=key,
+    )
+    assert got == want
+    con.close()
+
+
 def test_temperature_mixture_plan_is_narrow(spark, sf_dir):
     """One tiny per-source aggregate broadcast back; the corpus itself
     is filtered narrowly — no corpus-sized exchange, no Python."""

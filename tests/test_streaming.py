@@ -480,3 +480,127 @@ def test_streaming_decontaminate_ingest_gate(spark, tmp_path):
     assert good == {101}
     assert set(rej) == {100, 102}
     assert rej[102] > rej[100] >= 1  # the full copy shares more grams
+
+
+def test_streaming_decontaminate_loads_index_once(spark, tmp_path, monkeypatch):
+    """r9 advice: the gate used to re-read the Bloom parquet + meta
+    sidecar from disk inside every micro-batch. The index must be
+    loaded exactly once at stream start, however many batches run."""
+    import promi_spark.operators.bloom as bloom_mod
+    from promi_spark.streaming import streaming_decontaminate_ingest
+
+    bench = spark.createDataFrame(
+        [(0, "unique benchmark phrase about orbital mechanics and tides")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    bloom_mod.write_bench_bloom(bench, idx, n=5)
+
+    calls = []
+    real = bloom_mod.read_bloom_index
+
+    def counting(spark_, path):
+        calls.append(path)
+        return real(spark_, path)
+
+    monkeypatch.setattr(bloom_mod, "read_bloom_index", counting)
+
+    in_dir = str(tmp_path / "in")
+    # two files + maxFilesPerTrigger=1 -> two micro-batches
+    spark.createDataFrame(
+        [(1, "clean text one")], "doc_id long, text string"
+    ).repartition(1).write.parquet(in_dir)
+    spark.createDataFrame(
+        [(2, "clean text two")], "doc_id long, text string"
+    ).repartition(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming_decontaminate_ingest(
+        stream,
+        idx,
+        good_path=str(tmp_path / "good"),
+        reject_path=str(tmp_path / "reject"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2, "expected at least two micro-batches"
+    assert calls == [idx], f"index must load once, loaded {len(calls)}x"
+    good = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "good")).collect()
+    }
+    assert good == {1, 2}
+
+
+def test_accreting_benchmark_gate_end_to_end(spark, tmp_path):
+    """Verdict #7: the intended production loop — release A sketch +
+    release B sketch (explicit shared geometry via write_bench_bloom(
+    m_bits=, k=)) -> merge_bloom_indexes -> streaming ingest gate —
+    must equal a gate built over A∪B directly, on live ingest."""
+    from promi_spark.operators.bloom import (
+        decontaminate_bloom,
+        merge_bloom_indexes,
+        write_bench_bloom,
+    )
+    from promi_spark.streaming import streaming_decontaminate_ingest
+
+    rel_a = spark.createDataFrame(
+        [(0, "release a benchmark asks about thermal expansion of rails")],
+        "doc_id long, text string",
+    )
+    rel_b = spark.createDataFrame(
+        [(1, "release b benchmark probes the etymology of borrowed words")],
+        "doc_id long, text string",
+    )
+    m_bits, k = 1 << 16, 7  # shared geometry so the sketches merge
+    pa_, pb, pm, pu = (
+        str(tmp_path / d) for d in ("rel_a", "rel_b", "merged", "union")
+    )
+    write_bench_bloom(rel_a, pa_, n=5, m_bits=m_bits, k=k)
+    write_bench_bloom(rel_b, pb, n=5, m_bits=m_bits, k=k)
+    merge_bloom_indexes(spark, [pa_, pb], pm)
+    write_bench_bloom(rel_a.unionByName(rel_b), pu, n=5, m_bits=m_bits, k=k)
+
+    ingest = spark.createDataFrame(
+        [
+            (10, "students report release a benchmark asks about thermal topics"),
+            (11, "release b benchmark probes the etymology of borrowed words verbatim"),
+            (12, "wholly unrelated training prose concerning watercolor technique"),
+        ],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    ingest.repartition(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming_decontaminate_ingest(
+        stream,
+        pm,
+        good_path=str(tmp_path / "good"),
+        reject_path=str(tmp_path / "reject"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got_good = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "good")).collect()
+    }
+    got_rej = {
+        (r["doc_id"], r["maybe_shared"])
+        for r in spark.read.parquet(str(tmp_path / "reject")).collect()
+    }
+    want = decontaminate_bloom(ingest, pu).collect()
+    want_good = {r["doc_id"] for r in want if not r["contaminated"]}
+    want_rej = {
+        (r["doc_id"], r["maybe_shared"]) for r in want if r["contaminated"]
+    }
+    assert got_good == want_good == {12}
+    assert got_rej == want_rej
+    assert {d for d, _ in got_rej} == {10, 11}

@@ -39,6 +39,7 @@ ONLY = set(_args[1:])
 
 def norm_cell(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
@@ -47,6 +48,17 @@ def norm_cell(v) -> str:
         if math.isnan(v):
             return "nan"
         return repr(round(v, 9))
+    # Driver-faithful decimal handling: the driver converts DuckDB
+    # decimals to FLOAT before hashing (r9 evidence: value_histogram's
+    # decimal(22,1) `lo` vs Spark double was green, temperature_rates'
+    # decimal(38,0) `nt` vs Spark bigint was red — the mismatch axis is
+    # int-vs-float, not decimal-vs-anything). So an un-cast DuckDB
+    # integer SUM lands on the float side ('474985.0') and can never
+    # silently match a Spark bigint ('474985') — as long as rows are
+    # fetched through Arrow (fetchall() converts HUGEINT to plain int,
+    # which is how the r9 red row slipped past 4 green local sweeps).
+    if isinstance(v, decimal.Decimal):
+        return norm_cell(float(v))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
@@ -103,9 +115,21 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            # fetch through Arrow, NOT fetchall(): DuckDB's Python
+            # fetchall converts HUGEINT to plain int, so an un-cast
+            # integer SUM is invisible on the tuple path — while the
+            # driver sees decimal128(38,0) through Arrow and
+            # hash-mismatches it against Spark's bigint (the r9
+            # temperature_rates red row). Arrow's to_pydict preserves
+            # Decimal cells, which norm_cell tags type-faithfully.
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtbl = res.fetch_arrow_table()
+            drows = (
+                list(zip(*(dtbl[c].to_pylist() for c in dcols)))
+                if dtbl.num_rows
+                else []
+            )
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)

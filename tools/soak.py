@@ -141,13 +141,26 @@ def make_key_slice(spark, src: str, dst: str, p: float) -> None:
 
 
 def duck_with_budget(con, sql: str, budget: float):
-    """Run an oracle with an interrupt timer; None on timeout."""
+    """Run an oracle with an interrupt timer; None on timeout.
+
+    Rows come back through Arrow, not fetchall(): DuckDB's fetchall
+    converts HUGEINT (an un-cast integer SUM) to plain Python int,
+    which silently matches a Spark bigint — while the driver sees the
+    decimal and hash-mismatches on the int-vs-float axis (the r9
+    temperature_rates red row). Arrow's to_pylist preserves Decimal
+    cells, which norm_cell then normalizes driver-faithfully (to
+    float)."""
     timer = threading.Timer(budget, con.interrupt)
     timer.start()
     try:
         res = con.execute(sql)
         cols = [d[0] for d in res.description]
-        rows = res.fetchall()
+        tbl = res.fetch_arrow_table()
+        rows = (
+            list(zip(*(tbl[c].to_pylist() for c in cols)))
+            if tbl.num_rows
+            else []
+        )
         return cols, rows
     except Exception as e:
         if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
@@ -199,13 +212,17 @@ def arrow_hash(tbl) -> str:
             # (both engines run UTC) land on the same instant value
             unit = pa.timestamp("us", t.tz) if t.tz else pa.timestamp("us")
             col = col.cast(unit).cast(pa.int64())
-        elif pa.types.is_decimal(t):
-            col = col.cast(pa.float64())
         elif pa.types.is_integer(t):
             col = col.cast(pa.int64())
         elif pa.types.is_boolean(t):
             col = col.cast(pa.int64())
-        elif pa.types.is_floating(t):
+        elif pa.types.is_decimal(t) or pa.types.is_floating(t):
+            # decimal joins the FLOAT lane — driver-faithful: the driver
+            # converts DuckDB decimals to float before hashing (r9
+            # evidence: decimal(22,1) vs double green, decimal(38,0) vs
+            # bigint red), so a decimal column matches a double column of
+            # equal values but can never match an int column — exactly
+            # how an un-cast DuckDB integer SUM (HUGEINT) gets caught.
             col = pc.round(col.cast(pa.float64()), ndigits=6)
             # canonicalize -0.0 -> 0.0 BEFORE the sort and the buffer
             # hash: round() can land either side of zero on values
