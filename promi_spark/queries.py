@@ -3205,115 +3205,66 @@ def q_media_embeddings(spark, sf_dir):
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-9 rotation, oldest driver
-    # witness first): the NEW oracled operator first, then the 7
-    # remaining r6-witnessed entries, then the r7-witnessed block up
-    # to the 50th slot; every slot carries a DuckDB oracle (the also-
-    # new bloom_decontaminate is rows-only by design -> rows-only
-    # block) ----
-    "temperature_mixture",  # NEW r9
-    "temperature_rates",  # NEW r9
-    "value_histogram",  # last driver row r6
-    "value_hour_corr",  # last driver row r6
-    "value_outliers",  # last driver row r6
-    "weighted_sample_docs",  # last driver row r6
-    "winnow_fingerprints",  # last driver row r6
-    "xes_roundtrip",  # last driver row r6
-    "zorder_events",  # last driver row r6
-    "knn_cosine",  # r7
-    "order_priority_counts",  # r7
-    "part_brand_volume",  # r7
-    "tpch_q6",  # r7
-    "filter_concept_in",  # r7
-    "filter_time_before_after",  # r7
-    "filter_time_eq_tol",  # r7
-    "intersect_set_op",  # r7
-    "trace_time_contained",  # r7
-    "activity_stats",  # r7
-    "cosine_near_dups_exact",  # r7
-    "doc_fingerprint",  # r7
-    "embedding_norms",  # r7
-    "event_gaps",  # r7
-    "except_set_op",  # r7
-    "filter_concept_eq",  # r7
-    "filter_org_eq",  # r7
-    "filter_org_match",  # r7
-    "filter_time_contained",  # r7
-    "footprint",  # r7
-    "per_trace_counts",  # r7
-    "props_json_stats",  # r7
-    "repetition_stats",  # r7
-    "sample_events",  # r7
-    "simhash_signatures",  # r7
-    "split_train",  # r7
-    "token_counts_docs",  # r7
-    "top_traces_by_events",  # r7
-    "tpch_q1",  # r7
-    "trace_starts_ends_in",  # r7
-    "trace_variants",  # r7
-    "activity_dow_cube",  # r7
-    "asof_attribution",  # r7
-    "chronology_violations_injected",  # r7
-    "classifier_counts",  # r7
-    "cnf_filter",  # r7
-    "decontaminate",  # r7
-    "dedup_exact_docs",  # r7
-    "dfg_endpoints",  # r7
-    "doc_length_quantiles",  # r7
-    "filter_concept_eq_strict",  # r7
-    # ---- out of the driver window: the 9 remaining r7-witnessed
-    # entries (rotate in first next round), then the r8 driver window
+    # ---- 50-slot driver window (round-10 rotation): the r9 red row
+    # temperature_rates re-witnessed first post-oracle-fix (with its
+    # sibling), then oldest-driver-witness first — the 9 remaining
+    # r7-witnessed entries, then the r8-witnessed block through
+    # session_overlaps; every slot carries a DuckDB oracle ----
+    "temperature_rates",  # r9 red row: oracle typing fixed in r10
+    "temperature_mixture",  # r9
+    "filter_trace_scope",  # last driver row r7
+    "heuristic_dependency",  # last driver row r7
+    "lang_id_docs",  # last driver row r7
+    "line_dedup_docs",  # last driver row r7
+    "mixture_sample",  # last driver row r7
+    "pack_index",  # last driver row r7
+    "pii_scrub",  # last driver row r7
+    "revenue_by_nation",  # last driver row r7
+    "ann_multiprobe_topk",  # last driver row r7
+    "corpus_shuffle",  # last driver row r8
+    "stats_counts",  # last driver row r8
+    "text_quality",  # last driver row r8
+    "tpch_q18",  # last driver row r8
+    "trace_intervals",  # last driver row r8
+    "user_sessions",  # last driver row r8
+    "validation_globals",  # last driver row r8
+    "ann_lsh_topk",  # last driver row r8
+    "arrow_roundtrip",  # last driver row r8
+    "bpe_token_counts",  # last driver row r8
+    "chronology_violations",  # last driver row r8
+    "chunk_docs",  # last driver row r8
+    "cohort_retention",  # last driver row r8
+    "corpus_cardinality",  # last driver row r8
+    "cross_doc_substrings",  # last driver row r8
+    "dedup_components",  # last driver row r8
+    "dedup_components_stars",  # last driver row r8
+    "dfg",  # last driver row r8
+    "eventually_follows",  # last driver row r8
+    "filter_concept_match",  # last driver row r8
+    "funnel_counts",  # last driver row r8
+    "handover_network",  # last driver row r8
+    "heuristic_net",  # last driver row r8
+    "incremental_dedup",  # last driver row r8
+    "ivf_topk",  # last driver row r8
+    "knn_classify",  # last driver row r8
+    "knn_join_topk",  # last driver row r8
+    "leakage_safe_split",  # last driver row r8
+    "lineitem_unpivot_stats",  # last driver row r8
+    "lm_quality",  # last driver row r8
+    "lsh_near_dups",  # last driver row r8
+    "minhash_near_dups",  # last driver row r8
+    "mllib_minhash_near_dups",  # last driver row r8
+    "path_prefixes",  # last driver row r8
+    "per_source_cap",  # last driver row r8
+    "phrase_search_docs",  # last driver row r8
+    "rfm_segments",  # last driver row r8
+    "rolling_user_activity",  # last driver row r8
+    "session_overlaps",  # last driver row r8
+    # ---- out of the driver window: the 11 remaining r8-witnessed
+    # entries (rotate in first next round), then the r9 driver window
     # block; all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
-    "filter_trace_scope",  # r7
-    "heuristic_dependency",  # r7
-    "lang_id_docs",  # r7
-    "line_dedup_docs",  # r7
-    "mixture_sample",  # r7
-    "pack_index",  # r7
-    "pii_scrub",  # r7
-    "revenue_by_nation",  # r7
-    "ann_multiprobe_topk",  # r7
-    "corpus_shuffle",  # r8
-    "stats_counts",  # r8
-    "text_quality",  # r8
-    "tpch_q18",  # r8
-    "trace_intervals",  # r8
-    "user_sessions",  # r8
-    "validation_globals",  # r8
-    "ann_lsh_topk",  # r8
-    "arrow_roundtrip",  # r8
-    "bpe_token_counts",  # r8
-    "chronology_violations",  # r8
-    "chunk_docs",  # r8
-    "cohort_retention",  # r8
-    "corpus_cardinality",  # r8
-    "cross_doc_substrings",  # r8
-    "dedup_components",  # r8
-    "dedup_components_stars",  # r8
-    "dfg",  # r8
-    "eventually_follows",  # r8
-    "filter_concept_match",  # r8
-    "funnel_counts",  # r8
-    "handover_network",  # r8
-    "heuristic_net",  # r8
-    "incremental_dedup",  # r8
-    "ivf_topk",  # r8
-    "knn_classify",  # r8
-    "knn_join_topk",  # r8
-    "leakage_safe_split",  # r8
-    "lineitem_unpivot_stats",  # r8
-    "lm_quality",  # r8
-    "lsh_near_dups",  # r8
-    "minhash_near_dups",  # r8
-    "mllib_minhash_near_dups",  # r8
-    "path_prefixes",  # r8
-    "per_source_cap",  # r8
-    "phrase_search_docs",  # r8
-    "rfm_segments",  # r8
-    "rolling_user_activity",  # r8
     "semantic_dedup",  # r8
-    "session_overlaps",  # r8
     "shard_assignment",  # r8
     "simhash_near_dups",  # r8
     "source_mix",  # r8
@@ -3324,9 +3275,57 @@ _ORDER = [
     "tpch_q3",  # r8
     "trace_clusters",  # r8
     "user_event_pivot",  # r8
+    "value_histogram",  # r9
+    "value_hour_corr",  # r9
+    "value_outliers",  # r9
+    "weighted_sample_docs",  # r9
+    "winnow_fingerprints",  # r9
+    "xes_roundtrip",  # r9
+    "zorder_events",  # r9
+    "knn_cosine",  # r9
+    "order_priority_counts",  # r9
+    "part_brand_volume",  # r9
+    "tpch_q6",  # r9
+    "filter_concept_in",  # r9
+    "filter_time_before_after",  # r9
+    "filter_time_eq_tol",  # r9
+    "intersect_set_op",  # r9
+    "trace_time_contained",  # r9
+    "activity_stats",  # r9
+    "cosine_near_dups_exact",  # r9
+    "doc_fingerprint",  # r9
+    "embedding_norms",  # r9
+    "event_gaps",  # r9
+    "except_set_op",  # r9
+    "filter_concept_eq",  # r9
+    "filter_org_eq",  # r9
+    "filter_org_match",  # r9
+    "filter_time_contained",  # r9
+    "footprint",  # r9
+    "per_trace_counts",  # r9
+    "props_json_stats",  # r9
+    "repetition_stats",  # r9
+    "sample_events",  # r9
+    "simhash_signatures",  # r9
+    "split_train",  # r9
+    "token_counts_docs",  # r9
+    "top_traces_by_events",  # r9
+    "tpch_q1",  # r9
+    "trace_starts_ends_in",  # r9
+    "trace_variants",  # r9
+    "activity_dow_cube",  # r9
+    "asof_attribution",  # r9
+    "chronology_violations_injected",  # r9
+    "classifier_counts",  # r9
+    "cnf_filter",  # r9
+    "decontaminate",  # r9
+    "dedup_exact_docs",  # r9
+    "dfg_endpoints",  # r9
+    "doc_length_quantiles",  # r9
+    "filter_concept_eq_strict",  # r9
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
-    "bloom_decontaminate",  # NEW r9 — xxhash64 sketch, pytest-pinned
+    "bloom_decontaminate",
     "bpe_learned_tokens",
     "topic_map",
     "dfg_alignment_fitness",

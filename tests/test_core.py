@@ -351,13 +351,14 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    # (r9 rotation: the new temperature_mixture + the 7 remaining
-    # r6-witnessed entries + the r7 block through filter_trace_scope;
-    # bloom_decontaminate is rows-only by design and lives in the
-    # rows-only block so the window stays 100% hash-witnessed)
-    assert names[0] == "temperature_mixture"
-    assert names[1] == "temperature_rates"
-    assert names[49] == "filter_concept_eq_strict"
+    # (r10 rotation: temperature_rates re-witnessed first after the
+    # oracle typing fix, then the 9 remaining r7-witnessed entries,
+    # then the r8-witnessed block through session_overlaps —
+    # bloom_decontaminate stays in the rows-only block so the window
+    # stays 100% hash-witnessed)
+    assert names[0] == "temperature_rates"
+    assert names[1] == "temperature_mixture"
+    assert names[49] == "session_overlaps"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
