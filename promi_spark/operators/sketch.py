@@ -1,0 +1,142 @@
+"""Two-pass EXACT distributed heavy hitters: Misra-Gries candidate
+sketch + exact-count verify.
+
+Public formulation: Misra & Gries 1982 ("Finding repeated elements");
+the mergeability argument is Agarwal et al. 2012 ("Mergeable summaries",
+PODS). The point at 100 TB: a plain ``GROUP BY item HAVING count >= t``
+shuffles one row per DISTINCT item per task — for a token stream that
+is billions of distinct keys through the exchange. This operator
+instead:
+
+1. **Candidate pass** (``mg_candidates``): each partition keeps a
+   Misra-Gries summary of ``capacity`` counters (an ``applyInPandas``-
+   free ``mapInPandas`` — Arrow-batched, vectorized ``value_counts``
+   per batch, one batched decrement per overflow). A summary with
+   capacity ``c`` undercounts any item by at most ``n_p / c`` (each
+   decrement step subtracts ``delta`` from >= ``c`` counters, so
+   ``sum(delta) * c <= n_p``). Summing the bound over partitions: an
+   item NOT in any partition's summary has global count ``<= n / c``
+   — so with ``c > n / min_count`` the union of summaries is a
+   guaranteed SUPERSET of every item with global count >= min_count.
+2. **Verify pass** (``heavy_hitters``): the candidate set (at most
+   ``partitions * capacity`` rows — small) is broadcast-semi-joined
+   onto the stream, counted exactly, and thresholded. Only candidate
+   rows reach the exchange; the long tail never shuffles.
+
+The output is therefore EXACTLY ``GROUP BY item HAVING count >=
+min_count`` (DuckDB-oracled), while the shuffle volume is bounded by
+the candidate set instead of the distinct-item count. With the
+fractional threshold form (``min_frac``), capacity is ``ceil(1/frac)
++ 1`` — CONSTANT in the data size, so the sketch memory per partition
+never grows with scale.
+
+No counterpart in the reference (its Statistics handler counts
+components, ``src/stream/stats.rs``); this extends the corpus-analysis
+family (boilerplate-token / hot-key discovery feeding filter lists and
+skew-salting decisions).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["mg_candidates", "heavy_hitters"]
+
+
+def mg_candidates(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: ``(item, est)``
+    where ``est`` lower-bounds the partition count by at most
+    ``n_p / capacity``. Null items are ignored (they cannot equi-join
+    in the verify pass; count them separately if needed). The union is
+    a superset of every item with global count ``> n / capacity``."""
+    if capacity < 1:
+        raise ValueError("mg_candidates: capacity must be >= 1")
+    field = df.schema[col]
+    out_schema = T.StructType(
+        [
+            T.StructField("item", field.dataType, True),
+            T.StructField("est", T.LongType(), False),
+        ]
+    )
+    src = df.select(F.col(col).alias("item"))
+
+    def summarize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values())
+                # (L - capacity)-th smallest: subtracting it drops at
+                # least L - capacity counters and removes >= delta *
+                # capacity mass (every counter >= delta loses delta)
+                delta = vals[len(counts) - capacity - 1]
+                counts = {
+                    k: v - delta for k, v in counts.items() if v > delta
+                }
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts), "est": list(counts.values())}
+            )
+
+    return src.filter(F.col("item").isNotNull()).mapInPandas(
+        summarize, out_schema
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+    capacity: int | None = None,
+) -> DataFrame:
+    """All items of ``df[col]`` with EXACT count >= the threshold:
+    ``(item, n_occurrences)``, identical to ``GROUP BY col HAVING
+    count(*) >= t`` (nulls excluded) but with the long tail filtered
+    BEFORE the exchange by the Misra-Gries candidate superset.
+
+    Threshold forms (exactly one):
+    - ``min_count``: absolute. Capacity defaults to
+      ``n // min_count + 1`` (one count() pass to size the guarantee);
+      pass ``capacity`` explicitly to skip that pass — the caller then
+      owns ``capacity > n / min_count``.
+    - ``min_frac``: fractional — threshold ``ceil(n * min_frac)``,
+      capacity ``ceil(1 / min_frac) + 1`` (scale-invariant sketch
+      memory). The one count() action computes ``n``.
+    """
+    if (min_count is None) == (min_frac is None):
+        raise ValueError(
+            "heavy_hitters: pass exactly one of min_count / min_frac"
+        )
+    nn = F.col(col).isNotNull()
+    if min_frac is not None:
+        if not 0 < min_frac < 1:
+            raise ValueError("heavy_hitters: min_frac must be in (0, 1)")
+        n = df.filter(nn).count()
+        min_count = int(math.ceil(n * min_frac))
+        capacity = int(math.ceil(1.0 / min_frac)) + 1
+    elif capacity is None:
+        if min_count < 1:
+            raise ValueError("heavy_hitters: min_count must be >= 1")
+        n = df.filter(nn).count()
+        capacity = n // min_count + 1
+    cands = mg_candidates(df, col, capacity).select(
+        F.col("item").alias(col)
+    ).distinct()
+    return (
+        df.filter(nn)
+        .join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(int(min_count)))
+    )

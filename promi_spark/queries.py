@@ -3194,6 +3194,146 @@ def q_media_embeddings(spark, sf_dir):
     return mm.content_embeddings(mm.media_fixture(spark), dim=16)
 
 
+_DSIR_GRAMS = r"""
+t AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END)) AS g
+  FROM t
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substring(md5(g || ':0:dsir'), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS bucket
+  FROM g
+),
+tc AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM b WHERE source <> 'src0' GROUP BY bucket),
+nt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt FROM tc),
+nr AS (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) AS nr FROM rc)
+"""
+
+
+@q(
+    "dsir_select",
+    rf"""
+    WITH {_DSIR_GRAMS},
+    lam AS (
+      SELECT rc.bucket,
+             ((coalesce(tc.ct, 0) + 1.0) / (nt.nt + 8192.0))
+             / ((rc.cr + 1.0) / (nr.nr + 8192.0)) AS ratio
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nt CROSS JOIN nr
+    ),
+    sc AS (
+      SELECT b.doc_id, b.source, sum(ln(lam.ratio)) AS logw
+      FROM b JOIN lam USING (bucket)
+      WHERE b.source <> 'src0'
+      GROUP BY b.doc_id, b.source
+    ),
+    keyed AS (
+      SELECT doc_id, source,
+             logw - ln(-ln((CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR) || ':0:dsirsel'), 1, 8))
+                 AS UBIGINT) + 0.5) / 4294967296.0)) AS gk
+      FROM sc
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (ORDER BY gk DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 50
+    """,
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bucket distributions of a TARGET source (src0) vs
+    the raw rest, per-doc log-likelihood-ratio scores, Gumbel-top-k
+    selection of 50 docs ∝ the importance weight. The oracle replays
+    the md5 bucket hash, the smoothed count ratios (exact doubles) and
+    the Gumbel rank pair-for-pair; the output hashes ids only (the
+    float score is rank-order, like weighted_sample)."""
+    from promi_spark.operators import dsir
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return dsir.dsir_select(
+        raw, target, 50, key_cols=["doc_id", "source"]
+    ).select("doc_id", "source")
+
+
+@q(
+    "dsir_bucket_weights",
+    rf"""
+    WITH {_DSIR_GRAMS},
+    allb AS (
+      SELECT bucket, coalesce(tc.ct, 0) AS ct, coalesce(rc.cr, 0) AS cr
+      FROM tc FULL OUTER JOIN rc USING (bucket)
+    )
+    SELECT bucket, CAST(ct AS BIGINT) AS ct, CAST(cr AS BIGINT) AS cr,
+           ((ct + 1.0) / (nt.nt + 8192.0))
+           / ((cr + 1.0) / (nr.nr + 8192.0)) AS ratio
+    FROM allb CROSS JOIN nt CROSS JOIN nr
+    ORDER BY ratio DESC, bucket LIMIT 200
+    """,
+)
+def q_dsir_bucket_weights(spark, sf_dir):
+    """The DSIR weight table as an observability report: top-200
+    hashed-gram buckets by smoothed target/raw probability ratio.
+    Ratio values are quotients of exactly-representable doubles
+    (IEEE * and / are correctly rounded), so unlike ln() they hash
+    bit-identically across engines — the reason the report emits
+    ratios, not logs."""
+    from promi_spark.operators import dsir
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return (
+        dsir.dsir_weights(target, raw)
+        .orderBy(F.desc("ratio"), "bucket")
+        .limit(200)
+    )
+
+
+@q(
+    "token_heavy_hitters",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(
+               trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+               '\s+')) AS token
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tok CROSS JOIN n
+    GROUP BY token, n.n
+    HAVING count(*) >= ceil(n.n * 0.0002)
+    """,
+)
+def q_token_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens at >= 0.02% of the stream)
+    via the two-pass Misra-Gries sketch: per-partition candidate
+    summaries (capacity 5001 — constant in the data size) broadcast
+    back for an exact-count verify, so the long tail never reaches the
+    exchange. The MG superset guarantee makes the output EXACTLY the
+    oracle's GROUP BY ... HAVING."""
+    from promi_spark.operators.dedup import norm_text
+    from promi_spark.operators.sketch import heavy_hitters
+    from promi_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(tokens(norm_text("text"))).alias("token"))
+    return heavy_hitters(tok, "token", min_frac=2e-4)
+
+
 # Deliberate registration order: the driver checks a bounded 50-slot
 # prefix of this inventory, so the window always holds oracled queries
 # and the genuinely oracle-less iterative / media ops sit last. The
@@ -3207,11 +3347,16 @@ def q_media_embeddings(spark, sf_dir):
 _ORDER = [
     # ---- 50-slot driver window (round-10 rotation): the r9 red row
     # temperature_rates re-witnessed first post-oracle-fix (with its
-    # sibling), then oldest-driver-witness first — the 9 remaining
-    # r7-witnessed entries, then the r8-witnessed block through
-    # session_overlaps; every slot carries a DuckDB oracle ----
+    # sibling), the three NEW r10 operators (dsir_select /
+    # dsir_bucket_weights / token_heavy_hitters — first witness), then
+    # oldest-driver-witness first — the 9 remaining r7-witnessed
+    # entries, then the r8-witnessed block through phrase_search_docs;
+    # every slot carries a DuckDB oracle ----
     "temperature_rates",  # r9 red row: oracle typing fixed in r10
     "temperature_mixture",  # r9
+    "dsir_select",  # NEW r10: first driver witness
+    "dsir_bucket_weights",  # NEW r10: first driver witness
+    "token_heavy_hitters",  # NEW r10: first driver witness
     "filter_trace_scope",  # last driver row r7
     "heuristic_dependency",  # last driver row r7
     "lang_id_docs",  # last driver row r7
@@ -3257,13 +3402,14 @@ _ORDER = [
     "path_prefixes",  # last driver row r8
     "per_source_cap",  # last driver row r8
     "phrase_search_docs",  # last driver row r8
-    "rfm_segments",  # last driver row r8
-    "rolling_user_activity",  # last driver row r8
-    "session_overlaps",  # last driver row r8
-    # ---- out of the driver window: the 11 remaining r8-witnessed
-    # entries (rotate in first next round), then the r9 driver window
+    # ---- out of the driver window: the 3 entries displaced by the
+    # NEW r10 operators (re-enter first in r11), then the 11 remaining
+    # r8-witnessed entries (rotate in next), then the r9 driver window
     # block; all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
+    "rfm_segments",  # last driver row r8 (displaced by r10 ops)
+    "rolling_user_activity",  # last driver row r8 (displaced by r10 ops)
+    "session_overlaps",  # last driver row r8 (displaced by r10 ops)
     "semantic_dedup",  # r8
     "shard_assignment",  # r8
     "simhash_near_dups",  # r8

@@ -1,0 +1,146 @@
+"""Two-pass exact heavy hitters (operators/sketch.py): the Misra-Gries
+superset guarantee, exact-count equivalence with GROUP BY ... HAVING,
+and the bounded-shuffle plan shape."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from promi_spark.operators.sketch import heavy_hitters, mg_candidates
+
+
+def _stream(spark, items, partitions=8):
+    return spark.createDataFrame(
+        [(x,) for x in items], "token string"
+    ).repartition(partitions)
+
+
+def _exact(items, min_count):
+    from collections import Counter
+
+    return {
+        k: v for k, v in Counter(items).items() if v >= min_count and k is not None
+    }
+
+
+@pytest.fixture(scope="module")
+def zipf_items():
+    rng = random.Random(42)
+    items = []
+    # skewed head + long singleton tail, shuffled across partitions
+    for i in range(20):
+        items += [f"hot{i}"] * (400 - 15 * i)
+    items += [f"tail{j}" for j in range(5000)]
+    rng.shuffle(items)
+    return items
+
+
+def test_mg_candidates_superset_guarantee(spark, zipf_items):
+    n = len(zipf_items)
+    min_count = 100
+    capacity = n // min_count + 1
+    cands = {
+        r["item"]
+        for r in mg_candidates(
+            _stream(spark, zipf_items), "token", capacity
+        ).collect()
+    }
+    truth = set(_exact(zipf_items, min_count))
+    assert truth <= cands, truth - cands
+
+
+def test_mg_candidates_est_lower_bounds_true_count(spark, zipf_items):
+    from collections import Counter
+
+    truth = Counter(zipf_items)
+    rows = mg_candidates(_stream(spark, zipf_items), "token", 500).collect()
+    # per-partition summaries union: summed est never exceeds truth
+    agg = {}
+    for r in rows:
+        agg[r["item"]] = agg.get(r["item"], 0) + r["est"]
+    assert all(est <= truth[item] for item, est in agg.items())
+
+
+def test_heavy_hitters_equals_group_by_having(spark, zipf_items):
+    out = heavy_hitters(_stream(spark, zipf_items), "token", min_count=100)
+    got = {r["token"]: r["n_occurrences"] for r in out.collect()}
+    assert got == _exact(zipf_items, 100)
+
+
+def test_heavy_hitters_min_frac_form(spark, zipf_items):
+    import math
+
+    n = len(zipf_items)
+    frac = 0.005
+    out = heavy_hitters(_stream(spark, zipf_items), "token", min_frac=frac)
+    got = {r["token"]: r["n_occurrences"] for r in out.collect()}
+    assert got == _exact(zipf_items, math.ceil(n * frac))
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark):
+    """Adversarial: capacity barely above n/min_count, heavies split
+    across every partition, equal-count ties at the threshold."""
+    items = ["a"] * 50 + ["b"] * 50 + ["c"] * 49 + [f"t{i}" for i in range(851)]
+    random.Random(7).shuffle(items)
+    n = len(items)  # 1000
+    out = heavy_hitters(
+        _stream(spark, items, partitions=16),
+        "token",
+        min_count=50,
+        capacity=n // 50 + 1,
+    )
+    got = {r["token"]: r["n_occurrences"] for r in out.collect()}
+    assert got == {"a": 50, "b": 50}
+
+
+def test_heavy_hitters_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [("x",)] * 10 + [(None,)] * 50, "token string"
+    ).repartition(4)
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "token", min_count=5).collect()
+    }
+    assert got == {"x": 10}
+
+
+def test_heavy_hitters_param_validation(spark):
+    df = _stream(spark, ["a"], partitions=1)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "token")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "token", min_count=5, min_frac=0.1)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "token", min_frac=1.5)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "token", min_count=0)
+    with pytest.raises(ValueError):
+        mg_candidates(df, "token", 0)
+
+
+def test_heavy_hitters_long_items(spark):
+    """Non-string key type: heavy hitters over a long column."""
+    items = [1] * 30 + [2] * 20 + list(range(100, 400))
+    df = spark.createDataFrame([(x,) for x in items], "k long").repartition(6)
+    got = {
+        r["k"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "k", min_count=20).collect()
+    }
+    assert got == {1: 30, 2: 20}
+
+
+def test_plan_candidate_filter_before_exchange(spark, zipf_items):
+    """The verify pass broadcast-semi-joins the candidate set BELOW the
+    count aggregate: only candidate rows reach the exchange."""
+    plan = (
+        heavy_hitters(_stream(spark, zipf_items), "token", min_count=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the sketch pass is the only Python node
+    assert plan.count("MapInPandas") == 1
