@@ -256,10 +256,21 @@ def read_bloom_index(
 def _doc_grams(
     df: DataFrame, key_col: str | None, text_col: str, n: int
 ) -> DataFrame:
-    """(k, n_grams, g) distinct word n-grams per doc — byte-identical
-    gram strings to ``text.ngram_overlap`` so the bloom and exact
-    decontamination paths flag the same true overlaps.
-    ``key_col=None`` emits a constant key (gram extraction only)."""
+    """(k, g) distinct word n-grams per doc (``g`` null for gram-less
+    docs, so every doc keeps a row through ``explode_outer``) —
+    byte-identical gram strings to ``text.ngram_overlap`` so the bloom
+    and exact decontamination paths flag the same true overlaps.
+    ``key_col=None`` emits a constant key (gram extraction only).
+
+    Deliberately does NOT emit a per-doc gram COUNT column: a
+    ``size(gr)`` alias in the explode projection gets collapsed above
+    the Generate, re-evaluating the whole interpreted gram chain once
+    per gram ROW instead of per doc (measured 6x the entire probe cost
+    at soak scale whenever a caller materialized it — the
+    ``contaminated``-only path column-pruned it away, hiding the
+    defect). Callers that need the count derive it from the exploded
+    rows (grams are already distinct per doc): ``sum(g is not null)``
+    in their rollup."""
     from promi_spark.operators.text import tokens
 
     toks = F.col("__toks")
@@ -275,9 +286,7 @@ def _doc_grams(
     toks_df = df.select(
         key.alias("k"), tokens(F.col(text_col)).alias("__toks")
     )
-    return toks_df.select(
-        "k", F.size(gr).alias("n_grams"), F.explode_outer(gr).alias("g")
-    )
+    return toks_df.select("k", F.explode_outer(gr).alias("g"))
 
 
 def merge_bloom_indexes(
@@ -444,10 +453,9 @@ def decontaminate_bloom(
         F.col("g").isNull(), F.array().cast("array<long>")
     ).otherwise(F.array(*_positions(F.col("g"), m_bits, k)))
     exploded = ex.select(
-        "k", "n_grams", "g", F.explode_outer(pos_arr).alias("__pos")
+        "k", "g", F.explode_outer(pos_arr).alias("__pos")
     ).select(
         "k",
-        "n_grams",
         "g",
         F.shiftright("__pos", 6).alias("word"),
         F.expr("shiftleft(1L, CAST(pmod(__pos, 64) AS INT))").alias("__bit"),
@@ -462,19 +470,21 @@ def decontaminate_bloom(
             "left",
         )
         .groupBy("k", "g")
-        .agg(
-            F.first("n_grams").alias("n_grams"),
-            (F.sum(hit) == k).cast("int").alias("__gram_hit"),
-        )
+        .agg((F.sum(hit) == k).cast("int").alias("__gram_hit"))
     )
+    # n_grams is the per-doc row count of the (already distinct) gram
+    # stream — derived here rather than carried as a size() column so
+    # the interpreted gram expression is never re-evaluated above the
+    # explode (see _doc_grams)
+    is_gram = F.col("g").isNotNull()
     return (
         per_gram.groupBy("k")
         .agg(
-            F.first("n_grams").alias("n_grams"),
+            F.sum(F.when(is_gram, 1).otherwise(0))
+            .cast("int")
+            .alias("n_grams"),
             F.sum(
-                F.when(F.col("g").isNotNull(), F.col("__gram_hit")).otherwise(
-                    0
-                )
+                F.when(is_gram, F.col("__gram_hit")).otherwise(0)
             ).alias("maybe_shared"),
         )
         .select(
