@@ -1,0 +1,206 @@
+"""Product quantization (PQ) for embedding search — the memory-side
+complement of the IVF family in :mod:`operators.similarity`.
+
+Public formulation: Jégou, Douze & Schmid 2011, "Product Quantization
+for Nearest Neighbor Search" (TPAMI): split the D-dim vector into M
+contiguous subspaces, learn a small codebook per subspace, store each
+vector as M one-byte codes, and answer queries with ADC (asymmetric
+distance computation) — per-subspace partial distances between the
+RAW query and every sub-centroid are precomputed once per query
+(M x n_codes floats), and each corpus vector's approximate distance is
+M table lookups + a fixed-order sum.
+
+Why it matters at 100 TB: a 1024-dim float32 corpus is 4 KB/vector;
+PQ at M=64/n_codes=256 is 64 BYTES/vector (64x), small enough that the
+whole code table sits in memory / a fast scan while raw vectors stay
+in cold storage. The scan itself is pure codegen — the codebooks and
+the per-query partial tables are literal arrays, so scoring is
+``element_at`` lookups and a fixed-order add chain; top-k plans as
+TakeOrdered (per-partition heaps). Compose with IVF
+(:func:`similarity.ivf_assign`) for the classic IVF-PQ layout: probe
+clusters by partition pruning, then ADC-scan only the probed cells.
+
+Oracle config: like the IVF family, ``init='lowest_ids'`` with
+``n_iter=0`` seeds each subspace codebook from the ``n_codes``
+lowest-id corpus sub-vectors — fully order-independent and replayable
+in plain SQL (`oracles.pq_topk_sql`); the production default trains
+per-subspace k-means on a deterministic hash-ordered sample, same
+plan shape either way. All inner products fold in index order on both
+engines (the repo-wide dot-product determinism convention); outputs
+round to 6 dp and rank with explicit id tie-breaks.
+
+No counterpart in the reference (no vector machinery at all in
+``/root/reference/src``); extends SURVEY §2's similarity-search block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from promi_spark.operators.similarity import _as_double, dot
+
+__all__ = ["pq_codebooks", "pq_encode", "pq_topk", "adc_partials"]
+
+
+def _lip(a, b) -> float:
+    """Index-order sequential inner product — the same fold order as
+    Spark's ``F.aggregate`` dot and DuckDB's ``list_inner_product``."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _check_geometry(dim: int, m_subspaces: int) -> int:
+    if m_subspaces < 1 or dim % m_subspaces != 0:
+        raise ValueError(
+            f"pq: m_subspaces={m_subspaces} must divide dim={dim}"
+        )
+    return dim // m_subspaces
+
+
+def pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m_subspaces: int = 4,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "kmeans",
+    n_iter: int = 10,
+    seed: int = 42,
+    sample: int = 4096,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``codebooks[m][c]`` is the c-th
+    sub-centroid of subspace ``m`` (each ``dim/m_subspaces`` wide).
+
+    ``init='kmeans'`` (default): per-subspace Lloyd iterations on a
+    deterministic hash-ordered driver sample (numpy; the sample is one
+    TakeOrdered job, shared across subspaces). ``init='lowest_ids'``
+    with ``n_iter=0``: codebooks are the sub-vectors of the
+    ``n_codes`` lowest-id rows — the SQL-replayable oracle config."""
+    import numpy as np
+
+    d = _check_geometry(dim, m_subspaces)
+    if init == "lowest_ids":
+        rows = (
+            df.select(_as_double(F.col(vec_col)).alias("v"))
+            .orderBy(F.col(id_col))
+            .limit(n_codes)
+            .collect()
+        )
+    else:
+        rows = (
+            df.select(
+                _as_double(F.col(vec_col)).alias("v"),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+            )
+            .orderBy("__h", id_col)
+            .limit(sample)
+            .collect()
+        )
+    X = np.array([r["v"] for r in rows])
+    books: list[list[list[float]]] = []
+    rng = np.random.default_rng(seed)
+    for m in range(m_subspaces):
+        Xm = X[:, m * d : (m + 1) * d]
+        if init == "lowest_ids":
+            cent = Xm[: min(n_codes, len(Xm))].copy()
+        else:
+            pick = rng.choice(
+                len(Xm), size=min(n_codes, len(Xm)), replace=False
+            )
+            cent = Xm[pick].copy()
+        for _ in range(n_iter):
+            dist = ((Xm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(len(cent)):
+                members = Xm[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        books.append(cent.tolist())
+    return books
+
+
+def _sub(vec: Column, m: int, d: int) -> Column:
+    return F.slice(vec, m * d + 1, d)
+
+
+def _nearest_code(sub: Column, book: list[list[float]]) -> Column:
+    """argmin_c ||x - c||^2 == argmax_c (2 x.c - c.c), unrolled over
+    the (small) codebook; first-max = lowest code index on ties —
+    mirrored by the oracle's ``ORDER BY score DESC, c_idx`` rank."""
+    scores = []
+    for c in book:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = _lip(c, c)
+        scores.append(2.0 * dot(sub, carr) - F.lit(c2))
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> ``(id, code_0..code_{M-1})``: the stored PQ
+    representation (M small ints per vector — write THIS, not the raw
+    vectors, as the hot search table). One narrow codegen projection;
+    no shuffle, no UDF."""
+    d = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    cols = [F.col(id_col)] + [
+        _nearest_code(_sub(v, m, d), book).alias(f"code_{m}")
+        for m, book in enumerate(codebooks)
+    ]
+    return df.select(*cols)
+
+
+def adc_partials(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-(subspace, code) squared-L2 partials between the RAW query
+    and each sub-centroid: ``q_m.q_m - 2 q_m.c + c.c``, each inner
+    product folded in index order (the cross-engine convention)."""
+    d = len(codebooks[0][0])
+    out = []
+    for m, book in enumerate(codebooks):
+        qm = [float(x) for x in query_vec[m * d : (m + 1) * d]]
+        qq = _lip(qm, qm)
+        out.append([qq - 2.0 * _lip(qm, c) + _lip(c, c) for c in book])
+    return out
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 distance = the fixed-order sum
+    of M partial-table lookups on the vector's codes. Pass ``codes``
+    (a :func:`pq_encode` output) to scan the compact code table —
+    the intended layout at scale; otherwise the corpus is encoded
+    inline (one pass over the raw vectors).
+
+    Returns ``(id, adc_dist)`` rounded to 6 dp, ascending (then id) —
+    TakeOrdered, never a full sort."""
+    if k < 1:
+        raise ValueError("pq_topk: k must be >= 1")
+    parts = adc_partials(query_vec, codebooks)
+    enc = codes if codes is not None else pq_encode(df, codebooks, id_col, vec_col)
+    adc: Column = F.lit(0.0)
+    for m, table in enumerate(parts):
+        arr = F.array(*[F.lit(p) for p in table])
+        adc = adc + F.element_at(arr, F.col(f"code_{m}") + 1)
+    return (
+        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

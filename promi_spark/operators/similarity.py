@@ -949,6 +949,72 @@ def semantic_dedup(
     )
 
 
+def cluster_prune(
+    df: DataFrame,
+    frac: float = 0.3,
+    n_clusters: int | str = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    init: str = "rng_sample",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws" — public formulation): within each embedding
+    cluster, DROP the ``frac`` most prototypical vectors (closest to
+    their centroid) and keep the informative tail. The easy/redundant
+    core of each semantic neighborhood contributes least to training;
+    pruning it beats random subsampling at equal token budget.
+
+    Returns the KEPT rows as ``(id, cluster)``. One exchange (the
+    cluster-key window for the distance rank + cluster size); the
+    assignment and distance arithmetic are unrolled codegen over the
+    literal centroid set, like :func:`ivf_assign`. Per-cluster rank =
+    ascending squared L2 to the centroid with the id tie-break, and a
+    row is kept iff ``rank > ceil(frac * cluster_size)`` — both
+    engine-deterministic, so the DuckDB oracle
+    (`oracles.cluster_prune_sql`) replays the kept SET exactly under
+    the seeded-Voronoi config (``init='lowest_ids'``, ``n_iter=0``);
+    the production default trains k-means (or takes
+    :func:`ivf_centroids_mllib` centroids) — same plan either way."""
+    if not 0 <= frac < 1:
+        raise ValueError("cluster_prune: frac must be in [0, 1)")
+    if n_clusters == "auto":
+        n_clusters = ivf_geometry(df.count())[0]
+    cent = centroids or ivf_centroids(
+        df, n_clusters, n_iter=n_iter, seed=seed,
+        vec_col=vec_col, init=init, id_col=id_col,
+    )
+    v = _as_double(F.col(vec_col))
+    scores = []
+    for c in cent:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = sum(float(x) * float(x) for x in c)
+        scores.append(2.0 * dot(v, carr) - F.lit(float(c2)))
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    assigned = df.select(
+        F.col(id_col),
+        ((F.array_position(arr, best) - 1).cast("int")).alias("cluster"),
+        # ||v - c||^2 == v.v - (2 v.c - c.c); v.v varies per row, so the
+        # best SCORE alone cannot order rows within a cluster
+        (dot(v, v) - best).alias("__dist2"),
+    )
+    win = Window.partitionBy("cluster")
+    rank = F.row_number().over(
+        win.orderBy(F.col("__dist2"), F.col(id_col))
+    )
+    cnt = F.count(F.lit(1)).over(win)
+    return (
+        assigned.select(
+            id_col, "cluster", rank.alias("__rn"), cnt.alias("__cnt")
+        )
+        .filter(F.col("__rn") > F.ceil(F.lit(float(frac)) * F.col("__cnt")))
+        .select(id_col, "cluster")
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: list[list[float]],

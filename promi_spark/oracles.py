@@ -179,6 +179,100 @@ def ivf_topk_sql(n_clusters: int, nprobe: int, k: int) -> str:
     """
 
 
+def pq_topk_sql(m_subspaces: int, n_codes: int, k: int, dim: int = 64) -> str:
+    """Replay of pq.pq_topk with init='lowest_ids', n_iter=0: per
+    subspace the codebook is the sub-vectors of the ``n_codes``
+    lowest-id corpus rows; encoding is argmax(2 x.c - c.c) with the
+    lowest-code-index tie-break; ADC partials fold per subspace in
+    index order and sum in subspace order (list_aggregate over the
+    m-ordered list == Spark's fixed-order add chain)."""
+    d = dim // m_subspaces
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE k = (SELECT min(k) FROM e)),
+    corp AS (SELECT k, v FROM e WHERE k <> (SELECT min(k) FROM e)),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v
+      FROM corp ORDER BY k LIMIT {n_codes}
+    ),
+    ms AS (SELECT unnest(range(0, {m_subspaces})) AS m),
+    subs AS (
+      SELECT ms.m, seeds.c_idx,
+             seeds.v[ms.m*{d}+1 : (ms.m+1)*{d}] AS c
+      FROM seeds CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT corp.k, s.m, s.c_idx,
+             row_number() OVER (
+               PARTITION BY corp.k, s.m
+               ORDER BY 2 * list_inner_product(
+                            corp.v[s.m*{d}+1 : (s.m+1)*{d}], s.c)
+                        - list_inner_product(s.c, s.c) DESC,
+                        s.c_idx
+             ) AS rn
+      FROM corp CROSS JOIN subs s
+    ),
+    codes AS (SELECT k, m, c_idx AS code FROM enc WHERE rn = 1),
+    part AS (
+      SELECT m, c_idx,
+             list_inner_product(qm, qm) - 2 * list_inner_product(qm, c)
+             + list_inner_product(c, c) AS p
+      FROM (
+        SELECT s.m, s.c_idx, s.c, qv.q[s.m*{d}+1 : (s.m+1)*{d}] AS qm
+        FROM subs s CROSS JOIN qv
+      )
+    ),
+    scored AS (
+      SELECT codes.k,
+             list_aggregate(list(part.p ORDER BY codes.m), 'sum') AS adc
+      FROM codes JOIN part ON codes.m = part.m AND codes.code = part.c_idx
+      GROUP BY codes.k
+    )
+    SELECT k AS vec_id, round(adc, 6) AS adc_dist
+    FROM scored ORDER BY round(adc, 6), k LIMIT {k}
+    """
+
+
+def cluster_prune_sql(n_clusters: int, frac: float) -> str:
+    """Replay of similarity.cluster_prune with init='lowest_ids',
+    n_iter=0: seeded-Voronoi assignment (argmax(2 v.c - c.c), lowest
+    seed index on ties), per-cluster ascending ||v - c||^2 rank with
+    the id tie-break, keep rank > ceil(frac * cluster_size)."""
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c
+      FROM e ORDER BY k LIMIT {n_clusters}
+    ),
+    scored AS (
+      SELECT e.k, e.v, cent.c_idx,
+             2 * list_inner_product(e.v, cent.c)
+             - list_inner_product(cent.c, cent.c) AS s,
+             row_number() OVER (
+               PARTITION BY e.k
+               ORDER BY 2 * list_inner_product(e.v, cent.c)
+                        - list_inner_product(cent.c, cent.c) DESC,
+                        cent.c_idx
+             ) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    asg AS (
+      SELECT k, CAST(c_idx AS INT) AS cluster,
+             list_inner_product(v, v) - s AS dist2
+      FROM scored WHERE rn = 1
+    ),
+    rk AS (
+      SELECT k, cluster,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY dist2, k) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS cnt
+      FROM asg
+    )
+    SELECT k AS vec_id, cluster
+    FROM rk WHERE rn > ceil({frac!r} * cnt)
+    """
+
+
 def semantic_dedup_sql(
     n_clusters: int, threshold: float, per_cluster: int | None = None
 ) -> str:

@@ -3194,6 +3194,42 @@ def q_media_embeddings(spark, sf_dir):
     return mm.content_embeddings(mm.media_fixture(spark), dim=16)
 
 
+@q("pq_topk", oracles.pq_topk_sql(m_subspaces=4, n_codes=16, k=10))
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC search (Jégou et al. 2011) in its
+    oracle-checkable configuration: per-subspace codebooks seeded from
+    the 16 lowest-id corpus sub-vectors (no Lloyd iterations, so
+    DuckDB replays the encode + partial tables pair-for-pair); the
+    production default trains per-subspace k-means — same code-lookup
+    scan either way. The memory-side complement of IVF: the scan
+    touches M one-byte codes per vector, never the raw embeddings."""
+    from promi_spark.operators import pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qid, qvec = _query_vec(emb)
+    corp = emb.filter(F.col("vec_id") != qid)
+    books = pq.pq_codebooks(
+        corp, dim=64, m_subspaces=4, n_codes=16,
+        init="lowest_ids", n_iter=0,
+    )
+    return pq.pq_topk(corp, books, qvec, k=10)
+
+
+@q("cluster_prune", oracles.cluster_prune_sql(n_clusters=8, frac=0.3))
+def q_cluster_prune(spark, sf_dir):
+    """Prototype-based data pruning (Sorscher et al. 2022): drop the
+    30% most prototypical vectors per embedding cluster, keep the
+    informative tail — seeded-Voronoi configuration so the oracle
+    replays the kept set exactly; the production default takes
+    k-means / ivf_centroids_mllib centroids."""
+    from promi_spark.operators.similarity import cluster_prune
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cluster_prune(
+        emb, frac=0.3, n_clusters=8, init="lowest_ids", n_iter=0
+    )
+
+
 _DSIR_GRAMS = r"""
 t AS (
   SELECT doc_id, source,
@@ -3347,16 +3383,19 @@ def q_token_heavy_hitters(spark, sf_dir):
 _ORDER = [
     # ---- 50-slot driver window (round-10 rotation): the r9 red row
     # temperature_rates re-witnessed first post-oracle-fix (with its
-    # sibling), the three NEW r10 operators (dsir_select /
-    # dsir_bucket_weights / token_heavy_hitters — first witness), then
-    # oldest-driver-witness first — the 9 remaining r7-witnessed
-    # entries, then the r8-witnessed block through phrase_search_docs;
-    # every slot carries a DuckDB oracle ----
+    # sibling), the five NEW r10 operators (dsir_select /
+    # dsir_bucket_weights / token_heavy_hitters / pq_topk /
+    # cluster_prune — first witness), then oldest-driver-witness first
+    # — the 9 remaining r7-witnessed entries, then the r8-witnessed
+    # block through path_prefixes; every slot carries a DuckDB
+    # oracle ----
     "temperature_rates",  # r9 red row: oracle typing fixed in r10
     "temperature_mixture",  # r9
     "dsir_select",  # NEW r10: first driver witness
     "dsir_bucket_weights",  # NEW r10: first driver witness
     "token_heavy_hitters",  # NEW r10: first driver witness
+    "pq_topk",  # NEW r10: first driver witness
+    "cluster_prune",  # NEW r10: first driver witness
     "filter_trace_scope",  # last driver row r7
     "heuristic_dependency",  # last driver row r7
     "lang_id_docs",  # last driver row r7
@@ -3400,13 +3439,13 @@ _ORDER = [
     "minhash_near_dups",  # last driver row r8
     "mllib_minhash_near_dups",  # last driver row r8
     "path_prefixes",  # last driver row r8
-    "per_source_cap",  # last driver row r8
-    "phrase_search_docs",  # last driver row r8
-    # ---- out of the driver window: the 3 entries displaced by the
+    # ---- out of the driver window: the 5 entries displaced by the
     # NEW r10 operators (re-enter first in r11), then the 11 remaining
     # r8-witnessed entries (rotate in next), then the r9 driver window
     # block; all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
+    "per_source_cap",  # last driver row r8 (displaced by r10 ops)
+    "phrase_search_docs",  # last driver row r8 (displaced by r10 ops)
     "rfm_segments",  # last driver row r8 (displaced by r10 ops)
     "rolling_user_activity",  # last driver row r8 (displaced by r10 ops)
     "session_overlaps",  # last driver row r8 (displaced by r10 ops)

@@ -352,13 +352,21 @@ def test_driver_window_all_oracled_and_sized():
     ]
     # boundary pin: update deliberately when rotating the window
     # (r10 rotation: temperature_rates re-witnessed first after the
-    # oracle typing fix, then the 9 remaining r7-witnessed entries,
-    # then the r8-witnessed block through session_overlaps —
+    # oracle typing fix, then the FIVE new r10 operators for their
+    # first driver witness, then the 9 remaining r7-witnessed entries
+    # and the r8-witnessed block through path_prefixes —
     # bloom_decontaminate stays in the rows-only block so the window
     # stays 100% hash-witnessed)
     assert names[0] == "temperature_rates"
     assert names[1] == "temperature_mixture"
-    assert names[49] == "session_overlaps"
+    assert names[2:7] == [
+        "dsir_select",
+        "dsir_bucket_weights",
+        "token_heavy_hitters",
+        "pq_topk",
+        "cluster_prune",
+    ]
+    assert names[49] == "path_prefixes"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):

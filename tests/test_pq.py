@@ -1,0 +1,201 @@
+"""Product quantization (operators/pq.py) and prototype cluster
+pruning (similarity.cluster_prune): quantization exactness on codebook
+members, ADC semantics, partition invariance, pruning contracts,
+plan shapes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from promi_spark.operators import pq
+
+
+def _lip(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_codebooks(
+        emb, dim=64, m_subspaces=4, n_codes=16, init="lowest_ids", n_iter=0
+    )
+
+
+def test_codebook_geometry(emb, books):
+    assert len(books) == 4
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    with pytest.raises(ValueError):
+        pq.pq_codebooks(emb, dim=64, m_subspaces=5)
+
+
+def test_lowest_ids_codebooks_are_seed_subvectors(emb, books):
+    seeds = emb.orderBy("vec_id").limit(16).collect()
+    for m in range(4):
+        for c, row in zip(books[m], seeds):
+            assert c == [float(x) for x in row["embedding"][m * 16 : (m + 1) * 16]]
+
+
+def test_encode_codes_in_range_and_partition_invariant(emb, books):
+    enc = pq.pq_encode(emb, books)
+    rows = {r["vec_id"]: [r[f"code_{m}"] for m in range(4)] for r in enc.collect()}
+    assert all(0 <= c < 16 for codes in rows.values() for c in codes)
+    enc2 = pq.pq_encode(emb.repartition(13), books)
+    rows2 = {r["vec_id"]: [r[f"code_{m}"] for m in range(4)] for r in enc2.collect()}
+    assert rows == rows2
+
+
+def test_encode_is_exact_on_codebook_members(emb, books):
+    """A vector that IS a codebook seed must encode to its own code in
+    every subspace (zero quantization error)."""
+    seed_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(16).collect()]
+    enc = pq.pq_encode(emb.filter(F.col("vec_id").isin(seed_ids)), books)
+    for r in enc.collect():
+        expect = seed_ids.index(r["vec_id"])
+        for m in range(4):
+            # ties (duplicate sub-vectors) resolve to the LOWEST code,
+            # so the code's centroid must equal the seed's sub-vector
+            assert books[m][r[f"code_{m}"]] == books[m][expect]
+
+
+def test_adc_exact_on_codebook_members(emb, books):
+    """For a corpus row equal to a codebook seed, ADC == the true
+    squared L2 distance to the query (quantization error is zero)."""
+    rows = emb.orderBy("vec_id").limit(17).collect()
+    qvec = [float(x) for x in rows[16]["embedding"]]
+    seed0 = [float(x) for x in rows[0]["embedding"]]
+    out = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq.pq_topk(
+            emb.filter(F.col("vec_id") < 16), books, qvec, k=16
+        ).collect()
+    }
+    diff = [q - s for q, s in zip(qvec, seed0)]
+    true_d2 = _lip(diff, diff)
+    assert math.isclose(out[rows[0]["vec_id"]], true_d2, rel_tol=1e-5)
+
+
+def test_pq_topk_codes_path_matches_inline(emb, books):
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corp = emb.filter(F.col("vec_id") > 0)
+    inline = pq.pq_topk(corp, books, qvec, k=10).collect()
+    codes = pq.pq_encode(corp, books)
+    via_codes = pq.pq_topk(corp, books, qvec, k=10, codes=codes).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in inline] == [
+        (r["vec_id"], r["adc_dist"]) for r in via_codes
+    ]
+
+
+def test_pq_kmeans_books_reduce_distortion(emb):
+    """Trained codebooks must reconstruct better than the arbitrary
+    seeded ones: mean quantization distortion E||x - decode(encode(x))||^2
+    (the objective Lloyd iterations minimize) over the whole corpus."""
+    import numpy as np
+
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=float
+    )
+
+    def distortion(init, n_iter):
+        bks = pq.pq_codebooks(
+            emb, dim=64, m_subspaces=4, n_codes=16, init=init, n_iter=n_iter
+        )
+        total = 0.0
+        for m, book in enumerate(bks):
+            Xm = X[:, m * 16 : (m + 1) * 16]
+            C = np.array(book)
+            d = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            total += d.min(1).sum()
+        return total / len(X)
+
+    assert distortion("kmeans", 10) <= distortion("lowest_ids", 0) * 1.01
+
+
+def test_pq_plan_is_codegen_takeordered(emb, books):
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    plan = (
+        pq.pq_topk(emb, books, qvec, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # scan + per-partition heaps only
+
+
+def test_pq_param_validation(emb, books):
+    with pytest.raises(ValueError):
+        pq.pq_topk(emb, books, [0.0] * 64, k=0)
+
+
+# ---- cluster_prune ---------------------------------------------------------
+
+
+def test_cluster_prune_keeps_tail_not_core(spark, sf_dir):
+    from promi_spark.operators.similarity import cluster_prune, ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = ivf_centroids(emb, 8, init="lowest_ids", n_iter=0)
+    kept = cluster_prune(
+        emb, frac=0.3, n_clusters=8, init="lowest_ids", n_iter=0
+    )
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    n = emb.count()
+    # global bound: ceil per cluster, so kept <= n - sum(ceil(0.3 * c))
+    assigned = ivf_assign(emb, cent)
+    sizes = [r["cnt"] for r in assigned.groupBy("cluster").agg(F.count("*").alias("cnt")).collect()]
+    expect_kept = sum(c - math.ceil(0.3 * c) for c in sizes)
+    assert len(kept_ids) == expect_kept
+    # the kept set carries every cluster's FARTHEST member and never
+    # its closest (for clusters of >= 2 rows)
+    import numpy as np
+
+    C = np.array(cent)
+    rows = emb.collect()
+    by_cluster = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=float)
+        scores = 2 * C @ v - (C * C).sum(1)
+        c = int(scores.argmax())
+        d2 = float(v @ v - scores.max())
+        by_cluster.setdefault(c, []).append((d2, r["vec_id"]))
+    for c, members in by_cluster.items():
+        if len(members) < 2:
+            continue
+        members.sort()
+        assert members[-1][1] in kept_ids  # farthest kept
+        assert members[0][1] not in kept_ids  # most prototypical dropped
+
+
+def test_cluster_prune_frac_zero_keeps_everything(spark, sf_dir):
+    from promi_spark.operators.similarity import cluster_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = cluster_prune(emb, frac=0.0, n_clusters=4, init="lowest_ids", n_iter=0)
+    assert kept.count() == emb.count()
+    with pytest.raises(ValueError):
+        cluster_prune(emb, frac=1.0)
+
+
+def test_cluster_prune_partition_invariant(spark, sf_dir):
+    from promi_spark.operators.similarity import cluster_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r["vec_id"] for r in cluster_prune(emb, 0.25, 8, init="lowest_ids", n_iter=0).collect()}
+    b = {
+        r["vec_id"]
+        for r in cluster_prune(
+            emb.repartition(17), 0.25, 8, init="lowest_ids", n_iter=0
+        ).collect()
+    }
+    assert a == b
