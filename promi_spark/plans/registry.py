@@ -582,6 +582,89 @@ def _bloom_decontaminate(ctx, df, index_path: str, key: str = "doc_id",
     )
 
 
+@register("DsirSelect", "DSIR importance resampling (Xie et al. 2023): "
+          "keep the k raw docs Gumbel-top-k-sampled proportional to the "
+          "hashed-n-gram target/raw likelihood ratio; the TARGET corpus "
+          "arrives on the segment's stream_receiver channel",
+          {"stream"},
+          params=[Param("k", int, description="rows to select"),
+                  Param("key", str, "doc_id"),
+                  Param("text_col", str, "text"),
+                  Param("buckets", int, 8192),
+                  Param("smoothing", float, 1.0),
+                  Param("seed", int, 0)])
+def _dsir_select(ctx, df, k: int, key: str = "doc_id",
+                 text_col: str = "text", buckets: int = 8192,
+                 smoothing: float = 1.0, seed: int = 0, _recv=None, **_):
+    from promi_spark.operators.dsir import dsir_select
+
+    if not _recv:
+        raise FlowConfigError(
+            "DsirSelect needs the target corpus on a stream_receiver "
+            "channel"
+        )
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise FlowConfigError(f"DsirSelect: k must be a positive int, got {k!r}")
+    target = ctx.streams[_recv[0]]
+    target_df = target.df if hasattr(target, "df") else target
+    raw_df = df.df if hasattr(df, "df") else df
+    picked = dsir_select(
+        raw_df, target_df, k, key_cols=key, text_col=text_col,
+        buckets=buckets, smoothing=float(smoothing), seed=seed,
+    ).select(key)
+    return raw_df.join(picked, key, "left_semi")
+
+
+@register("ClusterPrune", "prototype-based data pruning (Sorscher et "
+          "al. 2022): drop the frac most-prototypical rows per "
+          "embedding cluster, keep the informative tail",
+          {"stream"},
+          params=[Param("frac", float,
+                        description="fraction dropped per cluster, [0, 1)"),
+                  Param("n_clusters", int, 16),
+                  Param("id_col", str, "vec_id"),
+                  Param("vec_col", str, "embedding"),
+                  Param("seed", int, 42)])
+def _cluster_prune(ctx, df, frac: float, n_clusters: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42, **_):
+    from promi_spark.operators.similarity import cluster_prune
+
+    if isinstance(frac, bool) or not isinstance(frac, (int, float)) \
+            or not 0.0 <= float(frac) < 1.0:
+        raise FlowConfigError(
+            f"ClusterPrune: frac must be a number in [0, 1), got {frac!r}"
+        )
+    kept = cluster_prune(
+        df, float(frac), n_clusters=n_clusters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    return df.join(kept, id_col, "left_semi")
+
+
+@register("HeavyHitters", "exact heavy hitters via the two-pass "
+          "Misra-Gries sketch: emits the (item, n_occurrences) report "
+          "of every value at or above the threshold; identical to "
+          "GROUP BY ... HAVING with the long tail filtered before the "
+          "exchange",
+          {"stream"},
+          params=[Param("col", str, description="column to count"),
+                  Param("min_count", int, None,
+                        "absolute threshold (exactly one of min_count /"
+                        " min_frac)"),
+                  Param("min_frac", float, None,
+                        "fractional threshold in (0, 1)")])
+def _heavy_hitters(ctx, df, col: str, min_count: int | None = None,
+                   min_frac: float | None = None, **_):
+    from promi_spark.operators.sketch import heavy_hitters
+
+    try:
+        return heavy_hitters(df, col, min_count=min_count,
+                             min_frac=min_frac)
+    except ValueError as e:
+        raise FlowConfigError(f"HeavyHitters: {e}") from e
+
+
 @register("PerKeyCap", "domain cap: keep at most n rows per key by "
           "md5-coin rank (C4/RefinedWeb-style 'no domain contributes "
           "more than n docs'; partitioning-invariant kept set)",

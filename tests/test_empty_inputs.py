@@ -180,3 +180,37 @@ def test_round5_batch3_operators_empty(spark, empty_docs):
     assert handover_network(log).count() == 0
     z = empty_ev.select(zorder_value([F.col("user_id")], bits=4).alias("z"))
     assert z.count() == 0
+
+
+def test_r10_operators_empty(spark, empty_docs, empty_emb):
+    from promi_spark.operators import dsir, pq
+    from promi_spark.operators.similarity import cluster_prune
+    from promi_spark.operators.sketch import heavy_hitters, mg_candidates
+
+    # DSIR: empty target -> uniform weights over raw buckets; empty raw
+    # -> empty weight/score/selection relations
+    some = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id long, source string, text string"
+    )
+    w = dsir.dsir_weights(empty_docs, some)
+    assert w.count() > 0  # raw buckets still present (ct = 0)
+    assert dsir.dsir_weights(some, empty_docs).count() > 0
+    assert dsir.dsir_scores(empty_docs, w).count() == 0
+    assert dsir.dsir_select(empty_docs, some, 5).count() == 0
+
+    # heavy hitters: no rows -> no candidates, no output
+    assert mg_candidates(empty_docs, "text", 8).count() == 0
+    assert heavy_hitters(empty_docs, "text", min_count=1).count() == 0
+    assert heavy_hitters(empty_docs, "text", min_frac=0.5).count() == 0
+
+    # PQ / pruning need a codebook: seeded books from a 1-row corpus
+    one = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq.pq_codebooks(one, dim=64, m_subspaces=4, n_codes=1,
+                            init="lowest_ids", n_iter=0)
+    assert pq.pq_encode(empty_emb, books).count() == 0
+    assert pq.pq_topk(empty_emb, books, [0.0] * 64, k=3).count() == 0
+    cent = [[0.0] * 64]
+    assert cluster_prune(empty_emb, 0.3, centroids=cent).count() == 0

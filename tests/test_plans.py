@@ -892,3 +892,47 @@ def test_decontaminated_mix_example_documented_counts(spark, tmp_path):
     assert out.count() == 385
     assert out.select("shard").distinct().count() == 8
     assert out.select("source").distinct().count() == 20
+
+
+def test_r10_selection_segments(spark):
+    """Round-10 segments: DsirSelect (target on the receiver channel),
+    ClusterPrune (embedding-relation pruning), HeavyHitters (exact
+    report); missing channel / bad params rejected at flow-build time."""
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from promi_spark.io import load_table
+    from promi_spark.plans.registry import REGISTRY, FlowConfigError
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    ctx = SimpleNamespace(streams={"tgt": target})
+
+    sel = REGISTRY["DsirSelect"].fn(ctx, raw, k=25, _recv=["tgt"])
+    assert sel.count() == 25
+    assert set(sel.columns) == set(docs.columns)  # selected DOCS, not keys
+    with _pytest.raises(FlowConfigError, match="stream_receiver"):
+        REGISTRY["DsirSelect"].fn(ctx, raw, k=25)
+    with _pytest.raises(FlowConfigError, match="positive int"):
+        REGISTRY["DsirSelect"].fn(ctx, raw, k=0, _recv=["tgt"])
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    kept = REGISTRY["ClusterPrune"].fn(ctx, emb, frac=0.3, n_clusters=4)
+    assert 0 < kept.count() < emb.count()
+    assert set(kept.columns) == set(emb.columns)
+    with _pytest.raises(FlowConfigError, match="frac"):
+        REGISTRY["ClusterPrune"].fn(ctx, emb, frac=1.5)
+
+    hh = REGISTRY["HeavyHitters"].fn(ctx, docs, col="source", min_count=2)
+    got = {r["source"]: r["n_occurrences"] for r in hh.collect()}
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        if r["n"] >= 2
+    }
+    assert got == exact
+    with _pytest.raises(FlowConfigError, match="exactly one"):
+        REGISTRY["HeavyHitters"].fn(ctx, docs, col="source")

@@ -107,6 +107,7 @@ def measure(
     rows = emb.collect()  # measurement harness only — 2k vectors
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vraw = V.copy()  # PQ's contract is squared L2 on the RAW vectors
     V /= np.linalg.norm(V, axis=1, keepdims=True)
     order = np.argsort(ids)
     ids, V = ids[order], V[order]
@@ -220,6 +221,48 @@ def measure(
             print(f"  lsh bits={bits} nprobe={nprobe}: recall@{k} = {r:.4f}",
                   flush=True)
 
+    # ---- PQ (r10): operator codebooks + operator encoding; ADC ranks
+    # EVERY vector (compression, not candidate pruning), so recall is
+    # measured against the exact squared-L2 top-k on the raw vectors —
+    # PQ's own contract. Reported per (m_subspaces, n_codes): code
+    # bytes/vector vs recall is the compression-quality trade. ----
+    from promi_spark.operators import pq as pqm
+
+    Vr = Vraw[order]  # same id sort as ids / V
+    d2_raw = ((Vr[:, None, :] - Vr[None, :, :]) ** 2).sum(2)
+    np.fill_diagonal(d2_raw, np.inf)
+    report["pq"] = {}
+    pq_books_cache = {}
+    for m_sub, n_codes in ((4, 16), (4, 64), (8, 64)):
+        books = pqm.pq_codebooks(
+            emb, dim=dim, m_subspaces=m_sub, n_codes=n_codes,
+            init="kmeans", n_iter=10, seed=42,
+        )
+        pq_books_cache[(m_sub, n_codes)] = books
+        enc = {
+            r["vec_id"]: [r[f"code_{m}"] for m in range(m_sub)]
+            for r in pqm.pq_encode(emb, books).collect()
+        }
+        code_arr = np.array([enc[int(i)] for i in ids])
+        hits = 0
+        for qi in q_idx:
+            qvec = [float(x) for x in Vr[qi]]
+            P = np.array(pqm.adc_partials(qvec, books))  # (m, n_codes)
+            adc = P[np.arange(m_sub)[:, None], code_arr.T].sum(0)
+            adc[qi] = np.inf
+            got = set(topk_ids(-adc, ids, k))
+            exact = set(topk_ids(-d2_raw[qi], ids, k))
+            hits += len(exact & got)
+        r = hits / (len(q_idx) * min(k, n - 1))
+        key = f"m={m_sub},codes={n_codes}"
+        report["pq"][key] = {
+            "recall": round(r, 4),
+            "bytes_per_vector": m_sub,  # one code byte per subspace
+            "raw_bytes_per_vector": int(dim * 4),
+        }
+        print(f"  pq {key}: recall@{k} = {r:.4f} "
+              f"({m_sub} B/vec vs {dim*4} raw)", flush=True)
+
     # ---- fidelity spot-check: numpy replay == the real operators ----
     t0 = time.time()
     nspot = min(fidelity_queries, len(q_idx))
@@ -240,8 +283,31 @@ def measure(
         assert op_ids == replay, (
             f"ivf fidelity: operator {op_ids} != replay {replay} (q={ids[qi]})"
         )
+    # PQ fidelity: the real pq_topk (round-6 ADC, asc, id tie-break)
+    # against the numpy replay over the operator's own codes/books
+    books = pq_books_cache[(4, 64)]
+    enc = {
+        r["vec_id"]: [r[f"code_{m}"] for m in range(4)]
+        for r in pqm.pq_encode(emb, books).collect()
+    }
+    code_arr = np.array([enc[int(i)] for i in ids])
+    for qi in q_idx[:nspot]:
+        qvec = [float(x) for x in Vr[qi]]
+        op = pqm.pq_topk(
+            emb.filter(F.col("vec_id") != int(ids[qi])), books, qvec, k=k
+        )
+        op_ids = [r["vec_id"] for r in op.collect()]
+        P = np.array(pqm.adc_partials(qvec, books))
+        adc = np.round(P[np.arange(4)[:, None], code_arr.T].sum(0), 6)
+        adc[qi] = np.inf
+        idx = np.lexsort((ids, adc))[:k]
+        replay = [int(ids[i]) for i in idx]
+        assert op_ids == replay, (
+            f"pq fidelity: operator {op_ids} != replay {replay} (q={ids[qi]})"
+        )
     report["fidelity_spot_check"] = (
-        f"{nspot} ivf_topk queries identical ({time.time()-t0:.1f}s)"
+        f"{nspot} ivf_topk + {nspot} pq_topk queries identical "
+        f"({time.time()-t0:.1f}s)"
     )
     print(report["fidelity_spot_check"], flush=True)
     return report
