@@ -199,3 +199,22 @@ def test_cluster_prune_partition_invariant(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_pq_index_persist_roundtrip(spark, emb, books, tmp_path):
+    """write_pq_index persists only the code table (+ codebook
+    sidecar); a query over the loaded index matches the inline path
+    and never scans raw vectors."""
+    from promi_spark.operators.pq import pq_topk, read_pq_index, write_pq_index
+
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(emb, books, path)
+    codes, books2 = read_pq_index(spark, path)
+    assert books2 == books
+    assert set(codes.columns) == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    via_idx = pq_topk(None, books2, qvec, k=10, codes=codes).collect()
+    inline = pq_topk(emb, books, qvec, k=10).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in via_idx] == [
+        (r["vec_id"], r["adc_dist"]) for r in inline
+    ]
