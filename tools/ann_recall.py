@@ -233,7 +233,7 @@ def measure(
     np.fill_diagonal(d2_raw, np.inf)
     report["pq"] = {}
     pq_books_cache = {}
-    for m_sub, n_codes in ((4, 16), (4, 64), (8, 64)):
+    for m_sub, n_codes in ((4, 16), (4, 64), (8, 64), (16, 64)):
         books = pqm.pq_codebooks(
             emb, dim=dim, m_subspaces=m_sub, n_codes=n_codes,
             init="kmeans", n_iter=10, seed=42,
