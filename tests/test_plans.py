@@ -936,3 +936,28 @@ def test_r10_selection_segments(spark):
     assert got == exact
     with _pytest.raises(FlowConfigError, match="exactly one"):
         REGISTRY["HeavyHitters"].fn(ctx, docs, col="source")
+
+
+def test_dsir_curated_mix_example_flow(spark, tmp_path):
+    """examples/dsir_curated_mix.yml runs verbatim (export path
+    sandboxed) and keeps exactly k=400 docs, all drawn from the
+    domain-capped pool; the target channel wiring (QualityFilter pipe
+    -> Sender -> DsirSelect stream_receiver) resolves at build time."""
+    import yaml
+    from pyspark.sql import functions as F
+
+    from promi_spark.plans import execute
+
+    flow = yaml.safe_load(open("/root/repo/examples/dsir_curated_mix.yml"))
+    out = str(tmp_path / "dsir_mix")
+    for pipe in flow["pipes"]:
+        attrs = pipe.get("sink", {}).get("attributes", {})
+        if "path" in attrs:
+            attrs["path"] = out
+    execute(spark, flow, base_dir=str(tmp_path))
+    got = spark.read.parquet(out)
+    assert got.count() == 400
+    # the domain cap held: no source contributes more than 22 docs
+    caps = got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert max(r["n"] for r in caps) <= 22
+    assert got.select("shard").distinct().count() == 8
