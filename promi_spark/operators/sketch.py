@@ -45,7 +45,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["mg_candidates", "heavy_hitters"]
+__all__ = ["mg_candidates", "heavy_hitters", "mg_update"]
+
+
+def mg_update(counts: dict, batch_counts, capacity: int) -> dict:
+    """One Misra-Gries batch step: merge ``batch_counts`` (item ->
+    occurrences) into ``counts``, then if over ``capacity`` subtract
+    the (L - capacity)-th smallest counter from every counter and drop
+    the non-positive ones. Each subtraction step removes >= delta *
+    capacity total mass (every counter >= delta loses delta, and at
+    least ``capacity`` of them sit at or above delta by the order
+    statistic), so the total undercount of any single item over a
+    partition is bounded by n_p / capacity. Pure function of the dict
+    — the property tests exercise the guarantee without Spark."""
+    for item, c in batch_counts:
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) > capacity:
+        vals = sorted(counts.values())
+        delta = vals[len(counts) - capacity - 1]
+        counts = {k: v - delta for k, v in counts.items() if v > delta}
+    return counts
 
 
 def mg_candidates(
@@ -72,17 +91,9 @@ def mg_candidates(
 
         counts: dict = {}
         for pdf in batches:
-            for item, c in pdf["item"].value_counts().items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > capacity:
-                vals = sorted(counts.values())
-                # (L - capacity)-th smallest: subtracting it drops at
-                # least L - capacity counters and removes >= delta *
-                # capacity mass (every counter >= delta loses delta)
-                delta = vals[len(counts) - capacity - 1]
-                counts = {
-                    k: v - delta for k, v in counts.items() if v > delta
-                }
+            counts = mg_update(
+                counts, pdf["item"].value_counts().items(), capacity
+            )
         if counts:
             yield pd.DataFrame(
                 {"item": list(counts), "est": list(counts.values())}

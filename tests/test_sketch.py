@@ -144,3 +144,72 @@ def test_plan_candidate_filter_before_exchange(spark, zipf_items):
     assert "BatchEvalPython" not in plan
     # the sketch pass is the only Python node
     assert plan.count("MapInPandas") == 1
+
+
+# ---- pure-Python property tests of the MG guarantee (no Spark) -------------
+
+
+def test_mg_update_guarantee_property():
+    """Hypothesis-style sweep without Spark: over random streams,
+    batch splits, and capacities, every item's summary undercount is
+    bounded by n / capacity — the inequality the two-pass exactness
+    rests on — and the summary never exceeds capacity entries."""
+    from collections import Counter
+
+    from promi_spark.operators.sketch import mg_update
+
+    rng = random.Random(123)
+    for trial in range(200):
+        alphabet = rng.randint(1, 30)
+        n = rng.randint(1, 400)
+        stream = [f"i{rng.randint(0, alphabet)}" for _ in range(n)]
+        capacity = rng.randint(1, 12)
+        counts = {}
+        i = 0
+        while i < len(stream):
+            j = i + rng.randint(1, 50)
+            counts = mg_update(
+                counts, Counter(stream[i:j]).items(), capacity
+            )
+            i = j
+        assert len(counts) <= capacity
+        truth = Counter(stream)
+        bound = n / capacity
+        for item, true_c in truth.items():
+            est = counts.get(item, 0)
+            assert est <= true_c
+            assert true_c - est <= bound, (
+                f"trial {trial}: {item} true={true_c} est={est} "
+                f"bound={bound}"
+            )
+
+
+def test_mg_update_hypothesis():
+    """The same invariant under hypothesis' adversarial generation."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from promi_spark.operators.sketch import mg_update
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(0, 9), min_size=1, max_size=300),
+        st.integers(1, 8),
+        st.integers(1, 40),
+    )
+    def run(stream, capacity, batch_size):
+        counts = {}
+        for i in range(0, len(stream), batch_size):
+            counts = mg_update(
+                counts, Counter(stream[i : i + batch_size]).items(), capacity
+            )
+        assert len(counts) <= capacity
+        truth = Counter(stream)
+        for item, true_c in truth.items():
+            est = counts.get(item, 0)
+            assert est <= true_c
+            assert true_c - est <= len(stream) / capacity
+
+    run()
