@@ -44,6 +44,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "adc_partials",
     "write_pq_index",
     "read_pq_index",
@@ -179,6 +180,45 @@ def adc_partials(
         qq = _lip(qm, qm)
         out.append([qq - 2.0 * _lip(qm, c) + _lip(c, c) for c in book])
     return out
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the classic billion-scale ANN layout (Jégou et al.
+    2011 §V) — probe the ``nprobe`` coarse cells nearest the query
+    (:func:`similarity.ivf_assign` partitions; at rest, partition
+    pruning reads only those cells' files), then ADC-rank ONLY the
+    probed vectors through their PQ codes. Cost per query: nprobe/
+    n_cells of the corpus scanned, M byte-lookups per scanned vector,
+    nothing else — the raw vectors are never touched.
+
+    Probe order matches ``ivf_topk``: ascending exact squared L2 from
+    the query to each centroid, centroid index on ties (index-order
+    folds, so the SQL oracle replays the probe set exactly)."""
+    from promi_spark.operators.similarity import ivf_assign
+
+    if nprobe < 1:
+        raise ValueError("ivfpq_topk: nprobe must be >= 1")
+    q = [float(x) for x in query_vec]
+    qq = _lip(q, q)
+    d2 = [
+        (qq - 2.0 * _lip(q, c) + _lip(c, c), i)
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for _, i in sorted(d2)[:nprobe]]
+    scanned = ivf_assign(df, centroids, id_col, vec_col).filter(
+        F.col("cluster").isin(probes)
+    )
+    return pq_topk(scanned, codebooks, q, k=k, id_col=id_col,
+                   vec_col=vec_col)
 
 
 def write_pq_index(

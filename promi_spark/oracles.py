@@ -233,6 +233,88 @@ def pq_topk_sql(m_subspaces: int, n_codes: int, k: int, dim: int = 64) -> str:
     """
 
 
+def ivfpq_topk_sql(
+    n_clusters: int, nprobe: int, m_subspaces: int, n_codes: int,
+    k: int, dim: int = 64,
+) -> str:
+    """Replay of pq.ivfpq_topk in the seeded configuration: IVF seeds
+    = the ``n_clusters`` lowest-id corpus vectors (ivf_topk_sql's
+    assignment + probe rules), PQ seeds = the ``n_codes`` lowest-id
+    corpus sub-vectors (pq_topk_sql's encode + ADC rules); the ADC
+    scan ranks only vectors assigned to the probed cells."""
+    d = dim // m_subspaces
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE k = (SELECT min(k) FROM e)),
+    corp AS (SELECT k, v FROM e WHERE k <> (SELECT min(k) FROM e)),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v AS c
+      FROM corp ORDER BY k LIMIT {n_clusters}
+    ),
+    cscored AS (
+      SELECT corp.k, corp.v, cent.c_idx,
+             row_number() OVER (
+               PARTITION BY corp.k
+               ORDER BY 2 * list_inner_product(corp.v, cent.c)
+                        - list_inner_product(cent.c, cent.c) DESC,
+                        cent.c_idx
+             ) AS rn
+      FROM corp CROSS JOIN cent
+    ),
+    assigned AS (SELECT k, v, c_idx AS cluster FROM cscored WHERE rn = 1),
+    probe AS (
+      SELECT c_idx FROM cent CROSS JOIN qv
+      ORDER BY list_inner_product(q, q) - 2 * list_inner_product(q, c)
+               + list_inner_product(c, c),
+               c_idx
+      LIMIT {nprobe}
+    ),
+    scan AS (
+      SELECT k, v FROM assigned
+      WHERE cluster IN (SELECT c_idx FROM probe)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v
+      FROM corp ORDER BY k LIMIT {n_codes}
+    ),
+    ms AS (SELECT unnest(range(0, {m_subspaces})) AS m),
+    subs AS (
+      SELECT ms.m, seeds.c_idx,
+             seeds.v[ms.m*{d}+1 : (ms.m+1)*{d}] AS c
+      FROM seeds CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT scan.k, s.m, s.c_idx,
+             row_number() OVER (
+               PARTITION BY scan.k, s.m
+               ORDER BY 2 * list_inner_product(
+                            scan.v[s.m*{d}+1 : (s.m+1)*{d}], s.c)
+                        - list_inner_product(s.c, s.c) DESC,
+                        s.c_idx
+             ) AS rn
+      FROM scan CROSS JOIN subs s
+    ),
+    codes AS (SELECT k, m, c_idx AS code FROM enc WHERE rn = 1),
+    part AS (
+      SELECT m, c_idx,
+             list_inner_product(qm, qm) - 2 * list_inner_product(qm, c)
+             + list_inner_product(c, c) AS p
+      FROM (
+        SELECT s.m, s.c_idx, s.c, qv.q[s.m*{d}+1 : (s.m+1)*{d}] AS qm
+        FROM subs s CROSS JOIN qv
+      )
+    ),
+    scored AS (
+      SELECT codes.k,
+             list_aggregate(list(part.p ORDER BY codes.m), 'sum') AS adc
+      FROM codes JOIN part ON codes.m = part.m AND codes.code = part.c_idx
+      GROUP BY codes.k
+    )
+    SELECT k AS vec_id, round(adc, 6) AS adc_dist
+    FROM scored ORDER BY round(adc, 6), k LIMIT {k}
+    """
+
+
 def cluster_prune_sql(n_clusters: int, frac: float) -> str:
     """Replay of similarity.cluster_prune with init='lowest_ids',
     n_iter=0: seeded-Voronoi assignment (argmax(2 v.c - c.c), lowest

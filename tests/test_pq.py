@@ -218,3 +218,46 @@ def test_pq_index_persist_roundtrip(spark, emb, books, tmp_path):
     assert [(r["vec_id"], r["adc_dist"]) for r in via_idx] == [
         (r["vec_id"], r["adc_dist"]) for r in inline
     ]
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb, books):
+    """Probing EVERY cell degenerates IVF-PQ to the plain ADC scan —
+    the composition adds cell pruning and nothing else."""
+    from promi_spark.operators.pq import ivfpq_topk, pq_topk
+    from promi_spark.operators.similarity import ivf_centroids
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corp = emb.filter(F.col("vec_id") > 0)
+    cents = ivf_centroids(corp, 8, init="lowest_ids", n_iter=0)
+    full = ivfpq_topk(corp, cents, books, qvec, k=10, nprobe=8).collect()
+    plain = pq_topk(corp, books, qvec, k=10).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in full] == [
+        (r["vec_id"], r["adc_dist"]) for r in plain
+    ]
+
+
+def test_ivfpq_scans_only_probed_cells(spark, emb, books):
+    """nprobe=1 results are a subset of the queried cell's members and
+    ADC values agree with the plain scan row-for-row."""
+    from promi_spark.operators.pq import ivfpq_topk, pq_topk
+    from promi_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corp = emb.filter(F.col("vec_id") > 0)
+    cents = ivf_centroids(corp, 8, init="lowest_ids", n_iter=0)
+    out = ivfpq_topk(corp, cents, books, qvec, k=50, nprobe=1).collect()
+    assert out, "probed cell must hold at least one vector"
+    members_by_id = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(corp, cents).select("vec_id", "cluster").collect()
+    }
+    cells = {members_by_id[r["vec_id"]] for r in out}
+    assert len(cells) == 1  # exactly the probed cell
+    plain = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_topk(corp, books, qvec, k=corp.count()).collect()
+    }
+    for r in out:
+        assert r["adc_dist"] == plain[r["vec_id"]]
+    with pytest.raises(ValueError):
+        ivfpq_topk(corp, cents, books, qvec, nprobe=0)
