@@ -233,6 +233,67 @@ def pq_topk_sql(m_subspaces: int, n_codes: int, k: int, dim: int = 64) -> str:
     """
 
 
+def pq_rerank_topk_sql(
+    m_subspaces: int, n_codes: int, n_candidates: int, k: int,
+    dim: int = 64,
+) -> str:
+    """Replay of pq.pq_rerank_topk: the pq_topk_sql candidate pool
+    (top ``n_candidates`` by rounded ADC, id tie-break) exact-reranked
+    on raw vectors by true squared L2 (index-order folds)."""
+    d = dim // m_subspaces
+    return f"""
+    WITH e AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE k = (SELECT min(k) FROM e)),
+    corp AS (SELECT k, v FROM e WHERE k <> (SELECT min(k) FROM e)),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY k) - 1 AS c_idx, v
+      FROM corp ORDER BY k LIMIT {n_codes}
+    ),
+    ms AS (SELECT unnest(range(0, {m_subspaces})) AS m),
+    subs AS (
+      SELECT ms.m, seeds.c_idx,
+             seeds.v[ms.m*{d}+1 : (ms.m+1)*{d}] AS c
+      FROM seeds CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT corp.k, s.m, s.c_idx,
+             row_number() OVER (
+               PARTITION BY corp.k, s.m
+               ORDER BY 2 * list_inner_product(
+                            corp.v[s.m*{d}+1 : (s.m+1)*{d}], s.c)
+                        - list_inner_product(s.c, s.c) DESC,
+                        s.c_idx
+             ) AS rn
+      FROM corp CROSS JOIN subs s
+    ),
+    codes AS (SELECT k, m, c_idx AS code FROM enc WHERE rn = 1),
+    part AS (
+      SELECT m, c_idx,
+             list_inner_product(qm, qm) - 2 * list_inner_product(qm, c)
+             + list_inner_product(c, c) AS p
+      FROM (
+        SELECT s.m, s.c_idx, s.c, qv.q[s.m*{d}+1 : (s.m+1)*{d}] AS qm
+        FROM subs s CROSS JOIN qv
+      )
+    ),
+    scored AS (
+      SELECT codes.k,
+             list_aggregate(list(part.p ORDER BY codes.m), 'sum') AS adc
+      FROM codes JOIN part ON codes.m = part.m AND codes.code = part.c_idx
+      GROUP BY codes.k
+    ),
+    cand AS (
+      SELECT k FROM scored ORDER BY round(adc, 6), k LIMIT {n_candidates}
+    )
+    SELECT corp.k AS vec_id,
+           round(list_inner_product(corp.v, corp.v)
+                 - 2 * list_inner_product(corp.v, qv.q)
+                 + list_inner_product(qv.q, qv.q), 6) AS l2_dist
+    FROM corp JOIN cand USING (k) CROSS JOIN qv
+    ORDER BY l2_dist, vec_id LIMIT {k}
+    """
+
+
 def ivfpq_topk_sql(
     n_clusters: int, nprobe: int, m_subspaces: int, n_codes: int,
     k: int, dim: int = 64,

@@ -3241,6 +3241,30 @@ def q_ivfpq_topk(spark, sf_dir):
     return pq.ivfpq_topk(corp, cents, books, qvec, k=10, nprobe=3)
 
 
+@q(
+    "pq_rerank_topk",
+    oracles.pq_rerank_topk_sql(
+        m_subspaces=4, n_codes=16, n_candidates=50, k=10
+    ),
+)
+def q_pq_rerank_topk(spark, sf_dir):
+    """PQ's production posture: ADC-retrieve 50 candidates through the
+    compressed codes, exact-rerank only those on their raw vectors
+    (true squared L2), return the top 10 — recall now depends on the
+    candidate POOL, not on ADC resolving exact order (the rerank
+    section of tools/ann_recall.py measures it near-exact)."""
+    from promi_spark.operators import pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qid, qvec = _query_vec(emb)
+    corp = emb.filter(F.col("vec_id") != qid)
+    books = pq.pq_codebooks(
+        corp, dim=64, m_subspaces=4, n_codes=16,
+        init="lowest_ids", n_iter=0,
+    )
+    return pq.pq_rerank_topk(corp, books, qvec, k=10, n_candidates=50)
+
+
 @q("cluster_prune", oracles.cluster_prune_sql(n_clusters=8, frac=0.3))
 def q_cluster_prune(spark, sf_dir):
     """Prototype-based data pruning (Sorscher et al. 2022): drop the
@@ -3409,11 +3433,11 @@ def q_token_heavy_hitters(spark, sf_dir):
 _ORDER = [
     # ---- 50-slot driver window (round-10 rotation): the r9 red row
     # temperature_rates re-witnessed first post-oracle-fix (with its
-    # sibling), the six NEW r10 operators (dsir_select /
+    # sibling), the seven NEW r10 operators (dsir_select /
     # dsir_bucket_weights / token_heavy_hitters / pq_topk /
-    # cluster_prune / ivfpq_topk — first witness), then oldest-driver-witness first
+    # cluster_prune / ivfpq_topk / pq_rerank_topk — first witness), then oldest-driver-witness first
     # — the 9 remaining r7-witnessed entries, then the r8-witnessed
-    # block through mllib_minhash_near_dups; every slot carries a DuckDB
+    # block through minhash_near_dups; every slot carries a DuckDB
     # oracle ----
     "temperature_rates",  # r9 red row: oracle typing fixed in r10
     "temperature_mixture",  # r9
@@ -3423,6 +3447,7 @@ _ORDER = [
     "pq_topk",  # NEW r10: first driver witness
     "cluster_prune",  # NEW r10: first driver witness
     "ivfpq_topk",  # NEW r10: first driver witness
+    "pq_rerank_topk",  # NEW r10: first driver witness
     "filter_trace_scope",  # last driver row r7
     "heuristic_dependency",  # last driver row r7
     "lang_id_docs",  # last driver row r7
@@ -3464,12 +3489,12 @@ _ORDER = [
     "lm_quality",  # last driver row r8
     "lsh_near_dups",  # last driver row r8
     "minhash_near_dups",  # last driver row r8
-    "mllib_minhash_near_dups",  # last driver row r8
     # ---- out of the driver window: the 5 entries displaced by the
     # NEW r10 operators (re-enter first in r11), then the 11 remaining
     # r8-witnessed entries (rotate in next), then the r9 driver window
     # block; all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
+    "mllib_minhash_near_dups",  # last driver row r8 (displaced by r10 ops)
     "path_prefixes",  # last driver row r8 (displaced by r10 ops)
     "per_source_cap",  # last driver row r8 (displaced by r10 ops)
     "phrase_search_docs",  # last driver row r8 (displaced by r10 ops)

@@ -359,15 +359,16 @@ def test_driver_window_all_oracled_and_sized():
     # stays 100% hash-witnessed)
     assert names[0] == "temperature_rates"
     assert names[1] == "temperature_mixture"
-    assert names[2:8] == [
+    assert names[2:9] == [
         "dsir_select",
         "dsir_bucket_weights",
         "token_heavy_hitters",
         "pq_topk",
         "cluster_prune",
         "ivfpq_topk",
+        "pq_rerank_topk",
     ]
-    assert names[49] == "mllib_minhash_near_dups"
+    assert names[49] == "minhash_near_dups"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):

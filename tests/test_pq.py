@@ -261,3 +261,57 @@ def test_ivfpq_scans_only_probed_cells(spark, emb, books):
         assert r["adc_dist"] == plain[r["vec_id"]]
     with pytest.raises(ValueError):
         ivfpq_topk(corp, cents, books, qvec, nprobe=0)
+
+
+def test_pq_rerank_candidates_all_equals_exact(spark, emb, books):
+    """With the candidate pool covering the whole corpus, rerank IS the
+    exact kNN — ADC only orders the pool, never drops a neighbor."""
+    import numpy as np
+
+    from promi_spark.operators.pq import pq_rerank_topk
+
+    rows = emb.orderBy("vec_id").collect()
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    corp = emb.filter(F.col("vec_id") > rows[0]["vec_id"])
+    n = corp.count()
+    got = [
+        (r["vec_id"], r["l2_dist"])
+        for r in pq_rerank_topk(corp, books, qvec, k=10, n_candidates=n).collect()
+    ]
+    q = np.array(qvec)
+    exact = sorted(
+        (
+            round(float(((np.array(r["embedding"], dtype=float) - q) ** 2).sum()), 6),
+            r["vec_id"],
+        )
+        for r in rows[1:]
+    )[:10]
+    assert got == [(vid, d) for d, vid in exact]
+
+
+def test_pq_rerank_recall_beats_raw_adc(spark, emb, books):
+    """The production posture: rerank@(pool=100) recovers more of the
+    exact top-10 than raw ADC top-10 (and its distances are exact)."""
+    import numpy as np
+
+    from promi_spark.operators.pq import pq_rerank_topk, pq_topk
+
+    rows = emb.orderBy("vec_id").collect()
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    corp = emb.filter(F.col("vec_id") > rows[0]["vec_id"])
+    q = np.array(qvec)
+    exact = {
+        vid
+        for _, vid in sorted(
+            (float(((np.array(r["embedding"], dtype=float) - q) ** 2).sum()), r["vec_id"])
+            for r in rows[1:]
+        )[:10]
+    }
+    adc = {r["vec_id"] for r in pq_topk(corp, books, qvec, k=10).collect()}
+    rr = {
+        r["vec_id"]
+        for r in pq_rerank_topk(corp, books, qvec, k=10, n_candidates=100).collect()
+    }
+    assert len(rr & exact) >= len(adc & exact)
+    with pytest.raises(ValueError):
+        pq_rerank_topk(corp, books, qvec, k=10, n_candidates=5)

@@ -255,12 +255,30 @@ def measure(
             hits += len(exact & got)
         r = hits / (len(q_idx) * min(k, n - 1))
         key = f"m={m_sub},codes={n_codes}"
+        # production posture: ADC-retrieve a 10x pool, exact-rerank it
+        # (pq_rerank_topk) — recall depends on the POOL containing the
+        # true neighbors, not on ADC resolving their order
+        pool = 10 * k
+        rr_hits = 0
+        for qi in q_idx:
+            qvec = [float(x) for x in Vr[qi]]
+            P = np.array(pqm.adc_partials(qvec, books))
+            adc = P[np.arange(m_sub)[:, None], code_arr.T].sum(0)
+            adc[qi] = np.inf
+            cidx = np.lexsort((ids, np.round(adc, 6)))[:pool]
+            got = set(topk_ids(-d2_raw[qi][cidx], ids[cidx], k))
+            exact = set(topk_ids(-d2_raw[qi], ids, k))
+            rr_hits += len(exact & got)
+        rr = rr_hits / (len(q_idx) * min(k, n - 1))
         report["pq"][key] = {
             "recall": round(r, 4),
+            "rerank_recall": round(rr, 4),
+            "rerank_pool": pool,
             "bytes_per_vector": m_sub,  # one code byte per subspace
             "raw_bytes_per_vector": int(dim * 4),
         }
-        print(f"  pq {key}: recall@{k} = {r:.4f} "
+        print(f"  pq {key}: recall@{k} = {r:.4f}, "
+              f"rerank@{k} (pool {pool}) = {rr:.4f} "
               f"({m_sub} B/vec vs {dim*4} raw)", flush=True)
 
     # ---- fidelity spot-check: numpy replay == the real operators ----
