@@ -31,11 +31,13 @@ from pyspark.sql import functions as F
 from promi_spark.operators.text import tokens
 
 
-def norm_text(text_col: str) -> Column:
+def norm_text(text_col: str | Column) -> Column:
     """Canonical text normalization every dedup variant keys on (lower,
     trim, collapse whitespace) — public so pipeline stages fingerprint
-    identically to these operators."""
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    identically to these operators. Accepts a column name or a Column
+    expression (callers that need NULL coalescing pass the expression)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
 _norm = norm_text

@@ -64,14 +64,19 @@ def gram_stream(
 ) -> DataFrame:
     """Per-document unigram + bigram stream ``(*key_cols, g)``.
 
-    Tokenization is the shared norm_text + ``\\s+`` split; empty text
-    yields the single empty token (both engines), so EVERY document
-    emits at least one gram — scoring never silently drops rows. The
-    token array is materialized before the bigram transform (the
-    repetition_stats / top_ngrams two-step: an inline split under the
-    higher-order lambda would re-tokenize per gram index)."""
+    Tokenization is the shared norm_text + ``\\s+`` split over
+    ``coalesce(text, '')``: empty AND NULL text both yield the single
+    empty token (both engines — the oracle coalesces identically), so
+    EVERY document emits at least one gram and scoring never silently
+    drops rows. The token array is materialized before the bigram
+    transform (the repetition_stats / top_ngrams two-step: an inline
+    split under the higher-order lambda would re-tokenize per gram
+    index)."""
     toks_df = df.select(
-        *key_cols, tokens(norm_text(text_col)).alias("__toks")
+        *key_cols,
+        tokens(
+            norm_text(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("__toks"),
     )
     toks = F.col("__toks")
     bigrams = F.when(
@@ -220,8 +225,11 @@ def dsir_select(
     """Select ``k`` raw documents by importance resampling WITHOUT
     replacement: Gumbel-top-k over the DSIR importance weights —
     ``key = logw - ln(-ln u)`` with the engine-portable md5 uniform on
-    the first key column (namespace ``dsirsel``), equivalent to A-ES
-    with weight ``exp(logw)`` but computed entirely in log space.
+    the FULL key tuple (all ``key_cols`` joined with the unit
+    separator, namespace ``dsirsel``), equivalent to A-ES with weight
+    ``exp(logw)`` but computed entirely in log space. Hashing the full
+    tuple keeps the draws independent even when the first key column
+    repeats across rows (e.g. the same doc_id under several sources).
     Returns the selected key rows (+ ``logw``, for observability; hash
     comparisons should project it away — float sum).
 
@@ -239,8 +247,9 @@ def dsir_select(
     scored = dsir_scores(
         raw, w, key_cols=keys, text_col=text_col, buckets=buckets, seed=seed
     )
+    key_tuple = F.concat_ws("\x1f", *[F.col(c) for c in keys])
     u = (
-        F.conv(coin_hex(F.col(keys[0]), seed, salt="dsirsel"), 16, 10).cast(
+        F.conv(coin_hex(key_tuple, seed, salt="dsirsel"), 16, 10).cast(
             "double"
         )
         + 0.5

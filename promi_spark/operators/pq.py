@@ -49,6 +49,8 @@ __all__ = [
     "adc_partials",
     "write_pq_index",
     "read_pq_index",
+    "write_ivfpq_index",
+    "ivfpq_topk_indexed",
 ]
 
 
@@ -183,6 +185,24 @@ def adc_partials(
     return out
 
 
+def _probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` coarse cells nearest the query: ascending exact
+    squared L2 (index-order folds), centroid index on ties — the same
+    probe order as ``ivf_topk``, so the SQL oracle replays the probe
+    set exactly. Driver-side over the (tiny) centroid table."""
+    if nprobe < 1:
+        raise ValueError("ivfpq: nprobe must be >= 1")
+    q = [float(x) for x in query_vec]
+    qq = _lip(q, q)
+    d2 = [
+        (qq - 2.0 * _lip(q, c) + _lip(c, c), i)
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(d2)[:nprobe]]
+
+
 def ivfpq_topk(
     df: DataFrame,
     centroids: list[list[float]],
@@ -192,32 +212,35 @@ def ivfpq_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the classic billion-scale ANN layout (Jégou et al.
-    2011 §V) — probe the ``nprobe`` coarse cells nearest the query
-    (:func:`similarity.ivf_assign` partitions; at rest, partition
-    pruning reads only those cells' files), then ADC-rank ONLY the
-    probed vectors through their PQ codes. Cost per query: nprobe/
-    n_cells of the corpus scanned, M byte-lookups per scanned vector,
-    nothing else — the raw vectors are never touched.
+    2011 §V) — probe the ``nprobe`` coarse cells nearest the query,
+    then ADC-rank ONLY the probed vectors through their PQ codes.
+    Cost per query: nprobe/n_cells of the corpus scanned, M
+    byte-lookups per scanned vector.
 
-    Probe order matches ``ivf_topk``: ascending exact squared L2 from
-    the query to each centroid, centroid index on ties (index-order
-    folds, so the SQL oracle replays the probe set exactly)."""
+    This in-memory composition still reads raw vectors twice — once
+    for the cell assignment (:func:`similarity.ivf_assign`) and, when
+    no ``codes`` table is supplied, once more to encode the probed
+    cells inline. Pass ``codes`` (a :func:`pq_encode` output) to
+    ADC-scan the compact code table instead (the probed ids semi-join
+    it), or — the true serving posture, where NO raw vector is read
+    at query time — persist the composed index with
+    :func:`write_ivfpq_index` and query via :func:`ivfpq_topk_indexed`
+    (cell assignment precomputed into partition directories, codes on
+    disk, partition pruning at the source)."""
     from promi_spark.operators.similarity import ivf_assign
 
-    if nprobe < 1:
-        raise ValueError("ivfpq_topk: nprobe must be >= 1")
-    q = [float(x) for x in query_vec]
-    qq = _lip(q, q)
-    d2 = [
-        (qq - 2.0 * _lip(q, c) + _lip(c, c), i)
-        for i, c in enumerate(centroids)
-    ]
-    probes = [i for _, i in sorted(d2)[:nprobe]]
+    probes = _probe_cells(query_vec, centroids, nprobe)
     scanned = ivf_assign(df, centroids, id_col, vec_col).filter(
         F.col("cluster").isin(probes)
     )
+    q = [float(x) for x in query_vec]
+    if codes is not None:
+        enc = codes.join(scanned.select(id_col), id_col, "left_semi")
+        return pq_topk(df, codebooks, q, k=k, id_col=id_col,
+                       vec_col=vec_col, codes=enc)
     return pq_topk(scanned, codebooks, q, k=k, id_col=id_col,
                    vec_col=vec_col)
 
@@ -306,6 +329,87 @@ def read_pq_index(
         _hadoop_read_text(spark, f"{path.rstrip('/')}/_codebooks.json")
     )
     return codes, books
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the composed IVF-PQ index: the PQ code table written
+    ``partitionBy('cluster')`` over the IVF cell assignment, with both
+    quantizers riding alongside as ``_centroids.json`` /
+    ``_codebooks.json`` sidecars (underscore-prefixed — invisible to
+    Spark's file index, same convention as ``write_ivf_index``).
+
+    Cell assignment and PQ encoding happen in ONE projection over the
+    corpus (ivf_assign keeps the vector column precisely so the encode
+    can chain without a self-join), then one shuffle on ``cluster`` so
+    each task owns whole cells — one file per cell directory. The raw
+    vectors are NOT written: at rest the index is M small ints per
+    vector plus the two sidecars, and a probe query reads only its
+    ``nprobe`` cell directories (partition pruning at the source)."""
+    import json
+
+    from promi_spark.operators.similarity import (
+        _hadoop_write_text,
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    d = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    table = assigned.select(
+        F.col(id_col),
+        *[
+            _nearest_code(_sub(v, m, d), book).alias(f"code_{m}")
+            for m, book in enumerate(codebooks)
+        ],
+        F.col("cluster"),
+    )
+    table.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    _hadoop_write_text(spark, f"{base}/_centroids.json",
+                       json.dumps(centroids))
+    _hadoop_write_text(spark, f"{base}/_codebooks.json",
+                       json.dumps(codebooks))
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search against a :func:`write_ivfpq_index` artifact — the
+    end-to-end serving path: both quantizers load from the sidecars
+    (driver-side, tiny), the probe set is picked against the centroid
+    matrix, and the scan reads ONLY the probed cells' code files —
+    partition pruning at the parquet source (``PartitionFilters:
+    cluster IN (...)`` in the plan; asserted by
+    ``tests/test_plan_shapes.py``) with NO raw vector touched at query
+    time. Returns the same ``(id, adc_dist)`` contract as
+    :func:`ivfpq_topk` with identical probe order and ADC fold, so the
+    in-memory and persisted paths are oracle-checked against the same
+    SQL."""
+    import json
+
+    from promi_spark.operators.similarity import _hadoop_read_text
+
+    base = path.rstrip("/")
+    cents = json.loads(_hadoop_read_text(spark, f"{base}/_centroids.json"))
+    books = json.loads(_hadoop_read_text(spark, f"{base}/_codebooks.json"))
+    probes = _probe_cells(query_vec, cents, nprobe)
+    scan = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    return pq_topk(scan, books, query_vec, k=k, id_col=id_col, codes=scan)
 
 
 def pq_topk(

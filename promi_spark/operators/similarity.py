@@ -239,12 +239,23 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+# Above this many vectors the exact all-pairs scorer refuses to run
+# unless the caller explicitly opts in: at 100k vectors the pair count
+# is already 5e9 and growing quadratically, and the banded/bucketed
+# siblings (lsh_near_dups, semantic_dedup) answer the same question at
+# a bounded cost. The ceiling sits where the r6/r10 soaks measured the
+# blocked kernel still practical on one box (sf1's ~10k vectors = 46M
+# pairs in ~1 min; 100k = 100x that work).
+QUADRATIC_ROW_CEILING = 100_000
+
+
 def cosine_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int | None = 2048,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, EXACT all-pairs variant:
     (a, b, cosine_sim) for a < b with sim >= threshold.
@@ -275,7 +286,23 @@ def cosine_near_dups(
     the 2048 default). Requires fixed-width vectors (what an
     embedding table is); ``block_size=None`` keeps the width-agnostic
     expression plan.
+
+    This is the ORACLE BASELINE, not a production path: above
+    ``QUADRATIC_ROW_CEILING`` rows it raises unless
+    ``allow_quadratic=True``, so a pipeline author cannot reach the
+    O(N^2) plan by accident — the scale answers to the same question
+    are :func:`lsh_near_dups` and :func:`semantic_dedup`.
     """
+    n = df.count()
+    if n > QUADRATIC_ROW_CEILING and not allow_quadratic:
+        raise ValueError(
+            f"cosine_near_dups: {n} input vectors exceed the exact "
+            f"all-pairs ceiling ({QUADRATIC_ROW_CEILING}); this O(N^2) "
+            "baseline would score "
+            f"~{n * (n - 1) // 2:.2e} pairs. Use lsh_near_dups / "
+            "semantic_dedup at scale, or pass allow_quadratic=True to "
+            "override deliberately."
+        )
     if block_size is None:
         base = df.select(
             F.col(id_col).alias("k"),
@@ -298,7 +325,6 @@ def cosine_near_dups(
 
     import math
 
-    n = df.count()
     nblocks = max(1, math.ceil(n / block_size))
     n_pairs = nblocks * (nblocks + 1) // 2
     id_type = df.schema[id_col].dataType.simpleString()

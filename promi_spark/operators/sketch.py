@@ -129,6 +129,11 @@ def heavy_hitters(
         raise ValueError(
             "heavy_hitters: pass exactly one of min_count / min_frac"
         )
+    if min_count is not None and min_count < 1:
+        # validated on BOTH the sized and caller-capacity paths: an
+        # explicit capacity with min_count=0 would otherwise silently
+        # return every candidate item instead of raising
+        raise ValueError("heavy_hitters: min_count must be >= 1")
     nn = F.col(col).isNotNull()
     if min_frac is not None:
         if not 0 < min_frac < 1:
@@ -137,8 +142,6 @@ def heavy_hitters(
         min_count = int(math.ceil(n * min_frac))
         capacity = int(math.ceil(1.0 / min_frac)) + 1
     elif capacity is None:
-        if min_count < 1:
-            raise ValueError("heavy_hitters: min_count must be >= 1")
         n = df.filter(nn).count()
         capacity = n // min_count + 1
     cands = mg_candidates(df, col, capacity).select(

@@ -412,7 +412,7 @@ def cluster_prune_sql(n_clusters: int, frac: float) -> str:
       FROM asg
     )
     SELECT k AS vec_id, cluster
-    FROM rk WHERE rn > ceil({frac!r} * cnt)
+    FROM rk WHERE rn > ceil(CAST({frac!r} AS DOUBLE) * cnt)
     """
 
 

@@ -2574,8 +2574,12 @@ _PLANES_ANN6 = similarity.hyperplanes(64, bits=6, seed=42)
     """,
 )
 def q_cosine_near_dups_exact(spark, sf_dir):
-    """EXACT O(N^2) all-pairs baseline — named *_exact so the LSH path
-    (lsh_near_dups) is unambiguously the scale default."""
+    """EXACT O(N^2) all-pairs ORACLE BASELINE, not a production path —
+    named *_exact so the LSH path (lsh_near_dups) is unambiguously the
+    scale default. The operator refuses inputs above
+    similarity.QUADRATIC_ROW_CEILING unless allow_quadratic=True, so
+    pipelines cannot reach the quadratic plan by accident; the test
+    scales here are orders of magnitude under the ceiling."""
     return similarity.cosine_near_dups(
         load_table(spark, "embeddings", sf_dir), threshold=0.35
     )
@@ -3242,6 +3246,41 @@ def q_ivfpq_topk(spark, sf_dir):
 
 
 @q(
+    "ivfpq_indexed_topk",
+    oracles.ivfpq_topk_sql(
+        n_clusters=8, nprobe=3, m_subspaces=4, n_codes=16, k=10
+    ),
+)
+def q_ivfpq_indexed_topk(spark, sf_dir):
+    """The IVF-PQ SERVING path end to end: write the composed index
+    (PQ codes partitioned by IVF cell + quantizer sidecars), then
+    answer the query purely from the persisted artifacts — probe-cell
+    partition pruning at the parquet source, ADC over the on-disk code
+    table, zero raw-vector reads at query time. Checked against the
+    SAME oracle as the in-memory ``ivfpq_topk``, so the two paths are
+    pinned pair-for-pair equal."""
+    import hashlib
+
+    from promi_spark.operators import pq
+    from promi_spark.operators.similarity import ivf_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qid, qvec = _query_vec(emb)
+    corp = emb.filter(F.col("vec_id") != qid)
+    cents = ivf_centroids(corp, 8, init="lowest_ids", n_iter=0)
+    books = pq.pq_codebooks(
+        corp, dim=64, m_subspaces=4, n_codes=16,
+        init="lowest_ids", n_iter=0,
+    )
+    path = (
+        "/tmp/promi_spark_ivfpq_index_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    pq.write_ivfpq_index(corp, cents, books, path)
+    return pq.ivfpq_topk_indexed(spark, path, qvec, k=10, nprobe=3)
+
+
+@q(
     "pq_rerank_topk",
     oracles.pq_rerank_topk_sql(
         m_subspaces=4, n_codes=16, n_candidates=50, k=10
@@ -3283,7 +3322,7 @@ def q_cluster_prune(spark, sf_dir):
 _DSIR_GRAMS = r"""
 t AS (
   SELECT doc_id, source,
-         string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+') AS toks
+         string_split_regex(trim(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')), '\s+') AS toks
   FROM documents
 ),
 g AS (
@@ -3325,7 +3364,8 @@ nr AS (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) AS nr FROM rc)
     keyed AS (
       SELECT doc_id, source,
              logw - ln(-ln((CAST(('0x' || substring(
-                 md5(CAST(doc_id AS VARCHAR) || ':0:dsirsel'), 1, 8))
+                 md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), source)
+                     || ':0:dsirsel'), 1, 8))
                  AS UBIGINT) + 0.5) / 4294967296.0)) AS gk
       FROM sc
     )
@@ -3431,116 +3471,67 @@ def q_token_heavy_hitters(spark, sf_dir):
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-10 rotation): the r9 red row
-    # temperature_rates re-witnessed first post-oracle-fix (with its
-    # sibling), the seven NEW r10 operators (dsir_select /
-    # dsir_bucket_weights / token_heavy_hitters / pq_topk /
-    # cluster_prune / ivfpq_topk / pq_rerank_topk — first witness), then oldest-driver-witness first
-    # — the 9 remaining r7-witnessed entries, then the r8-witnessed
-    # block through minhash_near_dups; every slot carries a DuckDB
-    # oracle ----
-    "temperature_rates",  # r9 red row: oracle typing fixed in r10
-    "temperature_mixture",  # r9
-    "dsir_select",  # NEW r10: first driver witness
-    "dsir_bucket_weights",  # NEW r10: first driver witness
-    "token_heavy_hitters",  # NEW r10: first driver witness
-    "pq_topk",  # NEW r10: first driver witness
-    "cluster_prune",  # NEW r10: first driver witness
-    "ivfpq_topk",  # NEW r10: first driver witness
-    "pq_rerank_topk",  # NEW r10: first driver witness
-    "filter_trace_scope",  # last driver row r7
-    "heuristic_dependency",  # last driver row r7
-    "lang_id_docs",  # last driver row r7
-    "line_dedup_docs",  # last driver row r7
-    "mixture_sample",  # last driver row r7
-    "pack_index",  # last driver row r7
-    "pii_scrub",  # last driver row r7
-    "revenue_by_nation",  # last driver row r7
-    "ann_multiprobe_topk",  # last driver row r7
-    "corpus_shuffle",  # last driver row r8
-    "stats_counts",  # last driver row r8
-    "text_quality",  # last driver row r8
-    "tpch_q18",  # last driver row r8
-    "trace_intervals",  # last driver row r8
-    "user_sessions",  # last driver row r8
-    "validation_globals",  # last driver row r8
-    "ann_lsh_topk",  # last driver row r8
-    "arrow_roundtrip",  # last driver row r8
-    "bpe_token_counts",  # last driver row r8
-    "chronology_violations",  # last driver row r8
-    "chunk_docs",  # last driver row r8
-    "cohort_retention",  # last driver row r8
-    "corpus_cardinality",  # last driver row r8
-    "cross_doc_substrings",  # last driver row r8
-    "dedup_components",  # last driver row r8
-    "dedup_components_stars",  # last driver row r8
-    "dfg",  # last driver row r8
-    "eventually_follows",  # last driver row r8
-    "filter_concept_match",  # last driver row r8
-    "funnel_counts",  # last driver row r8
-    "handover_network",  # last driver row r8
-    "heuristic_net",  # last driver row r8
-    "incremental_dedup",  # last driver row r8
-    "ivf_topk",  # last driver row r8
-    "knn_classify",  # last driver row r8
-    "knn_join_topk",  # last driver row r8
-    "leakage_safe_split",  # last driver row r8
-    "lineitem_unpivot_stats",  # last driver row r8
-    "lm_quality",  # last driver row r8
-    "lsh_near_dups",  # last driver row r8
-    "minhash_near_dups",  # last driver row r8
-    # ---- out of the driver window: the 5 entries displaced by the
-    # NEW r10 operators (re-enter first in r11), then the 11 remaining
-    # r8-witnessed entries (rotate in next), then the r9 driver window
-    # block; all re-checked locally by the tools/check_oracle.py
+    # ---- 50-slot driver window (round-11 rotation): the NEW r11
+    # operator first (ivfpq_indexed_topk — first driver witness),
+    # then the two entries whose behavior/oracle changed this round
+    # (dsir_select: full-key Gumbel coin; cluster_prune: oracle
+    # DOUBLE cast), then oldest-driver-witness first — the 18
+    # remaining r8-witnessed entries, then the r9-witnessed block
+    # through props_json_stats; every slot carries a DuckDB oracle ----
+    "ivfpq_indexed_topk",  # NEW r11: first driver witness
+    "dsir_select",  # r10; Gumbel coin now hashes the FULL key tuple (r11)
+    "cluster_prune",  # r10; oracle frac cast to DOUBLE (r11)
+    "mllib_minhash_near_dups",  # last driver row r8
+    "path_prefixes",  # last driver row r8
+    "per_source_cap",  # last driver row r8
+    "phrase_search_docs",  # last driver row r8
+    "rfm_segments",  # last driver row r8
+    "rolling_user_activity",  # last driver row r8
+    "session_overlaps",  # last driver row r8
+    "semantic_dedup",  # last driver row r8
+    "shard_assignment",  # last driver row r8
+    "simhash_near_dups",  # last driver row r8
+    "source_mix",  # last driver row r8
+    "state_islands",  # last driver row r8
+    "tfidf_terms",  # last driver row r8
+    "top_bigrams",  # last driver row r8
+    "tpch_q14",  # last driver row r8
+    "tpch_q3",  # last driver row r8
+    "trace_clusters",  # last driver row r8
+    "user_event_pivot",  # last driver row r8
+    "value_histogram",  # last driver row r9
+    "value_hour_corr",  # last driver row r9
+    "value_outliers",  # last driver row r9
+    "weighted_sample_docs",  # last driver row r9
+    "winnow_fingerprints",  # last driver row r9
+    "xes_roundtrip",  # last driver row r9
+    "zorder_events",  # last driver row r9
+    "knn_cosine",  # last driver row r9
+    "order_priority_counts",  # last driver row r9
+    "part_brand_volume",  # last driver row r9
+    "tpch_q6",  # last driver row r9
+    "filter_concept_in",  # last driver row r9
+    "filter_time_before_after",  # last driver row r9
+    "filter_time_eq_tol",  # last driver row r9
+    "intersect_set_op",  # last driver row r9
+    "trace_time_contained",  # last driver row r9
+    "activity_stats",  # last driver row r9
+    "cosine_near_dups_exact",  # last driver row r9
+    "doc_fingerprint",  # last driver row r9
+    "embedding_norms",  # last driver row r9
+    "event_gaps",  # last driver row r9
+    "except_set_op",  # last driver row r9
+    "filter_concept_eq",  # last driver row r9
+    "filter_org_eq",  # last driver row r9
+    "filter_org_match",  # last driver row r9
+    "filter_time_contained",  # last driver row r9
+    "footprint",  # last driver row r9
+    "per_trace_counts",  # last driver row r9
+    "props_json_stats",  # last driver row r9
+    # ---- out of the driver window: the remaining r9-witnessed
+    # entries (rotate in next), then the r10 driver window block;
+    # all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
-    "mllib_minhash_near_dups",  # last driver row r8 (displaced by r10 ops)
-    "path_prefixes",  # last driver row r8 (displaced by r10 ops)
-    "per_source_cap",  # last driver row r8 (displaced by r10 ops)
-    "phrase_search_docs",  # last driver row r8 (displaced by r10 ops)
-    "rfm_segments",  # last driver row r8 (displaced by r10 ops)
-    "rolling_user_activity",  # last driver row r8 (displaced by r10 ops)
-    "session_overlaps",  # last driver row r8 (displaced by r10 ops)
-    "semantic_dedup",  # r8
-    "shard_assignment",  # r8
-    "simhash_near_dups",  # r8
-    "source_mix",  # r8
-    "state_islands",  # r8
-    "tfidf_terms",  # r8
-    "top_bigrams",  # r8
-    "tpch_q14",  # r8
-    "tpch_q3",  # r8
-    "trace_clusters",  # r8
-    "user_event_pivot",  # r8
-    "value_histogram",  # r9
-    "value_hour_corr",  # r9
-    "value_outliers",  # r9
-    "weighted_sample_docs",  # r9
-    "winnow_fingerprints",  # r9
-    "xes_roundtrip",  # r9
-    "zorder_events",  # r9
-    "knn_cosine",  # r9
-    "order_priority_counts",  # r9
-    "part_brand_volume",  # r9
-    "tpch_q6",  # r9
-    "filter_concept_in",  # r9
-    "filter_time_before_after",  # r9
-    "filter_time_eq_tol",  # r9
-    "intersect_set_op",  # r9
-    "trace_time_contained",  # r9
-    "activity_stats",  # r9
-    "cosine_near_dups_exact",  # r9
-    "doc_fingerprint",  # r9
-    "embedding_norms",  # r9
-    "event_gaps",  # r9
-    "except_set_op",  # r9
-    "filter_concept_eq",  # r9
-    "filter_org_eq",  # r9
-    "filter_org_match",  # r9
-    "filter_time_contained",  # r9
-    "footprint",  # r9
-    "per_trace_counts",  # r9
-    "props_json_stats",  # r9
     "repetition_stats",  # r9
     "sample_events",  # r9
     "simhash_signatures",  # r9
@@ -3560,6 +3551,54 @@ _ORDER = [
     "dfg_endpoints",  # r9
     "doc_length_quantiles",  # r9
     "filter_concept_eq_strict",  # r9
+    "temperature_rates",  # r10
+    "temperature_mixture",  # r10
+    "dsir_bucket_weights",  # r10
+    "token_heavy_hitters",  # r10
+    "pq_topk",  # r10
+    "ivfpq_topk",  # r10
+    "pq_rerank_topk",  # r10
+    "filter_trace_scope",  # r10
+    "heuristic_dependency",  # r10
+    "lang_id_docs",  # r10
+    "line_dedup_docs",  # r10
+    "mixture_sample",  # r10
+    "pack_index",  # r10
+    "pii_scrub",  # r10
+    "revenue_by_nation",  # r10
+    "ann_multiprobe_topk",  # r10
+    "corpus_shuffle",  # r10
+    "stats_counts",  # r10
+    "text_quality",  # r10
+    "tpch_q18",  # r10
+    "trace_intervals",  # r10
+    "user_sessions",  # r10
+    "validation_globals",  # r10
+    "ann_lsh_topk",  # r10
+    "arrow_roundtrip",  # r10
+    "bpe_token_counts",  # r10
+    "chronology_violations",  # r10
+    "chunk_docs",  # r10
+    "cohort_retention",  # r10
+    "corpus_cardinality",  # r10
+    "cross_doc_substrings",  # r10
+    "dedup_components",  # r10
+    "dedup_components_stars",  # r10
+    "dfg",  # r10
+    "eventually_follows",  # r10
+    "filter_concept_match",  # r10
+    "funnel_counts",  # r10
+    "handover_network",  # r10
+    "heuristic_net",  # r10
+    "incremental_dedup",  # r10
+    "ivf_topk",  # r10
+    "knn_classify",  # r10
+    "knn_join_topk",  # r10
+    "leakage_safe_split",  # r10
+    "lineitem_unpivot_stats",  # r10
+    "lm_quality",  # r10
+    "lsh_near_dups",  # r10
+    "minhash_near_dups",  # r10
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
     "bloom_decontaminate",

@@ -160,3 +160,43 @@ def test_plan_shape_jvm_side_broadcast(spark, corpus):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gram_stream_null_text_scores_like_empty(spark):
+    """NULL text coalesces to '' before tokenization: the doc emits the
+    single empty-token gram instead of vanishing from the stream (and
+    the DuckDB oracle coalesces identically)."""
+    df = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "")],
+        "doc_id int, source string, text string",
+    )
+    out = dsir.gram_stream(df, ["doc_id"]).collect()
+    got = {(r["doc_id"], r["g"]) for r in out}
+    assert got == {(1, ""), (2, "")}
+
+
+def test_dsir_select_gumbel_hashes_full_key_tuple(spark):
+    """Composite keys with a repeated first column draw DISTINCT Gumbel
+    noise per row (the ADVICE r10 fix): selection over (doc_id, source)
+    where every doc_id repeats must not collapse to per-doc_id ties —
+    both (doc, src) rows of the same doc_id can never tie on the coin,
+    and the selected set depends on source, not doc_id alone."""
+    rows = [
+        (i, src, f"w{i} common tok{i % 3}")
+        for i in range(12)
+        for src in ("a", "b")
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, source string, text string"
+    )
+    target = docs.filter(F.col("source") == "a")
+    got = dsir.dsir_select(
+        docs, target, 8, key_cols=["doc_id", "source"]
+    ).collect()
+    assert len(got) == 8
+    picked = {(r["doc_id"], r["source"]) for r in got}
+    # with per-first-key coins, each doc_id's two rows would share
+    # identical noise AND identical logw (same text) -> the orderBy
+    # tie-break would always pick source 'a' first; full-tuple coins
+    # make a mixed selection overwhelmingly likely (deterministic here)
+    assert {s for _, s in picked} == {"a", "b"}

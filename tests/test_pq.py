@@ -4,6 +4,7 @@ members, ADC semantics, partition invariance, pruning contracts,
 plan shapes."""
 
 import math
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -315,3 +316,74 @@ def test_pq_rerank_recall_beats_raw_adc(spark, emb, books):
     assert len(rr & exact) >= len(adc & exact)
     with pytest.raises(ValueError):
         pq_rerank_topk(corp, books, qvec, k=10, n_candidates=5)
+
+
+def test_ivfpq_codes_path_matches_inline(spark, emb, books):
+    """ivfpq_topk with a precomputed pq_encode table (the ADVICE-plumbed
+    ``codes`` option) returns the same ranked rows as the inline-encode
+    path — the code table only changes WHERE the codes come from."""
+    from promi_spark.operators.pq import ivfpq_topk, pq_encode
+    from promi_spark.operators.similarity import ivf_centroids
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corp = emb.filter(F.col("vec_id") > 0)
+    cents = ivf_centroids(corp, 8, init="lowest_ids", n_iter=0)
+    codes = pq_encode(corp, books)
+    via_codes = ivfpq_topk(
+        corp, cents, books, qvec, k=10, nprobe=3, codes=codes
+    ).collect()
+    inline = ivfpq_topk(corp, cents, books, qvec, k=10, nprobe=3).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in via_codes] == [
+        (r["vec_id"], r["adc_dist"]) for r in inline
+    ]
+
+
+def test_ivfpq_index_serving_path(spark, emb, books, tmp_path):
+    """The end-to-end persisted IVF-PQ layout: write_ivfpq_index lays
+    codes out as cluster=N partition directories with both quantizer
+    sidecars (and no raw vector column), and ivfpq_topk_indexed answers
+    from disk with the SAME rows as the in-memory composition while the
+    scan plan prunes to the probed cells (PartitionFilters, no
+    PushedFilters on data columns needed)."""
+    import os
+
+    from promi_spark.operators.pq import (
+        _probe_cells,
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        write_ivfpq_index,
+    )
+    from promi_spark.operators.similarity import ivf_centroids
+    from tests.test_plan_shapes import explain
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corp = emb.filter(F.col("vec_id") > 0)
+    cents = ivf_centroids(corp, 8, init="lowest_ids", n_iter=0)
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(corp, cents, books, path)
+
+    entries = os.listdir(path)
+    cell_dirs = [e for e in entries if e.startswith("cluster=")]
+    assert cell_dirs, "index must be partitioned by cluster"
+    assert "_centroids.json" in entries and "_codebooks.json" in entries
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns  # raw vectors NOT written
+    assert set(stored.columns) == {
+        "vec_id", "code_0", "code_1", "code_2", "code_3", "cluster"
+    }
+
+    got = ivfpq_topk_indexed(spark, path, qvec, k=10, nprobe=3)
+    mem = ivfpq_topk(corp, cents, books, qvec, k=10, nprobe=3).collect()
+    plan = explain(got)
+    probes = _probe_cells(qvec, cents, 3)
+    # partition pruning is visible in the plan: the scan's
+    # PartitionFilters carries the probed-cell IN-list, and only those
+    # cells' directories are read
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cluster" in m.group(1)
+    for c in probes:
+        assert str(c) in m.group(1)
+    assert [(r["vec_id"], r["adc_dist"]) for r in got.collect()] == [
+        (r["vec_id"], r["adc_dist"]) for r in mem
+    ]

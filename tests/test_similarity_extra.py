@@ -1,5 +1,6 @@
 """IVF ANN, embedding near-dup (exact + LSH), winnowing fingerprints."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -472,3 +473,22 @@ def test_semantic_dedup_auto_cluster_count(spark, sf_dir):
     }
     assert auto == explicit
     assert auto  # found pairs at this threshold
+
+
+def test_cosine_near_dups_quadratic_guard(spark, sf_dir, monkeypatch):
+    """The exact all-pairs baseline refuses oversized inputs unless the
+    caller opts in — a pipeline cannot reach the O(N^2) plan by
+    accident (VERDICT r10 'what's wrong' #1)."""
+    import promi_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    monkeypatch.setattr(S, "QUADRATIC_ROW_CEILING", 10)
+    with pytest.raises(ValueError, match="all-pairs ceiling"):
+        S.cosine_near_dups(emb, threshold=0.9).count()
+    # the explicit override still runs, and the expression variant is
+    # guarded identically
+    assert S.cosine_near_dups(
+        emb.limit(12), threshold=-1.0, allow_quadratic=True
+    ).count() == 12 * 11 // 2
+    with pytest.raises(ValueError, match="all-pairs ceiling"):
+        S.cosine_near_dups(emb, threshold=0.9, block_size=None).count()

@@ -213,3 +213,15 @@ def test_mg_update_hypothesis():
             assert true_c - est <= len(stream) / capacity
 
     run()
+
+
+def test_heavy_hitters_min_count_validated_on_both_paths(spark, zipf_items):
+    """min_count < 1 raises whether or not the caller supplies an
+    explicit capacity (the capacity branch used to skip validation and
+    silently return every candidate)."""
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters(zipf_items, "item", min_count=0)
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters(zipf_items, "item", min_count=0, capacity=64)
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters(zipf_items, "item", min_count=-3, capacity=64)
