@@ -140,6 +140,50 @@ def bench_streaming(spark) -> dict:
                            label="bench")
 
 
+# Second headline (r11): the r8-r10 operator growth — Bloom/DSIR/PQ/
+# temperature/semantic-dedup families — recorded as its own total
+# (value2/queries2 on stdout) so regressions in the newer stack are
+# driver-visible WITHOUT breaking the historical 23-query comparison
+# line against the round-1 31.1s gate. Cold+warm per query, cache
+# cleared between entries (several persist shared relations).
+HEADLINE2 = [
+    "decontaminate",
+    "bloom_decontaminate",
+    "dsir_select",
+    "token_heavy_hitters",
+    "temperature_mixture",
+    "weighted_sample_docs",
+    "pq_topk",
+    "pq_rerank_topk",
+    "ivfpq_indexed_topk",
+    "semantic_dedup",
+    "simhash_near_dups",
+    "incremental_dedup",
+]
+
+
+def bench_headline2(spark) -> dict:
+    from promi_spark.queries import QUERIES
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in HEADLINE2:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        warm[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # dedup/index paths persist relations
+    return {
+        "queries2": cold,
+        "queries2_warm": warm,
+        "value2": round(sum(cold.values()), 3),
+        "warm2_total": round(sum(warm.values()), 3),
+    }
+
+
 # Round-5 additions, timed in their own section so the 23-query totals
 # stay comparable round-over-round. Cold+warm per query.
 EXTRAS = [
@@ -186,6 +230,8 @@ def stdout_line(detail: dict) -> str:
             "unit": "sec",
             "queries": detail["queries"],
             "warm_total": detail["warm_total"],
+            "value2": detail.get("headline2", {}).get("value2"),
+            "queries2": detail.get("headline2", {}).get("queries2"),
             "streaming_rps": {
                 "sessionize": streaming.get("sessionize_rows_per_sec"),
                 "stateful_dfg": streaming.get("stateful_dfg_rows_per_sec"),
@@ -237,6 +283,7 @@ def main() -> int:
 
     # extra headline sections (separate keys so the 23-query totals stay
     # comparable round-over-round)
+    headline2 = bench_headline2(spark)
     neardup = bench_neardup_pipeline(spark)
     streaming = bench_streaming(spark)
     extras = bench_extras(spark)
@@ -249,6 +296,7 @@ def main() -> int:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "headline2": headline2,
         "neardup_pipeline": neardup,
         "streaming": streaming,
         "extras": extras,

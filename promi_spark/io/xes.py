@@ -591,11 +591,29 @@ def _case_types(attr_types: dict | None) -> dict:
     }
 
 
-def write_xes(log: EventLog, path: str) -> None:
-    """Serialize an EventLog to XES-XML (driver-side; traces ordered by
-    case_id, events by seq — deterministic, convergent round-trip).
-    For logs too large to collect, use :func:`write_xes_distributed`.
-    """
+# write_xes collects at most this many rows to the driver; above it the
+# export automatically takes the bounded-memory distributed path
+# (byte-identical output, one partition resident at a time). Sized so
+# the collect path stays a fixture/interop convenience: 100k rows of
+# the widest test logs is ~100 MB on the driver.
+XES_COLLECT_ROW_CEILING = 100_000
+
+
+def write_xes(
+    log: EventLog,
+    path: str,
+    max_collect_rows: int | None = XES_COLLECT_ROW_CEILING,
+) -> None:
+    """Serialize an EventLog to XES-XML (traces ordered by case_id,
+    events by seq — deterministic, convergent round-trip).
+
+    Logs larger than ``max_collect_rows`` are NOT collected: the write
+    delegates to :func:`write_xes_distributed` (distributed render,
+    streamed merge — byte-identical output), so the default path is
+    safe at any size. Pass ``max_collect_rows=None`` to force the
+    driver-side collect regardless of size."""
+    if max_collect_rows is not None and log.df.count() > max_collect_rows:
+        return write_xes_distributed(log, path)
     meta = log.meta
     rows = log.df.collect()
 

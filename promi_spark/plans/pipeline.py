@@ -158,9 +158,12 @@ def validate_flow(flow: Flow) -> None:
             )
 
 
-def _toposort(flow: Flow) -> list[Pipe]:
-    """Order pipes so channel senders run before receivers; reject
-    cycles (reference deadlock detection, ``util.rs:38-64``)."""
+def _generations(flow: Flow) -> list[list[Pipe]]:
+    """Toposort pipes into dependency GENERATIONS: every pipe in
+    generation g only receives from channels sent by generations < g,
+    so the pipes within one generation are mutually independent and can
+    execute concurrently. Rejects cycles (reference deadlock detection,
+    ``util.rs:38-64``)."""
     sends: dict[str, str] = {}
     recvs: dict[str, set[str]] = {p.name: set() for p in flow.pipes}
     for p in flow.pipes:
@@ -175,21 +178,25 @@ def _toposort(flow: Flow) -> list[Pipe]:
         for ch in chans:
             if ch in sends:
                 deps[name].add(sends[ch])
-    ordered: list[Pipe] = []
+    gens: list[list[Pipe]] = []
     done: set[str] = set()
-    by_name = {p.name: p for p in flow.pipes}
     while len(done) < len(flow.pipes):
-        progress = False
-        for p in flow.pipes:
-            if p.name in done or not deps[p.name] <= done:
-                continue
-            ordered.append(p)
-            done.add(p.name)
-            progress = True
-        if not progress:
+        gen = [
+            p for p in flow.pipes
+            if p.name not in done and deps[p.name] <= done
+        ]
+        if not gen:
             cycle = [n for n in deps if n not in done]
             raise ValueError(f"flow has a channel cycle (deadlock): {cycle}")
-    return ordered
+        gens.append(gen)
+        done.update(p.name for p in gen)
+    return gens
+
+
+def _toposort(flow: Flow) -> list[Pipe]:
+    """Flat sender-before-receiver pipe order (the pre-r11 contract,
+    kept for callers that only need an ordering)."""
+    return [p for gen in _generations(flow) for p in gen]
 
 
 def _run_segment(ctx: FlowContext, seg: Segment, log, kind: str):
@@ -211,22 +218,64 @@ def _run_segment(ctx: FlowContext, seg: Segment, log, kind: str):
     return result
 
 
+def _run_pipe(ctx: FlowContext, pipe: Pipe) -> None:
+    log = _run_segment(ctx, pipe.source, None, "source")
+    for seg in pipe.streams:
+        log = _run_segment(ctx, seg, log, "stream")
+    if pipe.sink is not None:
+        _run_segment(ctx, pipe.sink, log, "sink")
+
+
+# Concurrent pipes per generation. Spark's scheduler accepts job
+# submission from multiple driver threads (each pipe's actions become
+# independent jobs sharing the executor pool); the cap only bounds
+# DRIVER-side thread fan-out — a generation of 100 pipes still
+# completes, 8 in flight at a time.
+MAX_CONCURRENT_PIPES = 8
+
+
 def execute(spark, flow: Flow | str | dict, base_dir: str = ".") -> FlowResult:
     """Run a flow; returns the named artifacts + leftover stream
     channels (unclaimed senders bind to the result, mirroring the
-    reference's gen-0/MAX graph bindings, ``graph.rs:120-138``)."""
+    reference's gen-0/MAX graph bindings, ``graph.rs:120-138``).
+
+    Pipes execute by dependency GENERATION: each generation's pipes are
+    mutually independent (no channel between them, by construction of
+    :func:`_generations`) and run concurrently from a driver thread
+    pool — the Spark analog of the reference's thread-per-pipe
+    ``ThreadExecutor`` (``src/stream/flow/executor.rs:17-68``). Within
+    one generation there are no cross-thread channel hand-offs, so the
+    shared FlowContext dicts are written race-free (distinct keys,
+    GIL-atomic); a failing pipe cancels nothing mid-flight but its
+    exception propagates after the generation drains, and cleanups
+    still run."""
     if not isinstance(flow, Flow):
         flow = load_flow(flow)  # load_flow validates
     else:
         validate_flow(flow)  # dict/dataclass-built flows validate too
     ctx = FlowContext(spark=spark, base_dir=base_dir)
     try:
-        for pipe in _toposort(flow):
-            log = _run_segment(ctx, pipe.source, None, "source")
-            for seg in pipe.streams:
-                log = _run_segment(ctx, seg, log, "stream")
-            if pipe.sink is not None:
-                _run_segment(ctx, pipe.sink, log, "sink")
+        for gen in _generations(flow):
+            if len(gen) == 1:  # no pool for the common serial chain
+                _run_pipe(ctx, gen[0])
+                continue
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(gen), MAX_CONCURRENT_PIPES),
+                thread_name_prefix="promi_flow_pipe",
+            ) as pool:
+                futures = [pool.submit(_run_pipe, ctx, p) for p in gen]
+                # collect every result so no failure is swallowed; the
+                # first exception (submission order) propagates
+                errs = []
+                for f in futures:
+                    try:
+                        f.result()
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(e)
+                if errs:
+                    raise errs[0]
     finally:
         # release segment-persisted relations (ctx.defer) even on a
         # failed flow — a long-lived session must not accumulate

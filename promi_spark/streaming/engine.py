@@ -232,6 +232,41 @@ def stream_interval_join(
     return lw.join(rw, cond, "inner").drop(f"{on}{suffix}")
 
 
+def _gate_sink_writes(
+    good: DataFrame,
+    rejects: DataFrame,
+    good_path: str,
+    reject_path: str,
+    batch_id: int,
+    exactly_once: bool,
+) -> None:
+    """The two per-batch sink writes shared by the ingest gates.
+
+    ``exactly_once=False`` (default): plain appends — AT-LEAST-ONCE
+    (the two appends are not atomic; checkpoint replay re-appends).
+    ``exactly_once=True``: both sinks are partitioned by ``_batch_id``
+    and written with DYNAMIC partition overwrite, so a checkpoint
+    replay of batch N idempotently REWRITES partition ``_batch_id=N``
+    instead of duplicating it — effectively-once output under
+    kill-and-restart, at the cost of a ``_batch_id`` directory level
+    in both sinks (and the good rows carrying the column too)."""
+    rej = rejects.withColumn("_batch_id", F.lit(batch_id))
+    if exactly_once:
+        for df, path in (
+            (good.withColumn("_batch_id", F.lit(batch_id)), good_path),
+            (rej, reject_path),
+        ):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+    else:
+        good.write.mode("append").parquet(good_path)
+        rej.write.mode("append").parquet(reject_path)
+
+
 def streaming_neardup_ingest(
     docs: DataFrame,
     index_path: str,
@@ -241,6 +276,7 @@ def streaming_neardup_ingest(
     key_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    exactly_once: bool = False,
 ):
     """Streaming near-dup gate: every micro-batch of incoming documents
     is probed against the persisted corpus MinHash index
@@ -262,12 +298,16 @@ def streaming_neardup_ingest(
     appending to its own probe index would make results order-dependent
     within a batch.
 
-    Delivery semantics: the two parquet appends per batch are not
-    atomic, so a failure between them followed by checkpoint-driven
-    replay re-appends the batch — AT-LEAST-ONCE into both sinks.
-    Downstream consumers dedup by ``key_col`` (good rows) /
-    (``key_col``, ``_batch_id``) (reject rows). Returns the started
-    query (availableNow trigger; caller awaits/stops)."""
+    Delivery semantics: by default the two parquet appends per batch
+    are not atomic, so a failure between them followed by
+    checkpoint-driven replay re-appends the batch — AT-LEAST-ONCE into
+    both sinks; downstream consumers dedup by ``key_col`` (good rows)
+    / (``key_col``, ``_batch_id``) (reject rows). Pass
+    ``exactly_once=True`` for idempotent ``_batch_id``-partitioned
+    dynamic-overwrite writes (replays rewrite their own partition —
+    no duplicates after kill-and-restart; see
+    :func:`_gate_sink_writes`). Returns the started query
+    (availableNow trigger; caller awaits/stops)."""
     from promi_spark.operators.dedup import minhash_dedup_incremental
 
     def _gate(batch: DataFrame, batch_id: int):
@@ -324,10 +364,10 @@ def streaming_neardup_ingest(
             survivors = batch.join(
                 rejects.select(key_col), key_col, "left_anti"
             )
-            survivors.write.mode("append").parquet(good_path)
-            rejects.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(reject_path)
+            _gate_sink_writes(
+                survivors, rejects, good_path, reject_path,
+                batch_id, exactly_once,
+            )
         finally:
             rejects.unpersist()
 
@@ -348,6 +388,7 @@ def streaming_decontaminate_ingest(
     key_col: str = "doc_id",
     text_col: str = "text",
     min_shared: int = 1,
+    exactly_once: bool = False,
 ):
     """Streaming benchmark-decontamination gate: every micro-batch of
     incoming documents is probed against the persisted benchmark Bloom
@@ -368,13 +409,12 @@ def streaming_decontaminate_ingest(
     sketch is refreshed only when the benchmark suite changes —
     restart the stream to pick up a new index.
 
-    Delivery semantics: the two parquet appends per batch are not
-    atomic, so a failure between them followed by checkpoint-driven
-    replay re-appends the batch — AT-LEAST-ONCE into both sinks (the
-    same contract as the sibling near-dup gate). Downstream consumers
-    dedup by ``key_col`` (good rows) / (``key_col``, ``_batch_id``)
-    (reject rows). Returns the started query (availableNow trigger;
-    caller awaits/stops)."""
+    Delivery semantics: the same contract as the sibling near-dup gate
+    — AT-LEAST-ONCE appends by default (consumers dedup by ``key_col``
+    / (``key_col``, ``_batch_id``)), or ``exactly_once=True`` for
+    idempotent ``_batch_id``-partitioned dynamic-overwrite writes (see
+    :func:`_gate_sink_writes`). Returns the started query
+    (availableNow trigger; caller awaits/stops)."""
     from promi_spark.operators.bloom import decontaminate_bloom, read_bloom_index
 
     index = read_bloom_index(docs.sparkSession, bloom_index_path)
@@ -397,12 +437,13 @@ def streaming_decontaminate_ingest(
         # tokenize -> gram-explode -> probe pipeline runs twice per batch
         flagged.persist()
         try:
-            batch.join(
+            survivors = batch.join(
                 flagged.select(key_col), key_col, "left_anti"
-            ).write.mode("append").parquet(good_path)
-            flagged.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(reject_path)
+            )
+            _gate_sink_writes(
+                survivors, flagged, good_path, reject_path,
+                batch_id, exactly_once,
+            )
         finally:
             flagged.unpersist()
 

@@ -10,11 +10,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, stdout_line
+from bench import HEADLINE, HEADLINE2, stdout_line
 
 
 def _fake_detail() -> dict:
     queries = {name: 123.456 for name in HEADLINE}
+    queries2 = {name: 123.456 for name in HEADLINE2}
     return {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
@@ -22,6 +23,12 @@ def _fake_detail() -> dict:
         "queries": queries,
         "queries_warm": queries,
         "warm_total": round(sum(queries.values()), 3),
+        "headline2": {
+            "queries2": queries2,
+            "queries2_warm": queries2,
+            "value2": round(sum(queries2.values()), 3),
+            "warm2_total": round(sum(queries2.values()), 3),
+        },
         "neardup_pipeline": {"x": 1.0},
         "streaming": {
             "sessionize_rows_per_sec": 165033,
@@ -42,6 +49,8 @@ def test_stdout_line_parses_and_fits_tail_window():
     obj = json.loads(line)
     assert obj["metric"] == "headline_queries_total"
     assert set(obj["queries"]) == set(HEADLINE)
+    assert set(obj["queries2"]) == set(HEADLINE2)
+    assert obj["value2"] == round(123.456 * len(HEADLINE2), 3)
     assert obj["unit"] == "sec"
     assert obj["detail"] == "BENCH_SELF.json"
     assert obj["streaming_rps"]["stateful_dfg"] == 60592
@@ -50,5 +59,7 @@ def test_stdout_line_parses_and_fits_tail_window():
 def test_stdout_line_survives_missing_streaming():
     d = _fake_detail()
     d.pop("streaming")
+    d.pop("headline2")
     obj = json.loads(stdout_line(d))
     assert obj["streaming_rps"]["sessionize"] is None
+    assert obj["value2"] is None

@@ -961,3 +961,62 @@ def test_dsir_curated_mix_example_flow(spark, tmp_path):
     caps = got.groupBy("source").agg(F.count("*").alias("n")).collect()
     assert max(r["n"] for r in caps) <= 22
     assert got.select("shard").distinct().count() == 8
+
+
+def test_independent_pipes_run_concurrently(spark):
+    """Two channel-independent pipes execute in the SAME dependency
+    generation on concurrent driver threads (the Spark analog of the
+    reference's thread-per-pipe ThreadExecutor,
+    src/stream/flow/executor.rs:17-68): each pipe's source blocks on a
+    two-party barrier, so sequential execution would deadlock (barrier
+    timeout -> BrokenBarrierError) while concurrent execution passes. A
+    dependent third pipe still runs strictly AFTER its senders'
+    generation."""
+    import threading
+
+    from promi_spark.log import EventLog
+    from promi_spark.plans import execute
+    from promi_spark.plans.pipeline import _generations, load_flow
+    from promi_spark.plans.registry import REGISTRY, register
+
+    barrier = threading.Barrier(2, timeout=30)
+    order: list[str] = []
+
+    @register("_TestBarrierSource", "test-only rendezvous source",
+              {"source"})
+    def _barrier_source(ctx, log, _send=None, **_):
+        barrier.wait()  # deadlocks unless both pipes are in flight
+        order.append("gen0")
+        out = EventLog.from_events(ctx.spark.createDataFrame(
+            [("c1", 1)], "case_id string, seq long"
+        ))
+        for ch in _send or []:
+            ctx.streams[ch] = out
+        return out
+
+    @register("_TestProbeSink", "test-only ordering probe sink", {"sink"})
+    def _probe_sink(ctx, log, **_):
+        order.append("gen1")
+
+    try:
+        flow = load_flow({
+            "pipes": [
+                {"name": "A", "source": {"name": "_TestBarrierSource",
+                                         "stream_sender": ["chA"]}},
+                {"name": "B", "source": {"name": "_TestBarrierSource",
+                                         "stream_sender": ["chB"]}},
+                {"name": "C",
+                 "source": {"name": "Receiver",
+                            "stream_receiver": ["chA", "chB"]},
+                 "sink": {"name": "_TestProbeSink"}},
+            ]
+        })
+        gens = _generations(flow)
+        assert [sorted(p.name for p in g) for g in gens] == [["A", "B"], ["C"]]
+        execute(spark, flow)
+        # both barrier parties arrived (no timeout) and the dependent
+        # pipe observed strict generation ordering
+        assert order == ["gen0", "gen0", "gen1"]
+    finally:
+        REGISTRY.pop("_TestBarrierSource", None)
+        REGISTRY.pop("_TestProbeSink", None)

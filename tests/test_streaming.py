@@ -604,3 +604,78 @@ def test_accreting_benchmark_gate_end_to_end(spark, tmp_path):
     assert got_good == want_good == {12}
     assert got_rej == want_rej
     assert {d for d, _ in got_rej} == {10, 11}
+
+
+def test_neardup_gate_exactly_once_replay_no_duplicates(spark, tmp_path):
+    """Kill-and-restart semantics: replaying the SAME input through the
+    gate (fresh checkpoint = the worst-case full replay) duplicates
+    rows under the default at-least-once appends, but with
+    exactly_once=True the _batch_id-partitioned dynamic overwrite
+    rewrites each batch's own partition — good and reject row sets are
+    unchanged after the replay."""
+    import shutil
+
+    from promi_spark.operators.dedup import write_minhash_index
+    from promi_spark.streaming import streaming_neardup_ingest
+
+    corpus_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(0, corpus_text)], "doc_id long, text string"
+    )
+    index = str(tmp_path / "index")
+    write_minhash_index(corpus, index)
+    new = spark.createDataFrame(
+        [
+            (100, corpus_text),  # near-dup of corpus doc 0 -> reject
+            (101, "fresh unique document with its own words and no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    new.repartition(1).write.parquet(in_dir)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(in_dir)
+        )
+        q = streaming_neardup_ingest(
+            stream, index,
+            good_path=str(tmp_path / "good"),
+            reject_path=str(tmp_path / "reject"),
+            checkpoint=str(tmp_path / ckpt),
+            exactly_once=True,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    good1 = spark.read.parquet(str(tmp_path / "good")).collect()
+    rej1 = spark.read.parquet(str(tmp_path / "reject")).collect()
+    assert {r["doc_id"] for r in good1} == {101}
+    assert {r["doc_id"] for r in rej1} == {100}
+    assert all(r["_batch_id"] == 0 for r in good1 + rej1)
+
+    # full replay: fresh checkpoint re-enumerates the same files as
+    # batch 0 -> the overwrite must land on the SAME partition
+    run("ckpt2")
+    good2 = spark.read.parquet(str(tmp_path / "good")).collect()
+    rej2 = spark.read.parquet(str(tmp_path / "reject")).collect()
+    assert len(good2) == len(good1) == 1  # no duplicate good rows
+    assert len(rej2) == len(rej1) == 1
+    shutil.rmtree(str(tmp_path / "good"))
+
+    # contrast: the default append path DOES duplicate under replay —
+    # the documented at-least-once contract
+    for ckpt in ("ckpt3", "ckpt4"):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(in_dir)
+        )
+        q = streaming_neardup_ingest(
+            stream, index,
+            good_path=str(tmp_path / "good"),
+            reject_path=str(tmp_path / "reject_app"),
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 2

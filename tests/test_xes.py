@@ -389,3 +389,35 @@ def test_distributed_reader_multifile_and_gzip(spark, tmp_path):
     g = read_xes_distributed(spark, str(d / "*.xes*"))
     assert payload(g.df) == payload(both)
     assert g.meta is not None
+
+
+def test_write_xes_auto_delegates_above_ceiling(spark, tmp_path, monkeypatch):
+    """Above max_collect_rows the default write path never collects —
+    it takes the bounded-memory distributed writer automatically, with
+    byte-identical output to the forced collect path."""
+    import promi_spark.io.xes as X
+    from promi_spark.io import load_event_log
+
+    log = load_event_log(spark, "/root/testdata/sf0.001")
+    n = log.df.count()
+    assert n > 5
+
+    called = {}
+    real = X.write_xes_distributed
+
+    def spy(lg, path):
+        called["path"] = path
+        return real(lg, path)
+
+    monkeypatch.setattr(X, "write_xes_distributed", spy)
+    p_auto = str(tmp_path / "auto.xes")
+    p_force = str(tmp_path / "forced.xes")
+    X.write_xes(log, p_auto, max_collect_rows=5)  # ceiling below n
+    assert called.get("path") == p_auto  # delegated, did not collect
+    X.write_xes(log, p_force, max_collect_rows=None)  # forced collect
+    with open(p_auto) as a, open(p_force) as b:
+        assert a.read() == b.read()
+    # under the ceiling the collect path is used (no delegation)
+    called.clear()
+    X.write_xes(log, str(tmp_path / "small.xes"), max_collect_rows=n)
+    assert not called
