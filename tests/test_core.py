@@ -351,24 +351,17 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    # (r10 rotation: temperature_rates re-witnessed first after the
-    # oracle typing fix, then the FIVE new r10 operators for their
-    # first driver witness, then the 9 remaining r7-witnessed entries
-    # and the r8-witnessed block through path_prefixes —
+    # (r11 rotation: the NEW ivfpq_indexed_topk takes its first driver
+    # witness, then the two entries whose behavior/oracle changed this
+    # round, then oldest-witness-first — the 18 r8-witnessed entries
+    # and the r9-witnessed block through props_json_stats —
     # bloom_decontaminate stays in the rows-only block so the window
     # stays 100% hash-witnessed)
-    assert names[0] == "temperature_rates"
-    assert names[1] == "temperature_mixture"
-    assert names[2:9] == [
-        "dsir_select",
-        "dsir_bucket_weights",
-        "token_heavy_hitters",
-        "pq_topk",
-        "cluster_prune",
-        "ivfpq_topk",
-        "pq_rerank_topk",
-    ]
-    assert names[49] == "minhash_near_dups"
+    assert names[0] == "ivfpq_indexed_topk"
+    assert names[1:3] == ["dsir_select", "cluster_prune"]
+    assert names[3] == "mllib_minhash_near_dups"  # r8 block starts
+    assert names[21] == "value_histogram"  # r9 block starts
+    assert names[49] == "props_json_stats"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
