@@ -2695,6 +2695,35 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+@q("ivf_indexed_topk", oracles.ivf_topk_sql(n_clusters=8, nprobe=3, k=10))
+def q_ivf_indexed_topk(spark, sf_dir):
+    """The plain-IVF SERVING path end to end (the raw-vector sibling of
+    ``ivfpq_indexed_topk``): write the inverted file
+    (``partitionBy('cluster')`` + centroid sidecar), then answer the
+    query purely from the persisted index — probed-cell partition
+    pruning at the parquet source. Checked against the SAME oracle as
+    the in-memory ``ivf_topk``, so build-and-serve is pinned
+    pair-for-pair equal to train-and-scan."""
+    import hashlib
+
+    from promi_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qid, qvec = _query_vec(emb)
+    corp = emb.filter(F.col("vec_id") != qid)
+    cents = ivf_centroids(corp, 8, init="lowest_ids", n_iter=0)
+    path = (
+        "/tmp/promi_spark_ivf_index_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    write_ivf_index(corp, cents, path)
+    return ivf_topk_indexed(spark, path, qvec, k=10, nprobe=3)
+
+
 @q("winnow_fingerprints", oracles.winnow_fingerprints_sql(k=8, w=4))
 def q_winnow_fingerprints(spark, sf_dir):
     out = text.winnow_fingerprints(
@@ -3472,13 +3501,15 @@ def q_token_heavy_hitters(spark, sf_dir):
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
     # ---- 50-slot driver window (round-11 rotation): the NEW r11
-    # operator first (ivfpq_indexed_topk — first driver witness),
+    # operators first (ivfpq_indexed_topk / ivf_indexed_topk — first
+    # driver witness of the persisted serving paths),
     # then the two entries whose behavior/oracle changed this round
     # (dsir_select: full-key Gumbel coin; cluster_prune: oracle
     # DOUBLE cast), then oldest-driver-witness first — the 18
     # remaining r8-witnessed entries, then the r9-witnessed block
     # through props_json_stats; every slot carries a DuckDB oracle ----
     "ivfpq_indexed_topk",  # NEW r11: first driver witness
+    "ivf_indexed_topk",  # NEW r11: first driver witness
     "dsir_select",  # r10; Gumbel coin now hashes the FULL key tuple (r11)
     "cluster_prune",  # r10; oracle frac cast to DOUBLE (r11)
     "mllib_minhash_near_dups",  # last driver row r8
@@ -3527,11 +3558,11 @@ _ORDER = [
     "filter_time_contained",  # last driver row r9
     "footprint",  # last driver row r9
     "per_trace_counts",  # last driver row r9
-    "props_json_stats",  # last driver row r9
     # ---- out of the driver window: the remaining r9-witnessed
     # entries (rotate in next), then the r10 driver window block;
     # all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
+    "props_json_stats",  # r9
     "repetition_stats",  # r9
     "sample_events",  # r9
     "simhash_signatures",  # r9
