@@ -679,3 +679,55 @@ def test_neardup_gate_exactly_once_replay_no_duplicates(spark, tmp_path):
         )
         q.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+
+
+def test_exactly_once_gate_multi_batch_dynamic_overwrite(spark, tmp_path):
+    """Dynamic (not static) partition overwrite is load-bearing: with
+    two micro-batches, batch 1's write must NOT wipe batch 0's
+    partition — and a full replay must leave every batch's rows present
+    exactly once."""
+    from promi_spark.operators.dedup import write_minhash_index
+    from promi_spark.streaming import streaming_neardup_ingest
+
+    corpus = spark.createDataFrame(
+        [(0, "completely unrelated corpus text about rivers and banks")],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "index")
+    write_minhash_index(corpus, index)
+    in_dir = str(tmp_path / "in")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(100, "first unique document with words of its own")],
+        "doc_id long, text string",
+    ).repartition(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(200, "second unique document with different words entirely")],
+        "doc_id long, text string",
+    ).repartition(1).write.mode("append").parquet(in_dir)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming_neardup_ingest(
+            stream, index,
+            good_path=str(tmp_path / "good"),
+            reject_path=str(tmp_path / "reject"),
+            checkpoint=str(tmp_path / ckpt),
+            exactly_once=True,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    good = spark.read.parquet(str(tmp_path / "good"))
+    rows = {(r["doc_id"], r["_batch_id"]) for r in good.collect()}
+    # batch 1 did not wipe batch 0's partition (static overwrite would)
+    assert {d for d, _ in rows} == {100, 200}
+    assert len({b for _, b in rows}) == 2
+    run("ckpt2")  # full replay, fresh checkpoint: same batches rewrite
+    good2 = spark.read.parquet(str(tmp_path / "good")).collect()
+    assert len(good2) == 2  # exactly once per doc, no duplicates
+    assert {r["doc_id"] for r in good2} == {100, 200}
