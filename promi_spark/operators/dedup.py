@@ -943,6 +943,51 @@ def dedup_components_stars(
     return out
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str | Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup: keep the HIGHEST-quality member of every
+    near-dup component (ties to the lowest key) and drop the rest —
+    the production keep-rule when a quality signal exists (an LLM
+    pipeline keeps the cleanest copy of a near-dup cluster, not the
+    one with the smallest id). Documents in no pair are untouched.
+
+    ``quality_col`` is any ORDERABLE column or expression over ``df``
+    (a quality score, a length, a source-priority rank). Returns the
+    surviving rows of ``df`` with its original schema.
+
+    Plan shape: :func:`dedup_components` clusters the pair graph
+    (round state is (id, label) pairs only); the representative pick
+    is ONE window over component members — a relation bounded by the
+    paired docs, not the corpus — and survivors come back via a
+    left-anti join on the dropped keys. The component label relation
+    stays persisted (it backs both the window and the anti-join);
+    release it with ``out.labels_cache.unpersist()`` when done, as
+    with :func:`dedup_components`."""
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    comp = dedup_components(pairs)
+    labels_cache = comp.labels_cache
+    if key_col != "doc_id":  # renaming returns a fresh DF: keep the handle
+        comp = comp.withColumnRenamed("doc_id", key_col)
+    members = df.join(comp, key_col, "inner").select(
+        F.col(key_col), F.col("component"), q.alias("__q")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col(key_col).asc()
+    )
+    drops = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(key_col)
+    )
+    out = df.join(drops, key_col, "left_anti")
+    out.labels_cache = labels_cache
+    return out
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -589,6 +589,43 @@ def dedup_components_sql(threshold: float, n: int = 3) -> str:
     """
 
 
+def dedup_keep_best_sql(
+    threshold: float, quality_sql: str = "length(d.text)", n: int = 3
+) -> str:
+    """Replay of dedup.dedup_keep_best: the recursive transitive-closure
+    components (same CTE as dedup_components_sql), a per-component rank
+    by (quality DESC, doc_id ASC) over member docs, survivors = the
+    corpus minus every rank > 1 member. ``quality_sql`` is the SQL
+    twin of the Spark-side quality expression (default: text length,
+    matching the registry query)."""
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, n)},
+    edges AS MATERIALIZED (
+      SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs
+    ),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(r) AS component
+      FROM (SELECT id, r FROM reach UNION SELECT a AS id, a AS r FROM edges)
+      GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY {quality_sql} DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """
+
+
 def leakage_safe_split_sql(
     threshold: float, ratio: float, seed: int = 0, n: int = 3
 ) -> str:

@@ -451,18 +451,26 @@ def _exact_dedup(ctx, df, key_col: str = "doc_id", text_col: str = "text",
           "transitive=false drops the max-id side of each verified "
           "pair (keeps docs whose only links are indirect); "
           "transitive=true clusters the pair graph into connected "
-          "components and keeps one representative per component",
+          "components and keeps one representative per component "
+          "(min key, or the keep_best_col-maximal member when set)",
           {"stream"},
           params=[Param("threshold", float, 0.7, "Jaccard threshold"),
                   Param("transitive", bool, False),
                   Param("key_col", str, "doc_id"),
-                  Param("text_col", str, "text")])
+                  Param("text_col", str, "text"),
+                  Param("keep_best_col", str, "",
+                        "quality column: keep the highest-quality "
+                        "member per component (implies clustering)")])
 def _near_dup_dedup(ctx, df, threshold: float = 0.7,
                     transitive: bool = False, key_col: str = "doc_id",
-                    text_col: str = "text", **_):
+                    text_col: str = "text", keep_best_col: str = "", **_):
     from pyspark.sql import functions as F
 
-    from promi_spark.operators.dedup import dedup_components, minhash_dedup
+    from promi_spark.operators.dedup import (
+        dedup_components,
+        dedup_keep_best,
+        minhash_dedup,
+    )
 
     pairs = minhash_dedup(df, key_col, text_col, threshold=threshold)
     # release the segment-persisted relations (gram rows, the r8
@@ -473,6 +481,10 @@ def _near_dup_dedup(ctx, df, threshold: float = 0.7,
         ctx.defer(pairs.gram_cache.unpersist)
     if pairs.sig_cache is not None:
         ctx.defer(pairs.sig_cache.unpersist)
+    if keep_best_col:
+        out = dedup_keep_best(df, pairs, keep_best_col, key_col=key_col)
+        ctx.defer(out.labels_cache.unpersist)
+        return out
     if transitive:
         comp = dedup_components(pairs)
         ctx.defer(comp.labels_cache.unpersist)

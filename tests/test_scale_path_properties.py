@@ -84,3 +84,40 @@ def test_stars_components_match_union_find_model(spark, edges):
     got = {r["doc_id"]: r["component"] for r in out.collect()}
     out.nodes_cache.unpersist()
     assert got == model
+
+
+def test_dedup_keep_best_keeps_highest_quality_member(spark):
+    """Quality-aware keep-rule: per near-dup component the highest
+    quality (tie: lowest key) survives; unpaired docs are untouched;
+    survivors keep the input schema. Checked on a hand-built graph
+    where the min-key rule and the best-quality rule disagree."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            # component {1,2,3}: doc 2 has the best quality -> keep 2
+            (1, "aa", 0.2), (2, "aa x", 0.9), (3, "aa y", 0.5),
+            # component {10,11}: tie on quality -> keep lower key 10
+            (10, "bb", 0.7), (11, "bb z", 0.7),
+            # unpaired
+            (20, "cc", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)],
+        "a long, b long, jaccard_sim double",
+    )
+    out = dedup_keep_best(docs, pairs, "quality")
+    assert out.columns == docs.columns
+    assert {r["doc_id"] for r in out.collect()} == {2, 10, 20}
+    out.labels_cache.unpersist()
+    # custom key column name flows through
+    out2 = dedup_keep_best(
+        docs.withColumnRenamed("doc_id", "k"),
+        pairs, F.col("quality"), key_col="k",
+    )
+    assert {r["k"] for r in out2.collect()} == {2, 10, 20}
+    out2.labels_cache.unpersist()
