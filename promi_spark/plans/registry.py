@@ -165,7 +165,10 @@ def _void(ctx, log, **attrs):
         return EventLog(
             df=ctx.spark.createDataFrame([], EVENTS_SCHEMA), meta=Meta()
         )
-    log.df.write.format("noop").mode("overwrite").save()  # run for effects
+    # sinks both log pipes (EventLog) and document pipes (DataFrame),
+    # like ParquetWriter/ShardExport
+    df = log.df if hasattr(log, "df") else log
+    df.write.format("noop").mode("overwrite").save()  # run for effects
     return None
 
 

@@ -724,6 +724,7 @@ def test_example_flows_execute(spark, tmp_path, monkeypatch):
     for name, sink_attr in (
         ("examples/clean_corpus.yml", "path"),
         ("examples/curate_corpus.yml", "path"),
+        ("examples/keep_best_corpus.yml", "path"),
     ):
         flow = yaml.safe_load(open(f"/root/repo/{name}"))
         for pipe in flow["pipes"]:
