@@ -957,7 +957,12 @@ def dedup_keep_best(
 
     ``quality_col`` is any ORDERABLE column or expression over ``df``
     (a quality score, a length, a source-priority rank). Returns the
-    surviving rows of ``df`` with its original schema.
+    surviving rows of ``df`` with its original schema. NULL qualities
+    are pinned LAST in the rank (``desc_nulls_last``): a null-quality
+    document never beats a scored one, and among all-null components
+    the lowest key survives — the oracle's rank replay must use
+    ``DESC NULLS LAST`` to agree (DuckDB's default for DESC already
+    is, but the SQL side pins it explicitly too).
 
     Plan shape: :func:`dedup_components` clusters the pair graph
     (round state is (id, label) pairs only); the representative pick
@@ -968,22 +973,30 @@ def dedup_keep_best(
     release it with ``out.labels_cache.unpersist()`` when done, as
     with :func:`dedup_components`."""
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    # Resolve the quality expression against df BEFORE clustering: a bad
+    # column/expression must fail here, not after dedup_components has
+    # persisted the label relation (which no caller could then release).
+    df.select(q.alias("__q"))
     comp = dedup_components(pairs)
     labels_cache = comp.labels_cache
-    if key_col != "doc_id":  # renaming returns a fresh DF: keep the handle
-        comp = comp.withColumnRenamed("doc_id", key_col)
-    members = df.join(comp, key_col, "inner").select(
-        F.col(key_col), F.col("component"), q.alias("__q")
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.col("__q").desc(), F.col(key_col).asc()
-    )
-    drops = (
-        members.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
-        .select(key_col)
-    )
-    out = df.join(drops, key_col, "left_anti")
+    try:
+        if key_col != "doc_id":  # renaming returns a fresh DF: keep the handle
+            comp = comp.withColumnRenamed("doc_id", key_col)
+        members = df.join(comp, key_col, "inner").select(
+            F.col(key_col), F.col("component"), q.alias("__q")
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("__q").desc_nulls_last(), F.col(key_col).asc()
+        )
+        drops = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(key_col)
+        )
+        out = df.join(drops, key_col, "left_anti")
+    except Exception:
+        labels_cache.unpersist()
+        raise
     out.labels_cache = labels_cache
     return out
 

@@ -293,16 +293,25 @@ def cosine_near_dups(
     O(N^2) plan by accident — the scale answers to the same question
     are :func:`lsh_near_dups` and :func:`semantic_dedup`.
     """
-    n = df.count()
-    if n > QUADRATIC_ROW_CEILING and not allow_quadratic:
-        raise ValueError(
-            f"cosine_near_dups: {n} input vectors exceed the exact "
-            f"all-pairs ceiling ({QUADRATIC_ROW_CEILING}); this O(N^2) "
-            "baseline would score "
-            f"~{n * (n - 1) // 2:.2e} pairs. Use lsh_near_dups / "
-            "semantic_dedup at scale, or pass allow_quadratic=True to "
-            "override deliberately."
-        )
+    # Guard cost is CAPPED: limit(ceiling+1).count() scans at most
+    # ceiling+1 rows instead of the full input, and when the guard
+    # passes the capped count IS the exact N (the limit didn't bite),
+    # so the blocked path below reuses it — one bounded job, not two
+    # full scans. allow_quadratic=True skips the check entirely (the
+    # expression path then never counts at all, restoring its pre-r11
+    # zero-count plan).
+    n: int | None = None
+    if not allow_quadratic:
+        n = df.limit(QUADRATIC_ROW_CEILING + 1).count()
+        if n > QUADRATIC_ROW_CEILING:
+            raise ValueError(
+                f"cosine_near_dups: input exceeds the exact all-pairs "
+                f"ceiling ({QUADRATIC_ROW_CEILING} vectors); this "
+                "O(N^2) baseline would score >"
+                f"{QUADRATIC_ROW_CEILING ** 2 // 2:.2e} pairs. Use "
+                "lsh_near_dups / semantic_dedup at scale, or pass "
+                "allow_quadratic=True to override deliberately."
+            )
     if block_size is None:
         base = df.select(
             F.col(id_col).alias("k"),
@@ -325,6 +334,8 @@ def cosine_near_dups(
 
     import math
 
+    if n is None:  # allow_quadratic skipped the guard; geometry needs N
+        n = df.count()
     nblocks = max(1, math.ceil(n / block_size))
     n_pairs = nblocks * (nblocks + 1) // 2
     id_type = df.schema[id_col].dataType.simpleString()

@@ -594,10 +594,13 @@ def dedup_keep_best_sql(
 ) -> str:
     """Replay of dedup.dedup_keep_best: the recursive transitive-closure
     components (same CTE as dedup_components_sql), a per-component rank
-    by (quality DESC, doc_id ASC) over member docs, survivors = the
-    corpus minus every rank > 1 member. ``quality_sql`` is the SQL
-    twin of the Spark-side quality expression (default: text length,
-    matching the registry query)."""
+    by (quality DESC NULLS LAST, doc_id ASC) over member docs,
+    survivors = the corpus minus every rank > 1 member.
+    ``quality_sql`` is the SQL twin of the Spark-side quality
+    expression (default: text length, matching the registry query).
+    NULLS LAST is pinned explicitly to mirror the Spark side's
+    ``desc_nulls_last`` for nullable quality columns (DuckDB's DESC
+    default happens to agree; the pin makes it contractual)."""
     return f"""
     WITH RECURSIVE {_jaccard_pairs_ctes(threshold, n)},
     edges AS MATERIALIZED (
@@ -617,7 +620,7 @@ def dedup_keep_best_sql(
       SELECT c.doc_id,
              row_number() OVER (
                PARTITION BY c.component
-               ORDER BY {quality_sql} DESC, c.doc_id
+               ORDER BY {quality_sql} DESC NULLS LAST, c.doc_id
              ) AS rn
       FROM comp c JOIN documents d ON d.doc_id = c.doc_id
     )

@@ -124,6 +124,13 @@ def validate_flow(flow: Flow) -> None:
     segment, and parameter — before anything executes."""
     sent: set[str] = set()
     received: list[tuple[str, str, str]] = []
+    # channel -> first sender seen; channels are single-sender in this
+    # engine (a send ASSIGNS ctx.streams[ch]/ctx.artifacts[ch]; fan-in
+    # is a receiver listing several channels, never two senders on
+    # one). _generations also keeps only one sender per channel, so a
+    # second sender would silently fall out of the dependency graph
+    # and — under generation-concurrent execution — race the receiver.
+    senders: dict[str, str] = {}
     for pipe in flow.pipes:
         segs = [("source", pipe.source)]
         segs += [("stream", s) for s in pipe.streams]
@@ -142,6 +149,19 @@ def validate_flow(flow: Flow) -> None:
                     f"used as a {kind} (kinds: {sorted(entry.kinds)})"
                 )
             entry.validate(seg.attributes, f"{pipe.name}/{seg.name}")
+            for ch in list(seg.stream_sender) + list(seg.artifact_sender):
+                where = f"{pipe.name}/{seg.name}"
+                if ch in senders:
+                    raise FlowConfigError(
+                        f"channel {ch!r} has two senders "
+                        f"({senders[ch]!r} and {where!r}): channels are "
+                        "single-sender (a send overwrites the channel "
+                        "binding and only the LAST sender would enter "
+                        "the dependency graph — receivers could race "
+                        "the other under concurrent execution); for "
+                        "fan-in, list several channels on one receiver"
+                    )
+                senders[ch] = where
             sent.update(seg.stream_sender)
             received += [
                 (pipe.name, seg.name, ch) for ch in seg.stream_receiver

@@ -29,6 +29,10 @@ def _fake_detail() -> dict:
             "value2": round(sum(queries2.values()), 3),
             "warm2_total": round(sum(queries2.values()), 3),
         },
+        "index_serving": {
+            "ivf": {"build": 1234.567, "serve": 1234.567},
+            "ivfpq": {"build": 1234.567, "serve": 1234.567},
+        },
         "neardup_pipeline": {"x": 1.0},
         "streaming": {
             "sessionize_rows_per_sec": 165033,
@@ -54,6 +58,16 @@ def test_stdout_line_parses_and_fits_tail_window():
     assert obj["unit"] == "sec"
     assert obj["detail"] == "BENCH_SELF.json"
     assert obj["streaming_rps"]["stateful_dfg"] == 60592
+    # ANN serving split: both phases of both index kinds ride the line
+    assert obj["index_serving"]["ivf"]["serve"] == 1234.567
+    assert obj["index_serving"]["ivfpq"]["build"] == 1234.567
+
+
+def test_stdout_line_survives_missing_index_serving():
+    d = _fake_detail()
+    d.pop("index_serving")
+    obj = json.loads(stdout_line(d))
+    assert obj["index_serving"] is None
 
 
 def test_stdout_line_survives_missing_streaming():

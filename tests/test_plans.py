@@ -225,6 +225,39 @@ def test_unsent_receive_channel_rejected_at_load(spark):
         load_flow(flow)
 
 
+def test_duplicate_channel_sender_rejected_at_load(spark):
+    """Two senders on one channel are a load-time FlowConfigError:
+    channels are single-sender (a send ASSIGNS the binding; _generations
+    keeps only the last sender per channel, so under generation
+    -concurrent execution a receiver could race the unaccounted first
+    sender). Fan-in is several channels on one receiver, never two
+    senders on one channel."""
+    from promi_spark.plans import load_flow
+    from promi_spark.plans.registry import FlowConfigError
+
+    flow = {
+        "pipes": [
+            {
+                "name": "A",
+                "source": {"name": "Void"},
+                "sink": {"name": "Sender", "stream_sender": ["ch"]},
+            },
+            {
+                "name": "B",
+                "source": {"name": "Void"},
+                "sink": {"name": "Sender", "stream_sender": ["ch"]},
+            },
+            {
+                "name": "C",
+                "source": {"name": "Receiver", "stream_receiver": ["ch"]},
+                "sink": {"name": "Void"},
+            },
+        ]
+    }
+    with pytest.raises(FlowConfigError, match=r"'ch'.*two senders"):
+        load_flow(flow)
+
+
 def test_declared_params_accept_typed_form(spark):
     """The reference's typed attribute form ({Float: 0.1}) round-trips
     through declaration checks (ints accepted where Float is declared)."""

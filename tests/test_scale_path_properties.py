@@ -121,3 +121,47 @@ def test_dedup_keep_best_keeps_highest_quality_member(spark):
     )
     assert {r["k"] for r in out2.collect()} == {2, 10, 20}
     out2.labels_cache.unpersist()
+
+
+def test_dedup_keep_best_nullable_quality_nulls_last(spark):
+    """NULL qualities rank LAST (desc_nulls_last pin): a null-quality
+    doc never beats a scored one, and an all-null component falls back
+    to the lowest key — the same order dedup_keep_best_sql's
+    DESC NULLS LAST replays."""
+    from promi_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            # component {1,2}: null vs scored -> the scored doc 2 wins
+            # even though 1 is the lower key
+            (1, "aa", None), (2, "aa x", 0.1),
+            # component {10,11}: all-null -> lowest key 10 survives
+            (10, "bb", None), (11, "bb z", None),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (10, 11, 1.0)], "a long, b long, jaccard_sim double"
+    )
+    out = dedup_keep_best(docs, pairs, "quality")
+    assert {r["doc_id"] for r in out.collect()} == {2, 10}
+    out.labels_cache.unpersist()
+
+
+def test_dedup_keep_best_bad_quality_fails_before_persist(spark):
+    """A quality expression that cannot resolve against df raises
+    BEFORE dedup_components persists the label relation — repeated
+    failed flows must not accumulate cache-manager entries."""
+    import pytest
+
+    from promi_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0)], "a long, b long, jaccard_sim double"
+    )
+    jvm_cache = spark._jsparkSession.sharedState().cacheManager()
+    before = jvm_cache.cachedData().size()
+    with pytest.raises(Exception):
+        dedup_keep_best(docs, pairs, "no_such_column")
+    assert jvm_cache.cachedData().size() == before
