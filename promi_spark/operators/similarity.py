@@ -882,7 +882,19 @@ def ivf_topk(
 
     Pass ``n_clusters='auto'`` / ``nprobe='auto'`` to size the index
     by :func:`ivf_geometry` (sqrt(N) cells, occupancy-scaled probes;
-    costs one count() job)."""
+    costs one count() job).
+
+    Regime guidance (measured, ANN_RECALL_r11.json): IVF cell pruning
+    pays off when the corpus CLUSTERS — on near-uniform embeddings
+    (no planted structure) auto-IVF recall@10 is ~0.56 at an 18% scan
+    fraction, which is theoretically expected (a uniform corpus has no
+    cells to exploit: the true neighbors spread across many cells, so
+    any sublinear probe set must miss some). For such corpora prefer
+    :func:`promi_spark.operators.pq.pq_rerank_topk` — PQ-ADC shortlist
+    + exact rerank holds 0.97+ recall@10 at 16 bytes/vector REGARDLESS
+    of corpus geometry, because it compresses every vector instead of
+    pruning whole regions. On clustered corpora (the common embedding
+    case) both are fine and IVF scans less."""
     import numpy as np
 
     n_clusters, nprobe = _resolve_geometry(corpus, n_clusters, nprobe, k)

@@ -2681,7 +2681,13 @@ def q_ivf_topk(spark, sf_dir):
     """IVF in its oracle-checkable configuration: seeded-Voronoi coarse
     quantizer (seeds = lowest-id corpus vectors, no Lloyd iterations) so
     the oracle replays the same assignment; k-means refinement stays the
-    non-oracle default (init='rng_sample', n_iter=10)."""
+    non-oracle default (init='rng_sample', n_iter=10).
+
+    Regime note: IVF pruning needs a CLUSTERED corpus — on near-uniform
+    embeddings auto-IVF recall@10 is ~0.56 at an 18% scan fraction
+    (ANN_RECALL_r11.json, theoretically expected); steer such corpora
+    to pq_rerank_topk (0.97+ recall at 16 B/vec, geometry-independent).
+    See the ivf_topk docstring for the full guidance."""
     emb = load_table(spark, "embeddings", sf_dir)
     qid, qvec = _query_vec(emb)
     return similarity.ivf_topk(

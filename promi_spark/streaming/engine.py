@@ -169,9 +169,18 @@ def write_with_dlq(
     checks: dict | None = None,
 ):
     """Streaming sink with a dead-letter queue: one ``foreachBatch``
-    writes both sides atomically per micro-batch (reference sinks that
-    record errors and continue, ``sink.rs:50-53`` / ``buffer.rs:53-56``).
-    Returns the started query (caller awaits/stops)."""
+    writes both sides per micro-batch (reference sinks that record
+    errors and continue, ``sink.rs:50-53`` / ``buffer.rs:53-56``).
+    Returns the started query (caller awaits/stops).
+
+    Delivery semantics: AT-LEAST-ONCE. The two parquet appends are not
+    atomic with the checkpoint commit, so a crash-and-replay of a
+    batch re-appends its rows to both sinks. Downstream dedup recipe:
+    good rows by their stable event key, DLQ rows by (event key,
+    ``_batch_id``). For effectively-once landing zones use the ingest
+    gates' ``exactly_once=True`` (``_batch_id``-partitioned dynamic
+    overwrite, :func:`_gate_sink_writes`) — see the delivery-semantics
+    table in COVERAGE.md §2.10."""
 
     def _write(batch: DataFrame, batch_id: int):
         good, bad = quarantine(batch, checks)

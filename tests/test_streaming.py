@@ -132,6 +132,23 @@ def test_write_with_dlq(spark, tmp_path):
     dlq = spark.read.parquet(str(tmp_path / "dlq"))
     assert dlq.count() == 1
     assert dlq.first()["_errors"] == ["activity_present"]
+    # Documented default (COVERAGE §2.10 delivery table): the DLQ sink
+    # is AT-LEAST-ONCE — a worst-case full replay (fresh checkpoint,
+    # same input files) re-appends to both sinks; consumers dedup by
+    # event key / (event key, _batch_id).
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = write_with_dlq(
+        stream,
+        good_path=str(tmp_path / "good"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+    dlq2 = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq2.count() == 2
+    # the dedup recipe restores the logical row sets
+    assert dlq2.dropDuplicates(["case_id", "seq", "_batch_id"]).count() == 1
 
 
 def test_stateful_dfg_matches_batch(spark, stream_dir):

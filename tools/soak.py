@@ -23,7 +23,15 @@ allows ("hash-verify where DuckDB can keep up").
 Usage:
     python tools/soak.py [--sf1 DIR] [--out FILE] [--oracle-budget S]
                          [--no-oracle] [--sample-keys P]
-                         [--slice-fallback P] [query ...]
+                         [--slice-fallback P] [--compare PRIOR.json]
+                         [query ...]
+
+``--compare PRIOR.json`` diffs this run's per-query wall times against
+a prior round's artifact and records a ``drift`` section in the output
+(every query whose sf1_sec moved by more than DRIFT_FLAG_RATIO in
+either direction, with both numbers) — so a 4x regression like the r11
+``rfm_segments`` outlier surfaces in the artifact itself instead of by
+hand-diffing JSON (r11 VERDICT demand #3).
 
 ``--sample-keys P`` (e.g. 0.01) hash-verifies on a deterministic
 FK-complete key-slice of the soak data (see SLICE_COINS) — the sf10
@@ -182,6 +190,52 @@ def duck_with_budget(con, sql: str, budget: float):
 # the raw numeric buffers — same witness semantics, vectorized.
 ARROW_COMPARE_ROWS = 2_000_000
 
+# --compare flags any per-query wall-time move beyond this factor in
+# either direction. 2x is the adjudication band the r5/r11 idle-box
+# re-runs established for shared-box variance at the single-query
+# level; beyond it a drift deserves a re-measure or a bisect.
+DRIFT_FLAG_RATIO = 2.0
+
+
+def drift_section(results: dict, prior_path: str) -> dict:
+    """Per-query wall-time drift vs a prior soak artifact: every query
+    present in both runs whose sf1_sec ratio falls outside
+    [1/DRIFT_FLAG_RATIO, DRIFT_FLAG_RATIO] is flagged with both
+    numbers. Zero/missing prior times are skipped (a query can't drift
+    from nothing)."""
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, ValueError) as e:
+        return {"compared_to": prior_path, "error": f"unreadable: {e}"}
+    flagged = {}
+    compared = 0
+    for name, rec in results.items():
+        now = rec.get("sf1_sec")
+        was = prior.get(name, {}).get("sf1_sec")
+        if not now or not was:
+            continue
+        compared += 1
+        ratio = now / was
+        if ratio > DRIFT_FLAG_RATIO or ratio < 1 / DRIFT_FLAG_RATIO:
+            flagged[name] = {
+                "prior_sec": was,
+                "now_sec": round(now, 2),
+                "ratio": round(ratio, 2),
+            }
+    return {
+        "compared_to": prior_path,
+        "threshold": DRIFT_FLAG_RATIO,
+        "queries_compared": compared,
+        "flagged": dict(
+            sorted(
+                flagged.items(),
+                key=lambda kv: kv[1]["ratio"],
+                reverse=True,
+            )
+        ),
+    }
+
 
 def arrow_hash(tbl) -> str:
     """Order-insensitive engine-neutral value hash of an Arrow table
@@ -299,6 +353,7 @@ def main() -> int:
         return default
 
     sf1 = opt("--sf1", "/root/repo/.soak/sf1")
+    compare_to = opt("--compare", None)
     out_path = opt("--out", "CROSSSCALE_sf1_r7.json")
     budget = float(opt("--oracle-budget", "120"))
     sample_keys = float(opt("--sample-keys", "0"))
@@ -567,6 +622,21 @@ def main() -> int:
         "wall_sec": round(time.time() - t_start, 1),
         "queries": results,
     }
+    if compare_to is not None:
+        summary["drift"] = drift_section(results, compare_to)
+        flg = summary["drift"].get("flagged", {})
+        for name, d in flg.items():
+            print(
+                f"DRIFT {name}: {d['prior_sec']}s -> {d['now_sec']}s "
+                f"({d['ratio']}x)",
+                flush=True,
+            )
+        if not flg and "error" not in summary["drift"]:
+            print(
+                f"drift: none beyond {DRIFT_FLAG_RATIO}x vs {compare_to} "
+                f"({summary['drift']['queries_compared']} compared)",
+                flush=True,
+            )
     if slice_src is not None:
         summary["key_slice"] = {
             "p": sample_keys,
