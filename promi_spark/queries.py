@@ -3521,118 +3521,68 @@ def q_token_heavy_hitters(spark, sf_dir):
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-11 rotation): the NEW r11
-    # operators first (ivfpq_indexed_topk / ivf_indexed_topk — first
-    # driver witness of the persisted serving paths),
-    # then the two entries whose behavior/oracle changed this round
-    # (dsir_select: full-key Gumbel coin; cluster_prune: oracle
-    # DOUBLE cast), then oldest-driver-witness first — the 18
-    # remaining r8-witnessed entries, then the r9-witnessed block
-    # through props_json_stats; every slot carries a DuckDB oracle ----
-    "ivfpq_indexed_topk",  # NEW r11: first driver witness
-    "ivf_indexed_topk",  # NEW r11: first driver witness
-    "dedup_keep_best",  # NEW r11: first driver witness
-    "dsir_select",  # r10; Gumbel coin now hashes the FULL key tuple (r11)
-    "cluster_prune",  # r10; oracle frac cast to DOUBLE (r11)
-    "mllib_minhash_near_dups",  # last driver row r8
-    "path_prefixes",  # last driver row r8
-    "per_source_cap",  # last driver row r8
-    "phrase_search_docs",  # last driver row r8
-    "rfm_segments",  # last driver row r8
-    "rolling_user_activity",  # last driver row r8
-    "session_overlaps",  # last driver row r8
-    "semantic_dedup",  # last driver row r8
-    "shard_assignment",  # last driver row r8
-    "simhash_near_dups",  # last driver row r8
-    "source_mix",  # last driver row r8
-    "state_islands",  # last driver row r8
-    "tfidf_terms",  # last driver row r8
-    "top_bigrams",  # last driver row r8
-    "tpch_q14",  # last driver row r8
-    "tpch_q3",  # last driver row r8
-    "trace_clusters",  # last driver row r8
-    "user_event_pivot",  # last driver row r8
-    "value_histogram",  # last driver row r9
-    "value_hour_corr",  # last driver row r9
-    "value_outliers",  # last driver row r9
-    "weighted_sample_docs",  # last driver row r9
-    "winnow_fingerprints",  # last driver row r9
-    "xes_roundtrip",  # last driver row r9
-    "zorder_events",  # last driver row r9
-    "knn_cosine",  # last driver row r9
-    "order_priority_counts",  # last driver row r9
-    "part_brand_volume",  # last driver row r9
-    "tpch_q6",  # last driver row r9
-    "filter_concept_in",  # last driver row r9
-    "filter_time_before_after",  # last driver row r9
-    "filter_time_eq_tol",  # last driver row r9
-    "intersect_set_op",  # last driver row r9
-    "trace_time_contained",  # last driver row r9
-    "activity_stats",  # last driver row r9
-    "cosine_near_dups_exact",  # last driver row r9
-    "doc_fingerprint",  # last driver row r9
-    "embedding_norms",  # last driver row r9
-    "event_gaps",  # last driver row r9
-    "except_set_op",  # last driver row r9
-    "filter_concept_eq",  # last driver row r9
-    "filter_org_eq",  # last driver row r9
-    "filter_org_match",  # last driver row r9
-    "filter_time_contained",  # last driver row r9
-    "footprint",  # last driver row r9
-    # ---- out of the driver window: the remaining r9-witnessed
-    # entries (rotate in next), then the r10 driver window block;
-    # all re-checked locally by the tools/check_oracle.py
-    # cross-scale sweeps ----
-    "per_trace_counts",  # r9
-    "props_json_stats",  # r9
-    "repetition_stats",  # r9
-    "sample_events",  # r9
-    "simhash_signatures",  # r9
-    "split_train",  # r9
-    "token_counts_docs",  # r9
-    "top_traces_by_events",  # r9
-    "tpch_q1",  # r9
-    "trace_starts_ends_in",  # r9
-    "trace_variants",  # r9
-    "activity_dow_cube",  # r9
-    "asof_attribution",  # r9
-    "chronology_violations_injected",  # r9
-    "classifier_counts",  # r9
-    "cnf_filter",  # r9
-    "decontaminate",  # r9
-    "dedup_exact_docs",  # r9
-    "dfg_endpoints",  # r9
-    "doc_length_quantiles",  # r9
-    "filter_concept_eq_strict",  # r9
-    "temperature_rates",  # r10
-    "temperature_mixture",  # r10
-    "dsir_bucket_weights",  # r10
-    "token_heavy_hitters",  # r10
-    "pq_topk",  # r10
-    "ivfpq_topk",  # r10
-    "pq_rerank_topk",  # r10
-    "filter_trace_scope",  # r10
-    "heuristic_dependency",  # r10
-    "lang_id_docs",  # r10
-    "line_dedup_docs",  # r10
-    "mixture_sample",  # r10
-    "pack_index",  # r10
-    "pii_scrub",  # r10
-    "revenue_by_nation",  # r10
-    "ann_multiprobe_topk",  # r10
-    "corpus_shuffle",  # r10
-    "stats_counts",  # r10
-    "text_quality",  # r10
-    "tpch_q18",  # r10
-    "trace_intervals",  # r10
-    "user_sessions",  # r10
-    "validation_globals",  # r10
-    "ann_lsh_topk",  # r10
-    "arrow_roundtrip",  # r10
-    "bpe_token_counts",  # r10
-    "chronology_violations",  # r10
-    "chunk_docs",  # r10
-    "cohort_retention",  # r10
+    # ---- 50-slot driver window (round-12 rotation): oldest driver
+    # witness first — all 21 remaining r9-witnessed entries, then the
+    # 29 oldest r10-witnessed entries (incl. every name the r11
+    # VERDICT called out: dsir_bucket_weights, token_heavy_hitters,
+    # pq_topk, pq_rerank_topk, temperature_*, decontaminate, tpch_q1
+    # and q18); every slot carries a DuckDB oracle. Everything rotated
+    # out was driver-green in r11 and keeps its cross-scale
+    # tools/check_oracle.py witnesses ----
+    "per_trace_counts",  # last driver row r9
+    "props_json_stats",  # last driver row r9
+    "repetition_stats",  # last driver row r9
+    "sample_events",  # last driver row r9
+    "simhash_signatures",  # last driver row r9
+    "split_train",  # last driver row r9
+    "token_counts_docs",  # last driver row r9
+    "top_traces_by_events",  # last driver row r9
+    "tpch_q1",  # last driver row r9
+    "trace_starts_ends_in",  # last driver row r9
+    "trace_variants",  # last driver row r9
+    "activity_dow_cube",  # last driver row r9
+    "asof_attribution",  # last driver row r9
+    "chronology_violations_injected",  # last driver row r9
+    "classifier_counts",  # last driver row r9
+    "cnf_filter",  # last driver row r9
+    "decontaminate",  # last driver row r9
+    "dedup_exact_docs",  # last driver row r9
+    "dfg_endpoints",  # last driver row r9
+    "doc_length_quantiles",  # last driver row r9
+    "filter_concept_eq_strict",  # last driver row r9
+    "temperature_rates",  # last driver row r10
+    "temperature_mixture",  # last driver row r10
+    "dsir_bucket_weights",  # last driver row r10
+    "token_heavy_hitters",  # last driver row r10
+    "pq_topk",  # last driver row r10
+    "ivfpq_topk",  # last driver row r10
+    "pq_rerank_topk",  # last driver row r10
+    "filter_trace_scope",  # last driver row r10
+    "heuristic_dependency",  # last driver row r10
+    "lang_id_docs",  # last driver row r10
+    "line_dedup_docs",  # last driver row r10
+    "mixture_sample",  # last driver row r10
+    "pack_index",  # last driver row r10
+    "pii_scrub",  # last driver row r10
+    "revenue_by_nation",  # last driver row r10
+    "ann_multiprobe_topk",  # last driver row r10
+    "corpus_shuffle",  # last driver row r10
+    "stats_counts",  # last driver row r10
+    "text_quality",  # last driver row r10
+    "tpch_q18",  # last driver row r10
+    "trace_intervals",  # last driver row r10
+    "user_sessions",  # last driver row r10
+    "validation_globals",  # last driver row r10
+    "ann_lsh_topk",  # last driver row r10
+    "arrow_roundtrip",  # last driver row r10
+    "bpe_token_counts",  # last driver row r10
+    "chronology_violations",  # last driver row r10
+    "chunk_docs",  # last driver row r10
+    "cohort_retention",  # last driver row r10
+    # ---- out of the driver window: the remaining r10-witnessed
+    # entries (rotate in next round), then the r11 driver-window
+    # block (freshest witnesses); all re-checked locally by the
+    # tools/check_oracle.py cross-scale sweeps ----
     "corpus_cardinality",  # r10
     "cross_doc_substrings",  # r10
     "dedup_components",  # r10
@@ -3652,6 +3602,56 @@ _ORDER = [
     "lm_quality",  # r10
     "lsh_near_dups",  # r10
     "minhash_near_dups",  # r10
+    "ivfpq_indexed_topk",  # r11
+    "ivf_indexed_topk",  # r11
+    "dedup_keep_best",  # r11
+    "dsir_select",  # r11
+    "cluster_prune",  # r11
+    "mllib_minhash_near_dups",  # r11
+    "path_prefixes",  # r11
+    "per_source_cap",  # r11
+    "phrase_search_docs",  # r11
+    "rfm_segments",  # r11
+    "rolling_user_activity",  # r11
+    "session_overlaps",  # r11
+    "semantic_dedup",  # r11
+    "shard_assignment",  # r11
+    "simhash_near_dups",  # r11
+    "source_mix",  # r11
+    "state_islands",  # r11
+    "tfidf_terms",  # r11
+    "top_bigrams",  # r11
+    "tpch_q14",  # r11
+    "tpch_q3",  # r11
+    "trace_clusters",  # r11
+    "user_event_pivot",  # r11
+    "value_histogram",  # r11
+    "value_hour_corr",  # r11
+    "value_outliers",  # r11
+    "weighted_sample_docs",  # r11
+    "winnow_fingerprints",  # r11
+    "xes_roundtrip",  # r11
+    "zorder_events",  # r11
+    "knn_cosine",  # r11
+    "order_priority_counts",  # r11
+    "part_brand_volume",  # r11
+    "tpch_q6",  # r11
+    "filter_concept_in",  # r11
+    "filter_time_before_after",  # r11
+    "filter_time_eq_tol",  # r11
+    "intersect_set_op",  # r11
+    "trace_time_contained",  # r11
+    "activity_stats",  # r11
+    "cosine_near_dups_exact",  # r11
+    "doc_fingerprint",  # r11
+    "embedding_norms",  # r11
+    "event_gaps",  # r11
+    "except_set_op",  # r11
+    "filter_concept_eq",  # r11
+    "filter_org_eq",  # r11
+    "filter_org_match",  # r11
+    "filter_time_contained",  # r11
+    "footprint",  # r11
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
     "bloom_decontaminate",

@@ -351,19 +351,15 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    # (r11 rotation: the NEW ivfpq_indexed_topk takes its first driver
-    # witness, then the two entries whose behavior/oracle changed this
-    # round, then oldest-witness-first — the 18 r8-witnessed entries
-    # and the r9-witnessed block through props_json_stats —
-    # bloom_decontaminate stays in the rows-only block so the window
-    # stays 100% hash-witnessed)
-    assert names[0] == "ivfpq_indexed_topk"
-    assert names[1] == "ivf_indexed_topk"
-    assert names[2] == "dedup_keep_best"
-    assert names[3:5] == ["dsir_select", "cluster_prune"]
-    assert names[5] == "mllib_minhash_near_dups"  # r8 block starts
-    assert names[23] == "value_histogram"  # r9 block starts
-    assert names[49] == "footprint"
+    # (r12 rotation: oldest-witness-first — all 21 remaining
+    # r9-witnessed entries, then the 29 oldest r10-witnessed entries;
+    # zero overlap with the r11 window, so after this round every
+    # oracled query's last driver witness is <= 2 rounds old)
+    assert names[0] == "per_trace_counts"  # r9 block starts
+    assert names[20] == "filter_concept_eq_strict"  # r9 block ends
+    assert names[21] == "temperature_rates"  # r10 block starts
+    assert names[49] == "cohort_retention"
+    assert names[50] == "corpus_cardinality"  # first out-of-window
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
