@@ -55,31 +55,17 @@ COPIES_PER_CLASS = 500   # 200 x 500 = 100k docs sharing bands
 N_VARIANTS = 2000        # tier B: distinct near-variants of template 0
 BOILER_ID_BASE = 10_000_000  # boilerplate doc_ids start here
 
-# 64-word vocabulary for template construction; templates draw
-# overlapping-but-distinct windows so cross-class Jaccard stays far
-# below the 0.5 near-dup threshold while within-class J = 1.0.
-_WORDS = (
-    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
-    "kilo lima mike november oscar papa quebec romeo sierra tango "
-    "uniform victor whiskey xray yankee zulu amber birch cedar dusk "
-    "ember flint grove harbor inlet juniper keel lagoon marsh nectar "
-    "onyx prairie quartz ridge summit thicket umber vale willow xenon "
-    "yarrow zephyr anchor beacon canyon delta2 ester fjord glacier "
-    "horizon isle jetty knoll lumen meadow"
-).split()
-
-
 def template_text(cls: int, n_words: int = 80) -> str:
-    """Deterministic ~80-word template for class ``cls``. Consecutive
-    classes share vocabulary but the word SEQUENCE (and so the 3-gram
-    shingle set) differs enough that cross-class Jaccard < 0.2."""
-    step = 3 + (cls % 7)
-    start = (cls * 13) % len(_WORDS)
-    words = [
-        _WORDS[(start + i * step + (i * i) % 11) % len(_WORDS)]
-        for i in range(n_words)
-    ]
-    return " ".join(words) + f" class{cls} marker{cls}"
+    """Deterministic 80-word template for class ``cls``. Every word is
+    class-prefixed (``w{cls}x{i}`` — pure alnum, one token under the
+    engine's tokenizer), so every 3-gram shingle is class-unique and
+    cross-class Jaccard is EXACTLY 0: the only near-dup pairs in the
+    corpus are the ones the slice plants deliberately (within-class
+    copies at J=1, the variant tier at J~0.95). The first build of
+    this slice used a shared vocabulary and leaked ~470 cross-class
+    near-dup CLASS pairs, each expanding 500x500 member pairs — 146M
+    output rows instead of the planted ~28M."""
+    return " ".join(f"w{cls}x{i}" for i in range(n_words))
 
 
 def build_boiler_docs():
