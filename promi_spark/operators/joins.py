@@ -192,6 +192,7 @@ def interval_overlap_join(
     bucket_seconds: int | str = "auto",
     extra: Column | None = None,
     suffix: str = "_r",
+    long_tail_buckets: int | None = 256,
 ) -> DataFrame:
     """Inner join of interval rows whose [start, end] ranges overlap
     (inclusive) — WITHOUT an equi key. Spark plans a bare range
@@ -217,7 +218,43 @@ def interval_overlap_join(
     ``extra`` adds a residual predicate (e.g. ``left.user != right
     .user``). Right columns are suffixed. ``overlap_us`` = inclusive
     overlap length in microseconds.
+
+    DURATION-SKEW GUARD (``long_tail_buckets``, default 256): an
+    interval emits ~dur/bucket rows, so one pathological interval —
+    e.g. a hot case whose "session" never closes — would explode into
+    span/bucket rows (432k at the r12 skew soak's hot user: one 30-day
+    session over ~6 s buckets) and then candidate-join against every
+    bucket it touches. Intervals longer than ``long_tail_buckets``
+    buckets are therefore joined in a SECOND, coarser pass whose
+    bucket width is ``long_tail_buckets`` x the base width: the pair
+    space is partitioned exactly by (left long?, right long?) —
+    short x short at the base width, (long x any) + (short x long) at
+    the coarse width — with the later-start-bucket rule applied per
+    pass, so every overlapping pair still emits exactly once and the
+    worst interval emits span/(256 x base) rows. The auto width's
+    p99/256 floor already bounds the p99 interval; this bounds the
+    MAXIMUM. Pass ``long_tail_buckets=None`` to disable (single-pass,
+    pre-r12 plan). Result sets are identical either way.
+
+    The inputs are PERSISTED (memory, disk-spill): the plan references
+    ``left``/``right`` several times (the auto-width quantile, both
+    join sides, and the long/short branch filters), and when the input
+    is itself an aggregation — the canonical caller joins a windowed
+    SESSION relation — every reference would otherwise re-run that
+    upstream pipeline (measured 4x wall on the r12 hot-key soak:
+    46 s -> 11 s once built exactly once). Interval relations are
+    post-aggregation (sessions, not raw events), so the footprint is
+    the reduced relation, spilling to executor disk at scale. The
+    handles ride on the result as ``.input_caches`` — release them
+    after the consuming action, or rely on session-level
+    ``clearCache()`` as the soak/bench harnesses do.
     """
+    from pyspark import StorageLevel
+
+    caches = []
+    for df in {id(left): left, id(right): right}.values():
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(df)
     rs0, re0 = right_start or start_col, right_end or end_col
     if bucket_seconds == "auto":
         bucket_seconds = _auto_bucket_seconds(
@@ -226,33 +263,54 @@ def interval_overlap_join(
     elif int(bucket_seconds) < 1:
         raise ValueError("bucket_seconds must be a positive integer")
     rs, re_ = right_start or start_col, right_end or end_col
-    W = F.lit(int(bucket_seconds) * 1_000_000)
+    w1_us = int(bucket_seconds) * 1_000_000
 
-    def buckets(s, e):
-        return F.sequence(
-            F.floor(F.unix_micros(F.col(s)) / W),
-            F.floor(F.unix_micros(F.col(e)) / W),
-        )
-
-    l = left.withColumn("__b", F.explode(buckets(start_col, end_col)))
-    r = right.select(
+    r_all = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
-    )
-    r = r.withColumn(
-        "__b", F.explode(buckets(f"{rs}{suffix}", f"{re_}{suffix}"))
     )
     ls, le = F.unix_micros(F.col(start_col)), F.unix_micros(F.col(end_col))
     rs_c = F.unix_micros(F.col(f"{rs}{suffix}"))
     re_c = F.unix_micros(F.col(f"{re_}{suffix}"))
     later_start = F.greatest(ls, rs_c)
-    cond = (
-        (ls <= re_c)
-        & (rs_c <= le)
-        & (F.col("__b") == F.floor(later_start / W))
-    )
-    out = l.join(r, "__b").filter(cond)
+
+    def pass_join(lhs: DataFrame, rhs: DataFrame, w_us: int) -> DataFrame:
+        W = F.lit(w_us)
+        lx = lhs.withColumn(
+            "__b",
+            F.explode(F.sequence(F.floor(ls / W), F.floor(le / W))),
+        )
+        rx = rhs.withColumn(
+            "__b",
+            F.explode(F.sequence(F.floor(rs_c / W), F.floor(re_c / W))),
+        )
+        cond = (
+            (ls <= re_c)
+            & (rs_c <= le)
+            & (F.col("__b") == F.floor(later_start / W))
+        )
+        return lx.join(rx, "__b").filter(cond)
+
+    if long_tail_buckets is None:
+        out = pass_join(left, r_all, w1_us)
+    else:
+        t_us = w1_us * int(long_tail_buckets)
+        l_long = (le - ls) >= F.lit(t_us)
+        r_long = (re_c - rs_c) >= F.lit(t_us)
+        # exact partition of the pair space: short x short at the base
+        # width; pairs with a long LEFT member, then short-left x
+        # long-right, at the coarse width — each pair in exactly one
+        # branch, each branch exactly-once by its own later-start rule
+        out = (
+            pass_join(left.filter(~l_long), r_all.filter(~r_long), w1_us)
+            .unionByName(pass_join(left.filter(l_long), r_all, t_us))
+            .unionByName(
+                pass_join(left.filter(~l_long), r_all.filter(r_long), t_us)
+            )
+        )
     if extra is not None:
         out = out.filter(extra)
-    return out.withColumn(
+    out = out.withColumn(
         "overlap_us", F.least(le, re_c) - later_start
     ).drop("__b")
+    out.input_caches = caches
+    return out

@@ -134,6 +134,60 @@ def test_interval_overlap_join_exactly_once_multibucket(spark):
     assert pairs == [(1, 10, 4 * 3600 * 1_000_000), (1, 11, 0)]
 
 
+def test_interval_overlap_join_long_tail_split_exact(spark):
+    """Duration-skew guard: with a pathological interval spanning the
+    whole range (the r12 skew soak's hot-user session), the two-level
+    split must emit exactly the naive pair set — long x long,
+    long x short, and short x short pairs each exactly once — and be
+    identical to the single-pass plan (long_tail_buckets=None)."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.joins import interval_overlap_join
+
+    rows = [
+        # one giant interval covering everything (LONG at any base)
+        (0, "2024-01-01 00:00:00", "2024-03-01 00:00:00"),
+        # a second long one, partially overlapping the first
+        (1, "2024-02-01 00:00:00", "2024-04-01 00:00:00"),
+        # short intervals inside / outside the giants
+        (2, "2024-01-05 10:00:00", "2024-01-05 10:30:00"),
+        (3, "2024-02-10 00:00:00", "2024-02-10 00:10:00"),
+        (4, "2024-05-01 00:00:00", "2024-05-01 01:00:00"),  # disjoint
+        (5, "2024-01-05 10:15:00", "2024-01-05 11:00:00"),  # overlaps 2
+    ]
+    iv = spark.createDataFrame(
+        rows, "iid long, start_ts string, end_ts string"
+    ).selectExpr(
+        "iid",
+        "CAST(start_ts AS TIMESTAMP) start_ts",
+        "CAST(end_ts AS TIMESTAMP) end_ts",
+    )
+
+    def pairs(**kw):
+        out = interval_overlap_join(
+            iv, iv, bucket_seconds=600,
+            extra=F.col("iid") < F.col("iid_r"), **kw
+        )
+        return sorted(
+            (r["iid"], r["iid_r"], r["overlap_us"]) for r in out.collect()
+        )
+
+    split = pairs()  # default long_tail_buckets=256 (T = 600s*256)
+    single = pairs(long_tail_buckets=None)
+    naive = sorted(
+        (a, b, 0)
+        for i, (a, s1, e1) in enumerate(
+            (r["iid"], r["start_ts"], r["end_ts"]) for r in iv.collect()
+        )
+        for (b, s2, e2) in (
+            (r["iid"], r["start_ts"], r["end_ts"]) for r in iv.collect()
+        )
+        if a < b and s1 <= e2 and s2 <= e1
+    )
+    assert [(a, b) for a, b, _ in split] == [(a, b) for a, b, _ in naive]
+    assert split == single  # identical rows incl. overlap_us
+
+
 def test_interval_overlap_join_matches_naive_cross(spark, sf_dir):
     """Bucketized result == naive cross-join range filter on real
     session intervals, across a bucket width smaller than many
