@@ -1,0 +1,74 @@
+"""Pure-Python checks of the soak tooling (no Spark session): the
+drift section that replaced hand-diffing scale artifacts (r11 VERDICT
+demand #3) must flag exactly the >2x movers, both directions, and
+survive missing/zero/unreadable priors."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# soak.py parses argv at import; neutralize first (same dance the
+# tool itself does for check_oracle).
+_argv = sys.argv
+sys.argv = [sys.argv[0]]
+from tools.soak import DRIFT_FLAG_RATIO, drift_section  # noqa: E402
+
+sys.argv = _argv
+
+
+def _prior(tmp_path, queries):
+    p = tmp_path / "prior.json"
+    p.write_text(json.dumps({"queries": queries}))
+    return str(p)
+
+
+def test_drift_flags_both_directions(tmp_path):
+    prior = _prior(
+        tmp_path,
+        {
+            "slow": {"sf1_sec": 1.0},
+            "fast": {"sf1_sec": 10.0},
+            "steady": {"sf1_sec": 2.0},
+            "boundary": {"sf1_sec": 1.0},
+        },
+    )
+    now = {
+        "slow": {"sf1_sec": 2.5},      # 2.5x  -> flagged
+        "fast": {"sf1_sec": 4.0},      # 0.4x  -> flagged (improvement)
+        "steady": {"sf1_sec": 2.2},    # 1.1x  -> not flagged
+        "boundary": {"sf1_sec": 2.0},  # exactly 2x -> not flagged (>)
+        "new_query": {"sf1_sec": 9.9}, # no prior -> skipped
+    }
+    d = drift_section(now, prior)
+    assert d["threshold"] == DRIFT_FLAG_RATIO == 2.0
+    assert d["queries_compared"] == 4
+    assert set(d["flagged"]) == {"slow", "fast"}
+    assert d["flagged"]["slow"]["ratio"] == 2.5
+    assert d["flagged"]["fast"]["ratio"] == 0.4
+    # sorted worst-regression first
+    assert list(d["flagged"]) == ["slow", "fast"]
+
+
+def test_drift_skips_zero_and_missing_times(tmp_path):
+    prior = _prior(
+        tmp_path,
+        {"z": {"sf1_sec": 0}, "m": {}, "ok": {"sf1_sec": 1.0}},
+    )
+    now = {
+        "z": {"sf1_sec": 5.0},
+        "m": {"sf1_sec": 5.0},
+        "ok": {},  # current run errored before timing
+    }
+    d = drift_section(now, prior)
+    assert d["queries_compared"] == 0
+    assert d["flagged"] == {}
+
+
+def test_drift_unreadable_prior(tmp_path):
+    d = drift_section({}, str(tmp_path / "nope.json"))
+    assert "error" in d
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert "error" in drift_section({}, str(bad))
