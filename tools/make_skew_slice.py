@@ -53,7 +53,12 @@ TABLES = (
 N_CLASSES = 200          # tier A: identical-copy boilerplate classes
 COPIES_PER_CLASS = 500   # 200 x 500 = 100k docs sharing bands
 N_VARIANTS = 2000        # tier B: distinct near-variants of template 0
-BOILER_ID_BASE = 10_000_000  # boilerplate doc_ids start here
+# Boilerplate doc_ids start far beyond any scale slice's key-shifted id
+# space (sf1 documents reach 90,004,999; sf10 ~900M): colliding ids
+# made two different TEXTS share one key, and every engine resolves
+# that ambiguity differently (the first r12 boiler run's three-way
+# pair mismatches were all traced to this, not to the operators).
+BOILER_ID_BASE = 10_000_000_000
 
 def template_text(cls: int, n_words: int = 80) -> str:
     """Deterministic 80-word template for class ``cls``. Every word is
