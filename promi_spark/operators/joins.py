@@ -244,24 +244,40 @@ def interval_overlap_join(
     upstream pipeline (measured 4x wall on the r12 hot-key soak:
     46 s -> 11 s once built exactly once). Interval relations are
     post-aggregation (sessions, not raw events), so the footprint is
-    the reduced relation, spilling to executor disk at scale. The
-    handles ride on the result as ``.input_caches`` — release them
-    after the consuming action, or rely on session-level
-    ``clearCache()`` as the soak/bench harnesses do.
+    the reduced relation, spilling to executor disk at scale.
+    Persisting happens AFTER parameter validation, and the auto-width
+    quantile releases the caches if it fails, so no error path leaks a
+    cache-manager entry (r12 ADVICE). Release after the consuming
+    action via the ``unpersist_inputs()`` callable riding on the
+    result (raw handles also exposed as ``.input_caches``), or rely on
+    session-level ``clearCache()`` as the soak/bench harnesses do —
+    repeated calls in a long-lived session must not accumulate entries.
     """
     from pyspark import StorageLevel
 
+    if bucket_seconds != "auto" and int(bucket_seconds) < 1:
+        raise ValueError("bucket_seconds must be a positive integer")
     caches = []
     for df in {id(left): left, id(right): right}.values():
         df.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(df)
+
+    def unpersist_inputs() -> None:
+        for df in caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     rs0, re0 = right_start or start_col, right_end or end_col
     if bucket_seconds == "auto":
-        bucket_seconds = _auto_bucket_seconds(
-            left, right, start_col, end_col, rs0, re0
-        )
-    elif int(bucket_seconds) < 1:
-        raise ValueError("bucket_seconds must be a positive integer")
+        try:
+            bucket_seconds = _auto_bucket_seconds(
+                left, right, start_col, end_col, rs0, re0
+            )
+        except Exception:
+            unpersist_inputs()
+            raise
     rs, re_ = right_start or start_col, right_end or end_col
     w1_us = int(bucket_seconds) * 1_000_000
 
@@ -313,4 +329,5 @@ def interval_overlap_join(
         "overlap_us", F.least(le, re_c) - later_start
     ).drop("__b")
     out.input_caches = caches
+    out.unpersist_inputs = unpersist_inputs
     return out

@@ -1890,9 +1890,17 @@ def q_session_overlaps(spark, sf_dir):
         end_col="session_end",
         extra=F.col("user_id") < F.col("user_id_r"),
     )
-    return out.select(
+    res = out.select(
         "user_id", "session_id", "user_id_r", "session_id_r", "overlap_us"
     )
+    # .select() returns a fresh DataFrame, dropping the join's cache
+    # handles — re-attach them so a library caller CAN release the
+    # persisted session relation after the consuming action (the
+    # documented mechanism was unreachable through this query, r12
+    # ADVICE; the soak/bench harnesses clearCache() between queries).
+    res.input_caches = out.input_caches
+    res.unpersist_inputs = out.unpersist_inputs
+    return res
 
 
 @q(
@@ -3521,137 +3529,139 @@ def q_token_heavy_hitters(spark, sf_dir):
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
 _ORDER = [
-    # ---- 50-slot driver window (round-12 rotation): oldest driver
-    # witness first — all 21 remaining r9-witnessed entries, then the
-    # 29 oldest r10-witnessed entries (incl. every name the r11
-    # VERDICT called out: dsir_bucket_weights, token_heavy_hitters,
-    # pq_topk, pq_rerank_topk, temperature_*, decontaminate, tpch_q1
-    # and q18); every slot carries a DuckDB oracle. Everything rotated
-    # out was driver-green in r11 and keeps its cross-scale
-    # tools/check_oracle.py witnesses ----
-    "per_trace_counts",  # last driver row r9
-    "props_json_stats",  # last driver row r9
-    "repetition_stats",  # last driver row r9
-    "sample_events",  # last driver row r9
-    "simhash_signatures",  # last driver row r9
-    "split_train",  # last driver row r9
-    "token_counts_docs",  # last driver row r9
-    "top_traces_by_events",  # last driver row r9
-    "tpch_q1",  # last driver row r9
-    "trace_starts_ends_in",  # last driver row r9
-    "trace_variants",  # last driver row r9
-    "activity_dow_cube",  # last driver row r9
-    "asof_attribution",  # last driver row r9
-    "chronology_violations_injected",  # last driver row r9
-    "classifier_counts",  # last driver row r9
-    "cnf_filter",  # last driver row r9
-    "decontaminate",  # last driver row r9
-    "dedup_exact_docs",  # last driver row r9
-    "dfg_endpoints",  # last driver row r9
-    "doc_length_quantiles",  # last driver row r9
-    "filter_concept_eq_strict",  # last driver row r9
-    "temperature_rates",  # last driver row r10
-    "temperature_mixture",  # last driver row r10
-    "dsir_bucket_weights",  # last driver row r10
-    "token_heavy_hitters",  # last driver row r10
-    "pq_topk",  # last driver row r10
-    "ivfpq_topk",  # last driver row r10
-    "pq_rerank_topk",  # last driver row r10
-    "filter_trace_scope",  # last driver row r10
-    "heuristic_dependency",  # last driver row r10
-    "lang_id_docs",  # last driver row r10
-    "line_dedup_docs",  # last driver row r10
-    "mixture_sample",  # last driver row r10
-    "pack_index",  # last driver row r10
-    "pii_scrub",  # last driver row r10
-    "revenue_by_nation",  # last driver row r10
-    "ann_multiprobe_topk",  # last driver row r10
-    "corpus_shuffle",  # last driver row r10
-    "stats_counts",  # last driver row r10
-    "text_quality",  # last driver row r10
-    "tpch_q18",  # last driver row r10
-    "trace_intervals",  # last driver row r10
-    "user_sessions",  # last driver row r10
-    "validation_globals",  # last driver row r10
-    "ann_lsh_topk",  # last driver row r10
-    "arrow_roundtrip",  # last driver row r10
-    "bpe_token_counts",  # last driver row r10
-    "chronology_violations",  # last driver row r10
-    "chunk_docs",  # last driver row r10
-    "cohort_retention",  # last driver row r10
-    # ---- out of the driver window: the remaining r10-witnessed
-    # entries (rotate in next round), then the r11 driver-window
-    # block (freshest witnesses); all re-checked locally by the
+    # ---- 50-slot driver window (round-13 rotation): oldest driver
+    # witness first — all 19 remaining r10-witnessed entries, then 31
+    # of the 50 r11-witnessed entries, leading with every name the r12
+    # VERDICT called out (filter_concept_eq, filter_org_*,
+    # intersect/except_set_op, footprint, xes_roundtrip,
+    # ivf(pq)_indexed_topk, dedup_keep_best) plus the two r12-changed
+    # plans (session_overlaps, dsir_select); every slot carries a
+    # DuckDB oracle. Everything rotated out was driver-green in r12
+    # and keeps its cross-scale tools/check_oracle.py + soak
+    # witnesses ----
+    "corpus_cardinality",  # last driver row r10
+    "cross_doc_substrings",  # last driver row r10
+    "dedup_components",  # last driver row r10
+    "dedup_components_stars",  # last driver row r10
+    "dfg",  # last driver row r10
+    "eventually_follows",  # last driver row r10
+    "filter_concept_match",  # last driver row r10
+    "funnel_counts",  # last driver row r10
+    "handover_network",  # last driver row r10
+    "heuristic_net",  # last driver row r10
+    "incremental_dedup",  # last driver row r10
+    "ivf_topk",  # last driver row r10
+    "knn_classify",  # last driver row r10
+    "knn_join_topk",  # last driver row r10
+    "leakage_safe_split",  # last driver row r10
+    "lineitem_unpivot_stats",  # last driver row r10
+    "lm_quality",  # last driver row r10
+    "lsh_near_dups",  # last driver row r10
+    "minhash_near_dups",  # last driver row r10
+    "ivfpq_indexed_topk",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "ivf_indexed_topk",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "dedup_keep_best",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "dsir_select",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "session_overlaps",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "xes_roundtrip",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "intersect_set_op",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "except_set_op",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "filter_concept_eq",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "filter_org_eq",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "filter_org_match",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "footprint",  # last driver row r11 (r12-verdict-named / r12-changed plan)
+    "cluster_prune",  # last driver row r11
+    "mllib_minhash_near_dups",  # last driver row r11
+    "path_prefixes",  # last driver row r11
+    "per_source_cap",  # last driver row r11
+    "phrase_search_docs",  # last driver row r11
+    "rfm_segments",  # last driver row r11
+    "rolling_user_activity",  # last driver row r11
+    "semantic_dedup",  # last driver row r11
+    "shard_assignment",  # last driver row r11
+    "simhash_near_dups",  # last driver row r11
+    "source_mix",  # last driver row r11
+    "state_islands",  # last driver row r11
+    "tfidf_terms",  # last driver row r11
+    "top_bigrams",  # last driver row r11
+    "tpch_q14",  # last driver row r11
+    "tpch_q3",  # last driver row r11
+    "trace_clusters",  # last driver row r11
+    "user_event_pivot",  # last driver row r11
+    "value_histogram",  # last driver row r11
+    # ---- out of the driver window: the remaining r11-witnessed
+    # entries (rotate in next round), then the r12 driver-window block
+    # (freshest witnesses); all re-checked locally by the
     # tools/check_oracle.py cross-scale sweeps ----
-    "corpus_cardinality",  # r10
-    "cross_doc_substrings",  # r10
-    "dedup_components",  # r10
-    "dedup_components_stars",  # r10
-    "dfg",  # r10
-    "eventually_follows",  # r10
-    "filter_concept_match",  # r10
-    "funnel_counts",  # r10
-    "handover_network",  # r10
-    "heuristic_net",  # r10
-    "incremental_dedup",  # r10
-    "ivf_topk",  # r10
-    "knn_classify",  # r10
-    "knn_join_topk",  # r10
-    "leakage_safe_split",  # r10
-    "lineitem_unpivot_stats",  # r10
-    "lm_quality",  # r10
-    "lsh_near_dups",  # r10
-    "minhash_near_dups",  # r10
-    "ivfpq_indexed_topk",  # r11
-    "ivf_indexed_topk",  # r11
-    "dedup_keep_best",  # r11
-    "dsir_select",  # r11
-    "cluster_prune",  # r11
-    "mllib_minhash_near_dups",  # r11
-    "path_prefixes",  # r11
-    "per_source_cap",  # r11
-    "phrase_search_docs",  # r11
-    "rfm_segments",  # r11
-    "rolling_user_activity",  # r11
-    "session_overlaps",  # r11
-    "semantic_dedup",  # r11
-    "shard_assignment",  # r11
-    "simhash_near_dups",  # r11
-    "source_mix",  # r11
-    "state_islands",  # r11
-    "tfidf_terms",  # r11
-    "top_bigrams",  # r11
-    "tpch_q14",  # r11
-    "tpch_q3",  # r11
-    "trace_clusters",  # r11
-    "user_event_pivot",  # r11
-    "value_histogram",  # r11
-    "value_hour_corr",  # r11
-    "value_outliers",  # r11
-    "weighted_sample_docs",  # r11
-    "winnow_fingerprints",  # r11
-    "xes_roundtrip",  # r11
-    "zorder_events",  # r11
-    "knn_cosine",  # r11
-    "order_priority_counts",  # r11
-    "part_brand_volume",  # r11
-    "tpch_q6",  # r11
-    "filter_concept_in",  # r11
-    "filter_time_before_after",  # r11
-    "filter_time_eq_tol",  # r11
-    "intersect_set_op",  # r11
-    "trace_time_contained",  # r11
-    "activity_stats",  # r11
-    "cosine_near_dups_exact",  # r11
-    "doc_fingerprint",  # r11
-    "embedding_norms",  # r11
-    "event_gaps",  # r11
-    "except_set_op",  # r11
-    "filter_concept_eq",  # r11
-    "filter_org_eq",  # r11
-    "filter_org_match",  # r11
-    "filter_time_contained",  # r11
-    "footprint",  # r11
+    "value_hour_corr",  # r11 — rotate into the r14 window
+    "value_outliers",  # r11 — rotate into the r14 window
+    "weighted_sample_docs",  # r11 — rotate into the r14 window
+    "winnow_fingerprints",  # r11 — rotate into the r14 window
+    "zorder_events",  # r11 — rotate into the r14 window
+    "knn_cosine",  # r11 — rotate into the r14 window
+    "order_priority_counts",  # r11 — rotate into the r14 window
+    "part_brand_volume",  # r11 — rotate into the r14 window
+    "tpch_q6",  # r11 — rotate into the r14 window
+    "filter_concept_in",  # r11 — rotate into the r14 window
+    "filter_time_before_after",  # r11 — rotate into the r14 window
+    "filter_time_eq_tol",  # r11 — rotate into the r14 window
+    "trace_time_contained",  # r11 — rotate into the r14 window
+    "activity_stats",  # r11 — rotate into the r14 window
+    "cosine_near_dups_exact",  # r11 — rotate into the r14 window
+    "doc_fingerprint",  # r11 — rotate into the r14 window
+    "embedding_norms",  # r11 — rotate into the r14 window
+    "event_gaps",  # r11 — rotate into the r14 window
+    "filter_time_contained",  # r11 — rotate into the r14 window
+    "per_trace_counts",  # r12
+    "props_json_stats",  # r12
+    "repetition_stats",  # r12
+    "sample_events",  # r12
+    "simhash_signatures",  # r12
+    "split_train",  # r12
+    "token_counts_docs",  # r12
+    "top_traces_by_events",  # r12
+    "tpch_q1",  # r12
+    "trace_starts_ends_in",  # r12
+    "trace_variants",  # r12
+    "activity_dow_cube",  # r12
+    "asof_attribution",  # r12
+    "chronology_violations_injected",  # r12
+    "classifier_counts",  # r12
+    "cnf_filter",  # r12
+    "decontaminate",  # r12
+    "dedup_exact_docs",  # r12
+    "dfg_endpoints",  # r12
+    "doc_length_quantiles",  # r12
+    "filter_concept_eq_strict",  # r12
+    "temperature_rates",  # r12
+    "temperature_mixture",  # r12
+    "dsir_bucket_weights",  # r12
+    "token_heavy_hitters",  # r12
+    "pq_topk",  # r12
+    "ivfpq_topk",  # r12
+    "pq_rerank_topk",  # r12
+    "filter_trace_scope",  # r12
+    "heuristic_dependency",  # r12
+    "lang_id_docs",  # r12
+    "line_dedup_docs",  # r12
+    "mixture_sample",  # r12
+    "pack_index",  # r12
+    "pii_scrub",  # r12
+    "revenue_by_nation",  # r12
+    "ann_multiprobe_topk",  # r12
+    "corpus_shuffle",  # r12
+    "stats_counts",  # r12
+    "text_quality",  # r12
+    "tpch_q18",  # r12
+    "trace_intervals",  # r12
+    "user_sessions",  # r12
+    "validation_globals",  # r12
+    "ann_lsh_topk",  # r12
+    "arrow_roundtrip",  # r12
+    "bpe_token_counts",  # r12
+    "chronology_violations",  # r12
+    "chunk_docs",  # r12
+    "cohort_retention",  # r12
     # ---- genuinely non-SQL-expressible (rows-only driver check;
     # suite-covered) ----
     "bloom_decontaminate",

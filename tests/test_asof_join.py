@@ -3,6 +3,7 @@
 import datetime as dt
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from promi_spark.operators.joins import asof_join
@@ -297,3 +298,50 @@ def test_interval_overlap_auto_bucket_floors_and_tail_guard(spark):
         interval_overlap_join(empty, empty, start_col="s", end_col="e").count()
         == 0
     )
+
+
+def test_interval_overlap_join_cache_release(spark):
+    """Repeated calls in one session must not accumulate cache-manager
+    entries (r12 ADVICE: the persist handles were unreachable through
+    q_session_overlaps' select, and the bucket_seconds<1 error path
+    persisted before validating). unpersist_inputs() releases exactly
+    the inputs; the validation error path persists nothing."""
+    from promi_spark.operators.joins import interval_overlap_join
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (2, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "id long, start_ts string, end_ts string",
+    ).selectExpr("id", "CAST(start_ts AS TIMESTAMP) start_ts",
+                 "CAST(end_ts AS TIMESTAMP) end_ts")
+
+    # invalid width: the ValueError must fire BEFORE anything persists
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_join(iv, iv, bucket_seconds=0)
+    assert jsc.getPersistentRDDs().size() == base
+
+    for _ in range(3):
+        out = interval_overlap_join(iv, iv)
+        assert out.count() == 4  # self-join: both self-pairs + both directions
+        out.unpersist_inputs()
+    assert jsc.getPersistentRDDs().size() == base
+
+
+def test_session_overlaps_propagates_cache_handles(spark, sf_dir):
+    """The registry query re-attaches the join's release mechanism to
+    the DataFrame it actually returns."""
+    from promi_spark.queries import QUERIES
+
+    fn, _ = QUERIES["session_overlaps"]
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    out = fn(spark, sf_dir)
+    assert out.count() >= 0
+    assert callable(out.unpersist_inputs) and out.input_caches
+    out.unpersist_inputs()
+    assert jsc.getPersistentRDDs().size() == base

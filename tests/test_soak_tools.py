@@ -51,19 +51,31 @@ def test_drift_flags_both_directions(tmp_path):
     assert list(d["flagged"]) == ["slow", "fast"]
 
 
-def test_drift_skips_zero_and_missing_times(tmp_path):
+def test_drift_flags_zero_prior_skips_missing(tmp_path):
+    """A recorded 0.0s prior is clamped to the noise floor, NOT
+    exempted — a formerly-instant query regressing to seconds must
+    flag (r12 ADVICE: the old truthiness check silently skipped it).
+    Missing times still skip (a query can't drift from nothing), and
+    two sub-floor times compare as 1.0x."""
     prior = _prior(
         tmp_path,
-        {"z": {"sf1_sec": 0}, "m": {}, "ok": {"sf1_sec": 1.0}},
+        {
+            "z": {"sf1_sec": 0},
+            "m": {},
+            "ok": {"sf1_sec": 1.0},
+            "tiny": {"sf1_sec": 0.0},
+        },
     )
     now = {
         "z": {"sf1_sec": 5.0},
         "m": {"sf1_sec": 5.0},
         "ok": {},  # current run errored before timing
+        "tiny": {"sf1_sec": 0.01},  # both under the floor: no drift
     }
     d = drift_section(now, prior)
-    assert d["queries_compared"] == 0
-    assert d["flagged"] == {}
+    assert d["queries_compared"] == 2
+    assert set(d["flagged"]) == {"z"}
+    assert d["flagged"]["z"]["ratio"] == 100.0
 
 
 def test_drift_unreadable_prior(tmp_path):

@@ -25,7 +25,7 @@ appends the ``boiler_special`` section (capped-minhash bound + recall,
 signature-class stats).
 
 Usage:
-    python tools/skew_soak.py [--out CROSSSCALE_skew_r12.json]
+    python tools/skew_soak.py [--out CROSSSCALE_skew_r13.json]
                               [--uniform CROSSSCALE_sf1_r12.json]
                               [--budget 300] [--skip-build]
                               [--regime hot|boiler|special ...]
@@ -86,6 +86,12 @@ BOILER_QUERIES = [
 
 def run_soak(sf_dir: str, out: str, queries: list[str], budget: float,
              slice_fallback: float | None) -> dict:
+    # a stale partial from an interrupted prior run must never be
+    # mistaken for this run's results (r12 ADVICE): remove it up
+    # front, and fail loudly if the subprocess dies before writing.
+    out_abs = os.path.join(REPO, out)
+    if os.path.exists(out_abs):
+        os.remove(out_abs)
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "soak.py"),
         "--sf1", sf_dir, "--out", out, "--oracle-budget", str(budget),
@@ -99,8 +105,15 @@ def run_soak(sf_dir: str, out: str, queries: list[str], budget: float,
     proc = subprocess.run(cmd, cwd=REPO, env=env)
     print(f"soak({sf_dir}) rc={proc.returncode} "
           f"wall={time.time() - t0:.0f}s", flush=True)
-    with open(os.path.join(REPO, out)) as f:
-        return json.load(f)
+    if not os.path.exists(out_abs):
+        raise RuntimeError(
+            f"soak subprocess (rc={proc.returncode}) wrote no artifact "
+            f"at {out}: regime results unavailable"
+        )
+    with open(out_abs) as f:
+        regime = json.load(f)
+    regime["soak_rc"] = proc.returncode
+    return regime
 
 
 def hot_vs_uniform(hot: dict, uniform_path: str) -> None:
@@ -214,8 +227,8 @@ def main() -> int:
             return v
         return default
 
-    out_path = opt("--out", "CROSSSCALE_skew_r12.json")
-    uniform = opt("--uniform", "CROSSSCALE_sf1_r12.json")
+    out_path = opt("--out", "CROSSSCALE_skew_r13.json")
+    uniform = opt("--uniform", "CROSSSCALE_sf1_r13.json")
     budget = float(opt("--budget", "300"))
     skip_build = "--skip-build" in args
     args = [a for a in args if a != "--skip-build"]

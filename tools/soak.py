@@ -70,6 +70,7 @@ sys.argv = [sys.argv[0]]
 from tools.check_oracle import norm_cell, table_hash  # noqa: E402
 
 sys.argv = _real_argv
+from tools.witness import duck_witness, spark_witness  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 
@@ -178,31 +179,44 @@ def duck_with_budget(con, sql: str, budget: float):
         timer.cancel()
 
 
-# Results at or above this row count are compared through Arrow
-# instead of Python tuples: fetchall()/collect() + per-cell Python
-# hashing on a ~20M-row result is tens of minutes of single-threaded
-# interpreter time (the r8 session_overlaps full-data run hit the
-# DuckDB interrupt INSIDE fetchall) — the values fit in memory fine,
-# the tuple materialization is the bottleneck. Both engines hand over
-# Arrow tables (duckdb fetch_arrow_table, pyspark toArrow), which are
-# canonicalized identically (column-name order, widened types,
-# round(float, 6) mirroring norm_cell, full-row sort) and hashed from
-# the raw numeric buffers — same witness semantics, vectorized.
-ARROW_COMPARE_ROWS = 2_000_000
+# Results at or above this row count never leave their engine: both
+# sides aggregate an order-insensitive per-row hash (count + two
+# 60-bit md5-half sums over a canonical row string — tools/witness.py)
+# and the soak compares three scalars. This replaces the r8-r12 Arrow
+# collect path, whose driver-side materialization was the witness's
+# own scale ceiling (r12: winnow_fingerprints' 30.7M-row collect blew
+# spark.driver.maxResultSize on the boiler slice while the engine
+# query itself ran fine). The Arrow-collect compare remains only as
+# the fallback for result types the witness lanes don't canonicalize
+# (nested/binary), where results are model-sized anyway.
+DIST_COMPARE_ROWS = 2_000_000
 
 # --compare flags any per-query wall-time move beyond this factor in
 # either direction. 2x is the adjudication band the r5/r11 idle-box
 # re-runs established for shared-box variance at the single-query
 # level; beyond it a drift deserves a re-measure or a bisect.
 DRIFT_FLAG_RATIO = 2.0
+# sub-floor wall times are measurement noise (timer resolution +
+# artifact rounding to 0.01 s); clamp both sides of the drift ratio so
+# a 0.0s prior neither divides by zero nor exempts the query.
+DRIFT_TIME_FLOOR = 0.05
+
+# untimed warm-up depth before the timed loop (see the warm-up note in
+# main): deep enough to cover the JIT ramp the r13 adjudication
+# measured across the first ~11 slots, cheap enough (~15 s of sub-5s
+# queries) not to matter against a 2000+ s sweep.
+WARMUP_SLOTS = 10
 
 
 def drift_section(results: dict, prior_path: str) -> dict:
     """Per-query wall-time drift vs a prior soak artifact: every query
     present in both runs whose sf1_sec ratio falls outside
     [1/DRIFT_FLAG_RATIO, DRIFT_FLAG_RATIO] is flagged with both
-    numbers. Zero/missing prior times are skipped (a query can't drift
-    from nothing)."""
+    numbers. Only MISSING times are skipped (a query can't drift from
+    nothing); a recorded 0.0 is clamped to DRIFT_TIME_FLOOR so a
+    formerly-instant query that regresses to seconds still flags (the
+    old truthiness check silently exempted sub-5ms queries — r12
+    ADVICE)."""
     try:
         with open(prior_path) as f:
             prior = json.load(f).get("queries", {})
@@ -213,10 +227,10 @@ def drift_section(results: dict, prior_path: str) -> dict:
     for name, rec in results.items():
         now = rec.get("sf1_sec")
         was = prior.get(name, {}).get("sf1_sec")
-        if not now or not was:
+        if now is None or was is None:
             continue
         compared += 1
-        ratio = now / was
+        ratio = max(now, DRIFT_TIME_FLOOR) / max(was, DRIFT_TIME_FLOOR)
         if ratio > DRIFT_FLAG_RATIO or ratio < 1 / DRIFT_FLAG_RATIO:
             flagged[name] = {
                 "prior_sec": was,
@@ -455,12 +469,15 @@ def main() -> int:
     results: dict[str, dict] = {}
     failures: list[str] = []
     t_start = time.time()
-    # Untimed warm-up: run the first selected query once before the
-    # timed loop. Without it the first SLOT absorbs JVM/codegen/scan
-    # -index startup (~5-8 s) and records a phantom 10x+ "drift"
-    # whenever the registry rotation changes which query runs first
-    # (r12 finding: per_trace_counts 0.5 -> 7.9 s purely by moving to
-    # slot 1).
+    # Untimed warm-up: run the first WARMUP_SLOTS selected queries once
+    # before the timed loop. Slot 1 absorbs JVM/codegen/scan-index
+    # startup (~5-8 s; the r12 per_trace_counts 0.5 -> 7.9 s finding),
+    # and the r13 adjudication showed slots ~2-11 still pay 1.5-3x of
+    # residual JIT warm-up (8 fresh-session idle re-measures stayed
+    # elevated; the same queries AFTER 20 warm queries in one session
+    # were back at their r11 times) — so a single-query warm-up leaves
+    # every rotation stamping phantom drift on its new early slots.
+    warmed = 0
     for name, (fn, sql) in QUERIES.items():
         if (only and name not in only) or (not only and sql is None):
             continue
@@ -469,7 +486,9 @@ def main() -> int:
             spark.catalog.clearCache()
         except Exception:
             pass  # the timed loop will record the real error
-        break
+        warmed += 1
+        if warmed >= WARMUP_SLOTS:
+            break
     for name, (fn, sql) in QUERIES.items():
         if only and name not in only:
             continue
@@ -510,45 +529,73 @@ def main() -> int:
             rec["sf01_sec"] = None
         if sql is None or no_oracle:
             rec["oracle"] = "rows-only" if sql is None else "skipped(--no-oracle)"
-        elif rec["rows"] >= ARROW_COMPARE_ROWS:
-            # huge result: Arrow compare (see ARROW_COMPARE_ROWS note)
+        elif rec["rows"] >= DIST_COMPARE_ROWS:
+            # huge result: distributed witness — three scalars cross
+            # the engine boundary, never a row (DIST_COMPARE_ROWS note)
             try:
                 t0 = time.time()
-                duck = duck_arrow_with_budget(con, sql, budget)
-                if duck is None:
-                    rec["oracle"] = f"timeout({int(budget)}s)"
-                else:
-                    dcols, dtbl = duck
-                    stbl = sdf.toArrow()
-                    probs = []
-                    if stbl.num_rows != dtbl.num_rows:
-                        probs.append(
-                            f"rows {stbl.num_rows} vs {dtbl.num_rows}"
+                try:
+                    dw = duck_witness(con, sql, budget)
+                    compare = "distributed"
+                    sw = spark_witness(sdf) if dw is not None else None
+                except ValueError:
+                    # a result type the witness lanes don't canonicalize
+                    # (nested/binary): Arrow-collect fallback, with the
+                    # tuple path behind it for types arrow_hash can't
+                    # take either (r8 advice)
+                    dw = sw = None
+                    compare = None
+                if compare == "distributed":
+                    if dw is None:
+                        rec["oracle"] = f"timeout({int(budget)}s)"
+                    else:
+                        probs = []
+                        if sorted(scols) != sorted(con.sql(sql).columns):
+                            probs.append("cols differ")
+                        elif sw[0] != dw[0]:
+                            probs.append(f"rows {sw[0]} vs {dw[0]}")
+                        elif sw != dw:
+                            probs.append("value-hash mismatch")
+                        rec["compare"] = "distributed"
+                        rec["oracle"] = "match" if not probs else (
+                            "MISMATCH: " + "; ".join(probs)
                         )
-                    if sorted(sdf.columns) != sorted(dcols):
-                        probs.append("cols differ")
-                    elif not probs:
-                        try:
-                            if arrow_hash(stbl) != arrow_hash(dtbl):
-                                probs.append("value-hash mismatch")
-                            rec["compare"] = "arrow"
-                        except ValueError:
-                            # a type arrow_hash cannot canonicalize
-                            # (nested/binary/...): fall through to the
-                            # tuple path rather than fail the witness —
-                            # slow at this size but correct (r8 advice)
-                            if table_hash(
-                                sdf.columns, _arrow_rows(stbl, sdf.columns)
-                            ) != table_hash(dcols, _arrow_rows(dtbl, dcols)):
-                                probs.append("value-hash mismatch")
-                            rec["compare"] = "arrow+tuple-fallback"
-                    rec["oracle"] = "match" if not probs else (
-                        "MISMATCH: " + "; ".join(probs)
-                    )
-                    rec["hash_match"] = not probs
-                    rec["oracle_sec"] = round(time.time() - t0, 2)
-                    if probs:
-                        failures.append(name)
+                        rec["hash_match"] = not probs
+                        rec["oracle_sec"] = round(time.time() - t0, 2)
+                        if probs:
+                            failures.append(name)
+                else:
+                    duck = duck_arrow_with_budget(con, sql, budget)
+                    if duck is None:
+                        rec["oracle"] = f"timeout({int(budget)}s)"
+                    else:
+                        dcols, dtbl = duck
+                        stbl = sdf.toArrow()
+                        probs = []
+                        if stbl.num_rows != dtbl.num_rows:
+                            probs.append(
+                                f"rows {stbl.num_rows} vs {dtbl.num_rows}"
+                            )
+                        if sorted(sdf.columns) != sorted(dcols):
+                            probs.append("cols differ")
+                        elif not probs:
+                            try:
+                                if arrow_hash(stbl) != arrow_hash(dtbl):
+                                    probs.append("value-hash mismatch")
+                                rec["compare"] = "arrow"
+                            except ValueError:
+                                if table_hash(
+                                    sdf.columns, _arrow_rows(stbl, sdf.columns)
+                                ) != table_hash(dcols, _arrow_rows(dtbl, dcols)):
+                                    probs.append("value-hash mismatch")
+                                rec["compare"] = "arrow+tuple-fallback"
+                        rec["oracle"] = "match" if not probs else (
+                            "MISMATCH: " + "; ".join(probs)
+                        )
+                        rec["hash_match"] = not probs
+                        rec["oracle_sec"] = round(time.time() - t0, 2)
+                        if probs:
+                            failures.append(name)
             except Exception as e:
                 rec["oracle"] = f"oracle error: {e}"
                 failures.append(name)
