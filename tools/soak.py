@@ -466,6 +466,40 @@ def main() -> int:
             fb_con = duck_views(fb_dir)
         return fb_dir, fb_con
 
+    def keyslice_fallback(rec: dict, fn, sql: str, name: str) -> None:
+        """After a full-data oracle timeout: re-run BOTH engines on the
+        deterministic fallback key-slice and hash-compare there, so the
+        query still leaves with a cross-engine value witness. Shared by
+        the tuple path and the distributed-witness path (the r12 boiler
+        minhash_near_dups timeout went unverified precisely because the
+        big-result branch had no fallback)."""
+        if slice_fallback <= 0:
+            return
+        sdir, scon = fallback_slice()
+        t0 = time.time()
+        sduck = duck_with_budget(scon, sql, budget)
+        if sduck is None:
+            rec["oracle"] += "+keyslice-timeout"
+            return
+        fcols, frows = sduck
+        fdf = fn(spark, sdir)
+        fsrows = [tuple(r) for r in fdf.collect()]
+        probs = []
+        if len(fsrows) != len(frows):
+            probs.append(f"rows {len(fsrows)} vs {len(frows)}")
+        if sorted(fdf.columns) != sorted(fcols):
+            probs.append("cols differ")
+        elif table_hash(fdf.columns, fsrows) != table_hash(fcols, frows):
+            probs.append("value-hash mismatch")
+        if probs:
+            rec["oracle"] = "KEYSLICE-MISMATCH: " + "; ".join(probs)
+            failures.append(name)
+        else:
+            rec["oracle"] = f"match(keyslice p{fb_p:g})"
+            rec["hash_match"] = True
+            rec["keyslice_rows"] = len(fsrows)
+        rec["oracle_sec"] = round(time.time() - t0, 2)
+
     results: dict[str, dict] = {}
     failures: list[str] = []
     t_start = time.time()
@@ -548,6 +582,7 @@ def main() -> int:
                 if compare == "distributed":
                     if dw is None:
                         rec["oracle"] = f"timeout({int(budget)}s)"
+                        keyslice_fallback(rec, fn, sql, name)
                     else:
                         probs = []
                         if sorted(scols) != sorted(con.sql(sql).columns):
@@ -605,39 +640,7 @@ def main() -> int:
                 duck = duck_with_budget(con, sql, budget)
                 if duck is None:
                     rec["oracle"] = f"timeout({int(budget)}s)"
-                    if slice_fallback > 0:
-                        sdir, scon = fallback_slice()
-                        t0 = time.time()
-                        sduck = duck_with_budget(scon, sql, budget)
-                        if sduck is None:
-                            rec["oracle"] += "+keyslice-timeout"
-                        else:
-                            fcols, frows = sduck
-                            fdf = fn(spark, sdir)
-                            fsrows = [tuple(r) for r in fdf.collect()]
-                            probs = []
-                            if len(fsrows) != len(frows):
-                                probs.append(
-                                    f"rows {len(fsrows)} vs {len(frows)}"
-                                )
-                            if sorted(fdf.columns) != sorted(fcols):
-                                probs.append("cols differ")
-                            elif table_hash(
-                                fdf.columns, fsrows
-                            ) != table_hash(fcols, frows):
-                                probs.append("value-hash mismatch")
-                            if probs:
-                                rec["oracle"] = (
-                                    "KEYSLICE-MISMATCH: " + "; ".join(probs)
-                                )
-                                failures.append(name)
-                            else:
-                                rec["oracle"] = (
-                                    f"match(keyslice p{fb_p:g})"
-                                )
-                                rec["hash_match"] = True
-                                rec["keyslice_rows"] = len(fsrows)
-                            rec["oracle_sec"] = round(time.time() - t0, 2)
+                    keyslice_fallback(rec, fn, sql, name)
                 else:
                     dcols, drows = duck
                     srows = [tuple(r) for r in sdf.collect()]
