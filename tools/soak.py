@@ -203,9 +203,15 @@ DRIFT_TIME_FLOOR = 0.05
 
 # untimed warm-up depth before the timed loop (see the warm-up note in
 # main): deep enough to cover the JIT ramp the r13 adjudication
-# measured across the first ~11 slots, cheap enough (~15 s of sub-5s
-# queries) not to matter against a 2000+ s sweep.
+# measured across the first ~11 slots. Capped BOTH by query count and
+# by wall time: warm-up exists to exercise the JVM, not to pre-run the
+# workload, and on a regime whose early slots are 100s+ near-dup
+# queries (the boiler skew soak) an uncapped 10-query warm-up would
+# silently double the most expensive part of the run (observed r13:
+# the warm-up reached mllib_minhash_near_dups — a ~25M-candidate MLlib
+# join — before the timed loop even started).
 WARMUP_SLOTS = 10
+WARMUP_MAX_SEC = 120.0
 
 
 def drift_section(results: dict, prior_path: str) -> dict:
@@ -512,6 +518,7 @@ def main() -> int:
     # were back at their r11 times) — so a single-query warm-up leaves
     # every rotation stamping phantom drift on its new early slots.
     warmed = 0
+    t_warm = time.time()
     for name, (fn, sql) in QUERIES.items():
         if (only and name not in only) or (not only and sql is None):
             continue
@@ -521,8 +528,13 @@ def main() -> int:
         except Exception:
             pass  # the timed loop will record the real error
         warmed += 1
-        if warmed >= WARMUP_SLOTS:
+        if warmed >= WARMUP_SLOTS or time.time() - t_warm > WARMUP_MAX_SEC:
             break
+    print(
+        f"warm-up: {warmed} queries untimed in "
+        f"{time.time() - t_warm:.0f}s",
+        flush=True,
+    )
     for name, (fn, sql) in QUERIES.items():
         if only and name not in only:
             continue
