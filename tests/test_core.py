@@ -351,15 +351,16 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    # (r12 rotation: oldest-witness-first — all 21 remaining
-    # r9-witnessed entries, then the 29 oldest r10-witnessed entries;
-    # zero overlap with the r11 window, so after this round every
-    # oracled query's last driver witness is <= 2 rounds old)
-    assert names[0] == "per_trace_counts"  # r9 block starts
-    assert names[20] == "filter_concept_eq_strict"  # r9 block ends
-    assert names[21] == "temperature_rates"  # r10 block starts
-    assert names[49] == "cohort_retention"
-    assert names[50] == "corpus_cardinality"  # first out-of-window
+    # (r13 rotation: oldest-witness-first — all 19 remaining
+    # r10-witnessed entries, then 31 of the 50 r11-witnessed entries
+    # leading with the r12-verdict-named queries and the two
+    # r12-changed plans; the 19 leftover r11 entries head the r14
+    # queue)
+    assert names[0] == "corpus_cardinality"  # r10 block starts
+    assert names[18] == "minhash_near_dups"  # r10 block ends
+    assert names[19] == "ivfpq_indexed_topk"  # r11 picks start
+    assert names[49] == "value_histogram"
+    assert names[50] == "value_hour_corr"  # first out-of-window (r14 queue)
 
 
 def test_ntile_null_placement_matches_duckdb(spark):
