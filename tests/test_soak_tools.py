@@ -84,3 +84,19 @@ def test_drift_unreadable_prior(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
     assert "error" in drift_section({}, str(bad))
+
+
+def test_skew_soak_query_lists_are_oracled_registry_entries():
+    """Every query the skew regimes claim to witness must exist in the
+    registry WITH a DuckDB oracle — a rename or de-oracling would
+    otherwise silently shrink the adversarial-skew evidence. The MLlib
+    variant is deliberately absent from the boiler list (it runs
+    capped in boiler_special; see skew_soak.py's note)."""
+    from promi_spark.queries import QUERIES
+    from tools.skew_soak import BOILER_QUERIES, HOT_QUERIES
+
+    oracled = {n for n, (_, sql) in QUERIES.items() if sql is not None}
+    assert set(HOT_QUERIES) <= oracled, set(HOT_QUERIES) - oracled
+    assert set(BOILER_QUERIES) <= oracled, set(BOILER_QUERIES) - oracled
+    assert "mllib_minhash_near_dups" not in BOILER_QUERIES
+    assert "mllib_minhash_near_dups" in oracled
