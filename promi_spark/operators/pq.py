@@ -139,15 +139,22 @@ def _sub(vec: Column, m: int, d: int) -> Column:
 
 
 def _nearest_code(sub: Column, book: list[list[float]]) -> Column:
-    """argmin_c ||x - c||^2 == argmax_c (2 x.c - c.c), unrolled over
-    the (small) codebook; first-max = lowest code index on ties —
-    mirrored by the oracle's ``ORDER BY score DESC, c_idx`` rank."""
-    scores = []
-    for c in book:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        c2 = _lip(c, c)
-        scores.append(2.0 * dot(sub, carr) - F.lit(c2))
-    arr = F.array(*scores)
+    """argmin_c ||x - c||^2 == argmax_c (2 x.c - c.c) over the (small)
+    codebook; first-max = lowest code index on ties — mirrored by the
+    oracle's ``ORDER BY score DESC, c_idx`` rank.
+
+    One zip_with over (codebook literal, c.c literal) instead of
+    ``n_codes`` unrolled score subtrees: the scores are the same
+    sequential-fold doubles bit for bit, but the plan carries two
+    Literal nodes per subspace instead of n_codes x d — Catalyst
+    analysis/optimization time was the dominant cost of every PQ
+    query (measured ~3 s of pure driver time per execution at
+    4 x 16 x 16 unrolled; see similarity._lit_matrix)."""
+    from promi_spark.operators.similarity import _lit_matrix
+
+    bl = _lit_matrix(book)
+    c2 = F.lit([_lip(c, c) for c in book])
+    arr = F.zip_with(bl, c2, lambda c, cc: 2.0 * dot(sub, c) - cc)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
@@ -274,7 +281,7 @@ def pq_rerank_topk(
         id_col=id_col, vec_col=vec_col, codes=codes,
     ).select(id_col)
     q = [float(x) for x in query_vec]
-    qarr = F.array(*[F.lit(x) for x in q])
+    qarr = F.lit(q)
     v = _as_double(F.col(vec_col))
     d2 = dot(v, v) - 2.0 * dot(v, qarr) + F.lit(_lip(q, q))
     return (
@@ -435,7 +442,7 @@ def pq_topk(
     enc = codes if codes is not None else pq_encode(df, codebooks, id_col, vec_col)
     adc: Column = F.lit(0.0)
     for m, table in enumerate(parts):
-        arr = F.array(*[F.lit(p) for p in table])
+        arr = F.lit([float(p) for p in table])
         adc = adc + F.element_at(arr, F.col(f"code_{m}") + 1)
     return (
         enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))

@@ -27,6 +27,20 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """A small constant matrix as ONE ``array<array<double>>`` literal.
+
+    Plan-size optimization with identical values: the unrolled
+    ``F.array(F.lit(x), ...)`` form is constant-folded to the same
+    ArrayData at runtime, but Catalyst pays analysis + optimization +
+    canonicalization time proportional to the NODE COUNT on every
+    fresh execution of the plan — at 64 planes x 64 dims that is ~4k
+    literal nodes replicated into every operator referencing the
+    column (measured: seconds of pure driver time per query). One
+    Literal node makes that cost O(1) in the matrix size."""
+    return F.lit([[float(x) for x in c] for c in rows])
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double sum — bit-deterministic."""
     return F.aggregate(
@@ -97,7 +111,7 @@ def cosine_scores(
 ) -> DataFrame:
     """Cosine similarity of every row against one query vector
     (broadcast as a literal array). Narrow scan, no shuffle."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     return df.select(
         F.col(id_col),
         F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine_sim"),
@@ -228,15 +242,20 @@ def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id of a vector under the hyperplane set."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(_as_double(vec_col), plane) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        ).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    """Sign-bit bucket id of a vector under the hyperplane set.
+
+    One zip_with over (planes literal, bit-weight literal) + a long
+    sum — value-identical to the unrolled ``sum(bit_i << i)`` chain
+    (integer adds, exact in any order) with an O(1)-size plan
+    (:func:`_lit_matrix`)."""
+    v = _as_double(vec_col)
+    weights = F.lit([1 << i for i in range(len(planes))])
+    bits = F.zip_with(
+        _lit_matrix(planes),
+        weights,
+        lambda p, w: F.when(dot(v, p) > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 # Above this many vectors the exact all-pairs scorer refuses to run
@@ -501,12 +520,15 @@ def lsh_near_dups(
     base = df.select(
         F.col(id_col).alias("k"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    sign_bits = [
-        F.when(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in p])) > 0, 1)
-        .otherwise(0)
-        .cast("long")
-        for p in planes
-    ]
+    # ONE transform over the plane-matrix literal (plan-size: two
+    # Literal nodes instead of bits x dim; same sign values/order as
+    # the old unrolled array — see _lit_matrix)
+    sign_bits = F.transform(
+        _lit_matrix(planes),
+        lambda p: F.when(dot(F.col("v"), p) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
 
     def codes(sig):
         return F.transform(
@@ -519,7 +541,7 @@ def lsh_near_dups(
         )
 
     cands = _collapsed_banded_pairs(
-        base.select("k", F.array(*sign_bits).alias("sig")),
+        base.select("k", sign_bits.alias("sig")),
         codes,
         max_bucket_size,
         cache,
@@ -731,14 +753,14 @@ def ivf_centroids_mllib(
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin_c ||v - c||^2 == argmax_c (2 v.c - ||c||^2), evaluated as
-    an unrolled greatest-index expression over the (small) centroid set."""
-    scores = []
-    for c in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        c2 = sum(x * x for x in c)
-        scores.append(2.0 * dot(vec, carr) - F.lit(float(c2)))
-    arr = F.array(*scores)
+    """argmin_c ||v - c||^2 == argmax_c (2 v.c - ||c||^2) over the
+    (small) centroid set — ONE zip_with over (centroid-matrix literal,
+    ||c||^2 literal) so the plan carries two Literal nodes instead of
+    k x dim (:func:`_lit_matrix`); scores are the same sequential-fold
+    doubles as the old unrolled form, bit for bit."""
+    bl = _lit_matrix(centroids)
+    c2 = F.lit([float(sum(x * x for x in c)) for c in centroids])
+    arr = F.zip_with(bl, c2, lambda c, cc: 2.0 * dot(vec, c) - cc)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
@@ -1036,12 +1058,13 @@ def cluster_prune(
         vec_col=vec_col, init=init, id_col=id_col,
     )
     v = _as_double(F.col(vec_col))
-    scores = []
-    for c in cent:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        c2 = sum(float(x) * float(x) for x in c)
-        scores.append(2.0 * dot(v, carr) - F.lit(float(c2)))
-    arr = F.array(*scores)
+    # same two-literal zip_with shape as _nearest_centroid (plan-size;
+    # scores identical to the old unrolled form bit for bit)
+    arr = F.zip_with(
+        _lit_matrix(cent),
+        F.lit([float(sum(float(x) * float(x) for x in c)) for c in cent]),
+        lambda c, cc: 2.0 * dot(v, c) - cc,
+    )
     best = F.array_max(arr)
     assigned = df.select(
         F.col(id_col),
