@@ -159,11 +159,19 @@ def shingle_hash_arrays(
     )
 
 
-def _min_aggs(num_hashes: int) -> list[Column]:
-    return [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+def _sig_agg_expr(num_hashes: int) -> Column:
+    """The 64-way MIN signature as ONE parsed aggregate expression,
+    ``array(min(xxhash64(h, 0)), ..., min(xxhash64(h, n-1)))`` — the
+    same aggregates and final array the old unrolled per-slot
+    ``F.min(F.xxhash64(...)).alias(...)`` list + array projection
+    produced, built with a single py4j round trip instead of ~5 per
+    hash slot (~2-4 ms each in-sandbox: ~0.8 s of pure driver time per
+    signature build at 64 hashes)."""
+    return F.expr(
+        "array("
+        + ",".join(f"min(xxhash64(h, {i}))" for i in range(num_hashes))
+        + ")"
+    ).alias("sig")
 
 
 def minhash_signatures(
@@ -188,11 +196,7 @@ def minhash_signatures(
 def _sigs_from_rows(rows: DataFrame, num_hashes: int) -> DataFrame:
     """(k, sig) from a (k, h) gram-row relation — the shared signature
     build used by the standalone path and :func:`minhash_dedup`."""
-    return (
-        rows.groupBy("k")
-        .agg(*_min_aggs(num_hashes))
-        .select("k", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    return rows.groupBy("k").agg(_sig_agg_expr(num_hashes))
 
 
 def band_buckets(sig_col: Column, num_hashes: int, bands: int) -> Column:
@@ -707,12 +711,12 @@ def dedup_components(
 
     Raises ``RuntimeError`` if the graph has not converged after
     ``max_iter`` rounds (diameter > max_iter) instead of returning
-    silently-wrong intermediate labels. The underlying label relation is
-    persisted (it was materialized by the convergence check) and exposed
-    as ``.labels_cache`` on the returned DataFrame; release it with
-    ``out.labels_cache.unpersist()`` when done, or
-    ``spark.catalog.clearCache()`` between corpora — as with
-    :func:`minhash_dedup`.
+    silently-wrong intermediate labels. The final label relation is
+    handed out as an eager ``localCheckpoint`` leaf (rows were already
+    materialized by the convergence check) and exposed as
+    ``.labels_cache`` on the returned DataFrame; ``unpersist()`` on it
+    stays a harmless no-op for the documented release contract, and
+    the checkpoint blocks are GC-released once unreferenced.
 
     Every ``checkpoint_every`` rounds the label relation is
     ``localCheckpoint``-ed: although each round's inputs are persisted,
@@ -728,9 +732,17 @@ def dedup_components(
     interactive dedup pass.)
     """
     edges = pairs.select("a", "b")
+    # eager localCheckpoint, not a bare persist: every round's nbr join
+    # references sym, and each round's labels nest the previous round's
+    # plan twice, so with sym as a live pipeline the round-r analysis
+    # re-walks ~2^r copies of the whole upstream pair generation
+    # (minhash tokenize/band/verify). As a checkpointed leaf the loop's
+    # plans stay KB-sized regardless of the pair source (the rows were
+    # going to be materialized by round 1's action anyway; same
+    # fault-tolerance trade as dedup_components_stars' edge list).
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -791,16 +803,33 @@ def dedup_components(
                 "(pair-graph diameter exceeds max_iter); raise max_iter"
             )
     finally:
-        sym.unpersist()
+        # sym is a localCheckpoint leaf — its blocks are released by
+        # the ContextCleaner once unreferenced, no unpersist needed
         if not converged:
             # any failure path (action error, non-convergence) must not
             # leave the current round's labels pinned in the session
             labels.unpersist()
+    # Truncate the final lineage before handing the labels out: the
+    # round-over-round plan references the previous round's labels
+    # TWICE per round (the nbr join and the left join), so the
+    # RETURNED relation's logical plan grows ~2^rounds copies of the
+    # upstream pair-generation pipeline — measured 5.4 MB of formatted
+    # plan after 3 rounds on the minhash pair graph, and every
+    # downstream consumer (keep-best window, split join, the caller's
+    # own action) re-pays Catalyst analysis of all of it. The rows are
+    # already materialized by the convergence check, so the eager
+    # localCheckpoint is a cache-to-checkpoint copy of the (tiny)
+    # label relation and the handed-out plan is a leaf.
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    labels = final
     out = labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
     # explicit release handle (the projection above is NOT itself the
-    # cached relation, so .unpersist() on the return value would no-op)
+    # cached relation, so .unpersist() on the return value would no-op;
+    # on the checkpointed leaf unpersist is itself a harmless no-op —
+    # the blocks are GC-released — kept for the documented contract)
     out.labels_cache = labels
     out.n_rounds = n_rounds  # label-propagation rounds to convergence
     return out
@@ -1214,24 +1243,38 @@ def simhash_bits_df(
         F.col(key_col).alias("k"), F.explode(tokens(_norm(text_col))).alias("tok")
     )
     if hash_mode == "md5":
-        tok_rows = tok_rows.withColumn("m", F.md5("tok"))
-        bit_of = lambda i: _md5_bit(F.col("m"), i)  # noqa: E731
-    else:
-        tok_rows = tok_rows.withColumn("h", F.xxhash64("tok"))
-        bit_of = lambda i: F.shiftrightunsigned(F.col("h"), i).bitwiseAND(  # noqa: E731
-            F.lit(1)
+        # Decode the first 16 hex digits ONCE into two 32-bit longs and
+        # read every bit with a shift/AND — value-identical to the
+        # per-bit ``_md5_bit`` (digit i//4, bit i%4: digit d of an
+        # 8-digit hex number occupies value bits 4*(7-d)..4*(7-d)+3),
+        # but 2 conv() calls per token instead of 64 substring+conv
+        # pairs (measured 2.5x on the signature build at sf0.1).
+        tok_rows = tok_rows.selectExpr(
+            "k",
+            "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) AS hi",
+            "cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint) AS lo",
         )
-    aggs = [
-        F.sum(F.when(bit_of(i) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+
+        def bit_sql(i: int) -> str:
+            src = "hi" if i < 32 else "lo"
+            d = i // 4 if i < 32 else i // 4 - 8
+            return f"(shiftright({src}, {4 * (7 - d) + i % 4}) & 1)"
+    else:
+        tok_rows = tok_rows.selectExpr("k", "xxhash64(tok) AS h")
+
+        def bit_sql(i: int) -> str:
+            return f"(shiftrightunsigned(h, {i}) & 1)"
+
+    # the 64 ±1-vote SUMs and the sign readout as ONE parsed aggregate
+    # expression (same aggregates/values as the old per-bit Column
+    # objects; one py4j round trip instead of ~10 per bit — see
+    # _sig_agg_expr)
+    votes = ",".join(
+        f"CASE WHEN sum(CASE WHEN {bit_sql(i)} = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN 1L ELSE 0L END"
         for i in range(bits)
-    ]
-    bit_arr = F.array(
-        *[
-            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            for i in range(bits)
-        ]
     )
-    return tok_rows.groupBy("k").agg(*aggs).select("k", bit_arr.alias("bits"))
+    return tok_rows.groupBy("k").agg(F.expr(f"array({votes})").alias("bits"))
 
 
 def simhash_hex(bits_col: Column, bits: int = 64, chunk: int = 16) -> Column:

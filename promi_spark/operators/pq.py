@@ -150,10 +150,10 @@ def _nearest_code(sub: Column, book: list[list[float]]) -> Column:
     analysis/optimization time was the dominant cost of every PQ
     query (measured ~3 s of pure driver time per execution at
     4 x 16 x 16 unrolled; see similarity._lit_matrix)."""
-    from promi_spark.operators.similarity import _lit_matrix
+    from promi_spark.operators.similarity import _lit_matrix, _lit_vec
 
     bl = _lit_matrix(book)
-    c2 = F.lit([_lip(c, c) for c in book])
+    c2 = _lit_vec(_lip(c, c) for c in book)
     arr = F.zip_with(bl, c2, lambda c, cc: 2.0 * dot(sub, c) - cc)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
@@ -281,7 +281,9 @@ def pq_rerank_topk(
         id_col=id_col, vec_col=vec_col, codes=codes,
     ).select(id_col)
     q = [float(x) for x in query_vec]
-    qarr = F.lit(q)
+    from promi_spark.operators.similarity import _lit_vec
+
+    qarr = _lit_vec(q)
     v = _as_double(F.col(vec_col))
     d2 = dot(v, v) - 2.0 * dot(v, qarr) + F.lit(_lip(q, q))
     return (
@@ -440,10 +442,11 @@ def pq_topk(
         raise ValueError("pq_topk: k must be >= 1")
     parts = adc_partials(query_vec, codebooks)
     enc = codes if codes is not None else pq_encode(df, codebooks, id_col, vec_col)
+    from promi_spark.operators.similarity import _lit_vec
+
     adc: Column = F.lit(0.0)
     for m, table in enumerate(parts):
-        arr = F.lit([float(p) for p in table])
-        adc = adc + F.element_at(arr, F.col(f"code_{m}") + 1)
+        adc = adc + F.element_at(_lit_vec(table), F.col(f"code_{m}") + 1)
     return (
         enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
         .orderBy("adc_dist", id_col)

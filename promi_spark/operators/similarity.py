@@ -27,18 +27,43 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def _lit_matrix(rows: list[list[float]]) -> Column:
-    """A small constant matrix as ONE ``array<array<double>>`` literal.
+def _sql_double(x: float) -> str:
+    """SQL double literal with exact round-trip value: Python float
+    repr is shortest-round-trip, and Spark's parser reads it back to
+    the identical IEEE double."""
+    return repr(float(x)) + "D"
 
-    Plan-size optimization with identical values: the unrolled
-    ``F.array(F.lit(x), ...)`` form is constant-folded to the same
-    ArrayData at runtime, but Catalyst pays analysis + optimization +
-    canonicalization time proportional to the NODE COUNT on every
-    fresh execution of the plan — at 64 planes x 64 dims that is ~4k
-    literal nodes replicated into every operator referencing the
-    column (measured: seconds of pure driver time per query). One
-    Literal node makes that cost O(1) in the matrix size."""
-    return F.lit([[float(x) for x in c] for c in rows])
+
+def _lit_vec(vals) -> Column:
+    """A small constant vector as ONE parsed ``array<double>`` literal
+    expression — a single py4j round trip instead of one per element
+    (see :func:`_lit_matrix`)."""
+    return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """A small constant matrix as ONE ``array<array<double>>`` literal
+    expression.
+
+    Driver-overhead optimization with identical values, two layers:
+
+    - the unrolled ``F.array(F.lit(x), ...)`` form costs one py4j round
+      trip PER ELEMENT to build (~2-4 ms each: a 64x64 plane matrix is
+      ~8 s of pure Python/py4j time before Spark sees the plan) and
+      k x dim expression nodes that Catalyst re-analyzes on every
+      execution;
+    - building the whole matrix as one SQL string is ONE round trip,
+      parsed and constant-folded JVM-side.
+
+    Values are bit-identical: ``repr(float)`` is shortest-round-trip
+    and the SQL parser reads it back to the same IEEE double."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in c) + ")" for c in rows
+        )
+        + ")"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -111,7 +136,7 @@ def cosine_scores(
 ) -> DataFrame:
     """Cosine similarity of every row against one query vector
     (broadcast as a literal array). Narrow scan, no shuffle."""
-    q = F.lit([float(x) for x in query_vec])
+    q = _lit_vec(query_vec)
     return df.select(
         F.col(id_col),
         F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine_sim"),
@@ -249,7 +274,16 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     (integer adds, exact in any order) with an O(1)-size plan
     (:func:`_lit_matrix`)."""
     v = _as_double(vec_col)
-    weights = F.lit([1 << i for i in range(len(planes))])
+    # two's-complement wrap at bit 63 keeps the weight a valid long for
+    # 64-plane sets — identical to what shiftleft(1, 63) produced
+    weights = F.expr(
+        "array("
+        + ",".join(
+            str(((1 << i) + (1 << 63)) % (1 << 64) - (1 << 63)) + "L"
+            for i in range(len(planes))
+        )
+        + ")"
+    )
     bits = F.zip_with(
         _lit_matrix(planes),
         weights,
@@ -759,7 +793,7 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     k x dim (:func:`_lit_matrix`); scores are the same sequential-fold
     doubles as the old unrolled form, bit for bit."""
     bl = _lit_matrix(centroids)
-    c2 = F.lit([float(sum(x * x for x in c)) for c in centroids])
+    c2 = _lit_vec(float(sum(x * x for x in c)) for c in centroids)
     arr = F.zip_with(bl, c2, lambda c, cc: 2.0 * dot(vec, c) - cc)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
@@ -1062,7 +1096,7 @@ def cluster_prune(
     # scores identical to the old unrolled form bit for bit)
     arr = F.zip_with(
         _lit_matrix(cent),
-        F.lit([float(sum(float(x) * float(x) for x in c)) for c in cent]),
+        _lit_vec(float(sum(float(x) * float(x) for x in c)) for c in cent),
         lambda c, cc: 2.0 * dot(v, c) - cc,
     )
     best = F.array_max(arr)
