@@ -494,11 +494,17 @@ def write_minhash_index(
         sh = rows.groupBy("k").agg(F.collect_set("h").alias("sh"))
         # exact-signature class representative, computed once at build
         # time so probes can band one doc per class (the r8 boilerplate
-        # guard) without an index-proportional shuffle per batch
-        cls = sigs.groupBy("sig").agg(F.min("k").alias("rep"))
-        sigs.join(cls, "sig").join(sh, "k").write.mode("overwrite").parquet(
-            path
+        # guard) without an index-proportional shuffle per batch. The
+        # rep comes from a sig-partitioned window, NOT groupBy(sig) +
+        # self-join: the join form re-aggregates the signature relation
+        # for the second join side and adds a shuffle + join, the
+        # window form is one exchange on sig — the same rewrite
+        # _collapsed_banded_pairs carries (identical rep values:
+        # min(k) per exact signature either way).
+        tagged = sigs.withColumn(
+            "rep", F.min("k").over(Window.partitionBy("sig"))
         )
+        tagged.join(sh, "k").write.mode("overwrite").parquet(path)
     finally:
         rows.unpersist()
     _hadoop_write_text(
@@ -604,9 +610,20 @@ def minhash_dedup_incremental(
         # pre-class index: every doc is its own class — same code path,
         # per-doc banding exactly as before the guard
         idx = idx.withColumn("rep", F.col("k"))
-    tag_n = sigs_new.select("k", "sig").withColumn(
-        "rep", F.min("k").over(Window.partitionBy("sig"))
-    )
+    if include_new_pairs:
+        # the within-batch pair generator persists the identical
+        # (k, sig, rep) tagging relation — reuse it for the cross
+        # probe instead of re-running the sig-window shuffle (same
+        # expression: min(k) over exact-signature classes)
+        cands_new = _banded_pairs(sigs_new, num_hashes, bands, cache=cache)
+        tag_n = cands_new.sig_cache
+    else:
+        cands_new = None
+        tag_n = None
+    if tag_n is None:  # include_new_pairs=False, or cache=False
+        tag_n = sigs_new.select("k", "sig").withColumn(
+            "rep", F.min("k").over(Window.partitionBy("sig"))
+        )
     reps_n = tag_n.filter(F.col("k") == F.col("rep")).select("k", "sig")
     mem_n = tag_n.select("k", "rep")
     reps_i = idx.filter(F.col("k") == F.col("rep")).select("k", "sig")
@@ -658,7 +675,6 @@ def minhash_dedup_incremental(
         .filter(F.col("jaccard_sim") >= threshold)
     )
     if include_new_pairs:
-        cands_new = _banded_pairs(sigs_new, num_hashes, bands, cache=cache)
         within = (
             cands_new.join(
                 sh_new.withColumnsRenamed({"k": "a", "sh": "sh_a"}), "a"

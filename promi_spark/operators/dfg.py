@@ -28,30 +28,40 @@ def directly_follows(log: EventLog, with_endpoints: bool = False) -> DataFrame:
 
     ``lead`` over the per-case window; with_endpoints adds START->first
     and last->END edges (needed by alpha/heuristic miners).
+
+    The endpoint variant emits all three edge kinds from ONE window
+    pass (``lead`` + ``row_number`` over the same spec) as a 1-2
+    element edge array per event, exploded and counted — the previous
+    3-branch union re-ran the per-case sort + window per branch
+    (measured: 6 Window/Sort nodes and 3 scans in the physical plan vs
+    2 Window on one scan now; same edge multiset, so identical counts).
     """
     w = Window.partitionBy("case_id").orderBy("seq")
     # Empty traces are legal XES (log.rs:13-20) and surface as marker
     # rows with NULL seq/activity; they carry no DFG edges — without
     # this filter they'd inject (__START__, NULL)/(NULL, __END__) edges.
     real = log.trace_events().filter(F.col("seq").isNotNull())
-    pairs = real.withColumn("next_activity", F.lead("activity").over(w))
     if with_endpoints:
-        firsts = (
-            real
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.lit(START).alias("activity"), F.col("activity").alias("next_activity"))
+        rows = real.select(
+            "activity",
+            F.lead("activity").over(w).alias("next_activity"),
+            F.row_number().over(w).alias("rn"),
         )
-        lasts = pairs.filter(F.col("next_activity").isNull()).select(
-            F.col("activity"), F.lit(END).alias("next_activity")
+        # per event: its outgoing edge (last event's successor is END),
+        # plus the START edge when it opens the trace
+        e_main = F.struct(
+            F.col("activity").alias("a"),
+            F.coalesce("next_activity", F.lit(END)).alias("b"),
         )
-        edges = (
-            pairs.filter(F.col("next_activity").isNotNull())
-            .select("activity", "next_activity")
-            .unionByName(firsts)
-            .unionByName(lasts)
+        e_start = F.struct(F.lit(START).alias("a"), F.col("activity").alias("b"))
+        arr = F.when(F.col("rn") == 1, F.array(e_start, e_main)).otherwise(
+            F.array(e_main)
+        )
+        edges = rows.select(F.explode(arr).alias("e")).select(
+            F.col("e.a").alias("activity"), F.col("e.b").alias("next_activity")
         )
     else:
+        pairs = real.withColumn("next_activity", F.lead("activity").over(w))
         edges = pairs.filter(F.col("next_activity").isNotNull()).select(
             "activity", "next_activity"
         )

@@ -136,14 +136,7 @@ def dsir_weights(
     correctly rounded — the value is bit-identical across engines (the
     reason this report emits ratios, not logs: ln() is not correctly
     rounded across engines, per the lm_quality precedent)."""
-    if buckets < 2 or buckets > (1 << 20):
-        raise ValueError(
-            "dsir_weights: buckets must be in [2, 2^20] — the weight "
-            "table is collected to the driver and broadcast"
-        )
-    if smoothing <= 0:
-        raise ValueError("dsir_weights: smoothing must be > 0 (the "
-                         "ratio is undefined on empty buckets otherwise)")
+    _validate_geometry(buckets, smoothing)
     # ONE scan per corpus: the <=buckets-row count relations are
     # collected to the driver (bounded, like the IVF centroids /
     # driver-side DFG alphabet) and the weight table is built as a
@@ -159,6 +152,26 @@ def dsir_weights(
         for r in _bucket_counts(raw, text_col, buckets, seed, "cr")
         .collect()
     }
+    return _weights_table(target.sparkSession, ct, cr, buckets, smoothing)
+
+
+def _validate_geometry(buckets: int, smoothing: float) -> None:
+    if buckets < 2 or buckets > (1 << 20):
+        raise ValueError(
+            "dsir_weights: buckets must be in [2, 2^20] — the weight "
+            "table is collected to the driver and broadcast"
+        )
+    if smoothing <= 0:
+        raise ValueError("dsir_weights: smoothing must be > 0 (the "
+                         "ratio is undefined on empty buckets otherwise)")
+
+
+def _weights_table(
+    spark, ct: dict, cr: dict, buckets: int, smoothing: float
+) -> DataFrame:
+    """The (bucket, ct, cr, ratio) local relation from collected
+    per-corpus bucket counts — see :func:`dsir_weights` for the
+    determinism contract on ``ratio``."""
     nt, nr = sum(ct.values()), sum(cr.values())
     s = float(smoothing)
     sb = s * buckets
@@ -172,7 +185,7 @@ def dsir_weights(
         )
         for b in sorted(set(ct) | set(cr))
     ]
-    return target.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         rows, "bucket long, ct long, cr long, ratio double"
     )
 
@@ -201,6 +214,15 @@ def dsir_scores(
     grams = gram_stream(raw, keys, text_col).withColumn(
         "bucket", dsir_bucket(F.col("g"), buckets, seed)
     )
+    return _scores_from_grams(grams, weights, keys)
+
+
+def _scores_from_grams(
+    grams: DataFrame, weights: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Scoring tail shared with :func:`dsir_select`'s single-gram-pass
+    path: broadcast-join the weight table onto a prebuilt
+    ``(*keys, g, bucket)`` stream and fold per key."""
     w = F.broadcast(weights.select("bucket", "ratio"))
     return (
         grams.join(w, "bucket", "inner")
@@ -239,14 +261,39 @@ def dsir_select(
     TakeOrdered (per-partition heaps), never a full sort."""
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
+    _validate_geometry(buckets, smoothing)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    w = dsir_weights(
-        target, raw, text_col=text_col, buckets=buckets,
-        smoothing=smoothing, seed=seed,
-    )
-    scored = dsir_scores(
-        raw, w, key_cols=keys, text_col=text_col, buckets=buckets, seed=seed
-    )
+    # ONE gram pass over the raw corpus, not two: the keyed bucketed
+    # gram stream is persisted and feeds BOTH the raw bucket-count
+    # estimate (keys projected away — the counts are identical to
+    # _bucket_counts' keyless stream, same grams per row) and the
+    # scoring join. The tokenize + md5-coin gram pipeline is the
+    # dominant term of this operator, and the un-shared form paid it
+    # twice (the gram_stream docstring's "persist only when the scan
+    # dominates" note predates measuring the md5 coin: the coin IS the
+    # scan cost). Persisted rows are (keys, bucket) longs/strings —
+    # the corpus text itself is never cached; at 100 TB this spills to
+    # executor disk, which still beats re-running tokenize+md5 (the
+    # minhash_dedup gram_cache precedent). The weights collect()
+    # materializes the cache, so the scoring pass is a pure cache
+    # read. Released via the result's ``.gram_cache`` handle (same
+    # contract as minhash_dedup).
+    raw_grams = gram_stream(raw, keys, text_col).withColumn(
+        "bucket", dsir_bucket(F.col("g"), buckets, seed)
+    ).persist()
+    ct = {
+        r["bucket"]: r["ct"]
+        for r in _bucket_counts(target, text_col, buckets, seed, "ct")
+        .collect()
+    }
+    cr = {
+        r["bucket"]: r["cr"]
+        for r in raw_grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .collect()
+    }
+    w = _weights_table(raw.sparkSession, ct, cr, buckets, smoothing)
+    scored = _scores_from_grams(raw_grams, w, keys)
     key_tuple = F.concat_ws("\x1f", *[F.col(c) for c in keys])
     u = (
         F.conv(coin_hex(key_tuple, seed, salt="dsirsel"), 16, 10).cast(
@@ -255,9 +302,13 @@ def dsir_select(
         + 0.5
     ) / F.lit(4294967296.0)
     gumbel = -F.log(-F.log(u))
-    return (
+    out = (
         scored.withColumn("__key", F.col("logw") + gumbel)
         .orderBy(F.desc("__key"), *[F.col(c) for c in keys])
         .limit(k)
         .select(*keys, "logw")
     )
+    # release handle for the persisted gram stream (minhash_dedup's
+    # gram_cache contract): unpersist once the caller's action is done
+    out.gram_cache = raw_grams
+    return out

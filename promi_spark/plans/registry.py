@@ -623,10 +623,15 @@ def _dsir_select(ctx, df, k: int, key: str = "doc_id",
     target = ctx.streams[_recv[0]]
     target_df = target.df if hasattr(target, "df") else target
     raw_df = df.df if hasattr(df, "df") else df
-    picked = dsir_select(
+    sel = dsir_select(
         raw_df, target_df, k, key_cols=key, text_col=text_col,
         buckets=buckets, smoothing=float(smoothing), seed=seed,
-    ).select(key)
+    )
+    # release the operator's persisted gram stream at flow teardown
+    # (same contract as the NearDupDedup segment's gram/sig caches)
+    if getattr(sel, "gram_cache", None) is not None:
+        ctx.defer(sel.gram_cache.unpersist)
+    picked = sel.select(key)
     return raw_df.join(picked, key, "left_semi")
 
 
