@@ -23,6 +23,34 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _find_xmllint() -> str | None:
+    """Resolve xmllint robustly: PATH first, then the interpreter's own
+    bin dir and well-known toolchain prefixes. In a shell where the
+    conda bin is not on PATH, a bare ``shutil.which`` silently skipped
+    the one real external oracle in the suite (552-passed/1-skipped,
+    r13 verdict item 5) — the corpus-agreement test must not degrade
+    just because of shell PATH ordering."""
+    import sys
+
+    hit = shutil.which("xmllint")
+    if hit:
+        return hit
+    candidates = [
+        os.path.join(os.path.dirname(sys.executable), "xmllint"),
+        "/root/miniconda/bin/xmllint",
+        "/opt/conda/bin/xmllint",
+        "/usr/bin/xmllint",
+        "/usr/local/bin/xmllint",
+    ]
+    for c in candidates:
+        if os.path.isfile(c) and os.access(c, os.X_OK):
+            return c
+    return None
+
+
+XMLLINT = _find_xmllint()
+
+
 def _write(tmp_path, body: str) -> str:
     p = str(tmp_path / "doc.xes")
     with open(p, "w") as f:
@@ -129,7 +157,7 @@ def test_accepts(tmp_path, doc):
     assert validate_xes(_write(tmp_path, doc)) == []
 
 
-@pytest.mark.skipif(shutil.which("xmllint") is None, reason="xmllint not available")
+@pytest.mark.skipif(XMLLINT is None, reason="xmllint not available")
 def test_agrees_with_xmllint_on_corpus():
     """When the real oracle is present, the Python encoding must agree
     with it verdict-for-verdict on every parseable corpus file."""
@@ -140,7 +168,7 @@ def test_agrees_with_xmllint_on_corpus():
     )
     for f in files:
         r = subprocess.run(
-            ["xmllint", "--noout", "--schema", f"{CORPUS}/xes-ieee-1849-2016.xsd", f],
+            [XMLLINT, "--noout", "--schema", f"{CORPUS}/xes-ieee-1849-2016.xsd", f],
             capture_output=True,
         )
         assert is_valid_xes(f) == (r.returncode == 0), f
