@@ -44,7 +44,14 @@ def mixed_parquet(tmp_path_factory, duck):
            false, 'inf'::DOUBLE, -1.5e13::DOUBLE),
           (9007199254740993, 1e-7, 'tab\tand\nnewline',
            TIMESTAMP '2038-01-19 03:14:07', DATE '2100-06-15',
-           true, '-inf'::DOUBLE, 123.4567894::DOUBLE)
+           true, '-inf'::DOUBLE, 123.4567894::DOUBLE),
+          -- f:big beyond 2^53: the exact binary value is
+          -- 1234567890123456768 while the shortest decimal repr is
+          -- ...800 — the row that pins the BIGINT (not DECIMAL)
+          -- rendering of the big lane (r14 ADVICE item)
+          (7, 1.2345678901234568e18::DOUBLE, 'big',
+           TIMESTAMP '2000-01-01 00:00:00', DATE '2000-01-01',
+           false, 8.0::DOUBLE, -9.007199254740993e15::DOUBLE)
         ) v(a, b, c, d, e, f, g, h)) TO '{path}' (FORMAT PARQUET)
         """
     )
@@ -56,7 +63,7 @@ def test_cross_engine_agreement_all_lanes(spark, duck, mixed_parquet):
     dw = duck_witness(duck, sql, 60)
     sw = spark_witness(spark.read.parquet(mixed_parquet))
     assert dw == sw
-    assert dw[0] == 4 and dw[1] is not None and dw[2] is not None
+    assert dw[0] == 5 and dw[1] is not None and dw[2] is not None
 
 
 def test_cross_engine_agreement_on_registry_queries(spark, duck, sf_dir):

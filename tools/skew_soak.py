@@ -204,6 +204,35 @@ def mllib_probe(budget: float) -> dict:
     ks_abs = os.path.join(REPO, ks_out)
     if os.path.exists(ks_abs):
         os.remove(ks_abs)
+    if not os.path.isdir(ks_dir):
+        # soak.py only materializes this slice lazily when a full-data
+        # oracle times out during the boiler regime — running
+        # `--regime special` alone (or a boiler run with no oracle
+        # timeouts, or a fresh checkout) used to silently record
+        # {"err": "no artifact"} and quietly drop the advertised MLlib
+        # correctness witness. Build the slice explicitly instead.
+        if not os.path.isdir(BOILER_DIR):
+            out["keyslice"] = {
+                "err": "boiler corpus missing — run the boiler regime "
+                "first to materialize " + BOILER_DIR
+            }
+            return out
+        build = (
+            "import sys; sys.path.insert(0, %r); "
+            "from tools.soak import make_key_slice; "
+            "from promi_spark.session import get_spark; "
+            "make_key_slice(get_spark('keyslice_build'), %r, %r, 0.02)"
+            % (REPO, BOILER_DIR, ks_dir)
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", build], cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "16g"},
+        )
+        if proc.returncode != 0 or not os.path.isdir(ks_dir):
+            out["keyslice"] = {
+                "err": "keyslice build failed rc=%s" % proc.returncode
+            }
+            return out
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "soak.py"),
          "--sf1", ks_dir, "--oracle-budget", str(budget),

@@ -522,14 +522,20 @@ def main() -> int:
     for name, (fn, sql) in QUERIES.items():
         if (only and name not in only) or (not only and sql is None):
             continue
+        # budget gate BEFORE starting each query, not only after: a
+        # single expensive query in an early slot previously ran to
+        # completion untimed and unbounded (the r13 failure mode the
+        # cap was added for — warm-up reaching a ~25M-candidate MLlib
+        # join). The cap can still overshoot by at most ONE query's
+        # duration (the one already running when the budget expires).
+        if warmed >= WARMUP_SLOTS or time.time() - t_warm > WARMUP_MAX_SEC:
+            break
         try:
             fn(spark, sf1).count()
             spark.catalog.clearCache()
         except Exception:
             pass  # the timed loop will record the real error
         warmed += 1
-        if warmed >= WARMUP_SLOTS or time.time() - t_warm > WARMUP_MAX_SEC:
-            break
     print(
         f"warm-up: {warmed} queries untimed in "
         f"{time.time() - t_warm:.0f}s",

@@ -46,10 +46,18 @@ SEP = "\x1f"
 # integer part only — 1e-6 absolute precision is already below one
 # double ulp out there.
 FLOAT_BIG = 1e12
-# beyond this, even the integer part overflows DECIMAL(38,0); keep the
-# sign only (no registry query emits such values; this is an
-# anti-divergence guard, not a precision promise).
-FLOAT_HUGE = 1e30
+# beyond this, the integer part no longer fits a BIGINT; keep the sign
+# only (no registry query emits such values; this is an anti-divergence
+# guard, not a precision promise). Deliberately BELOW 2^63-1: the big
+# lane renders via int64 on BOTH engines because that conversion is an
+# exact binary double->int64 on both — the previous DECIMAL(38,0)
+# rendering diverged for integer-valued doubles above 2^53 (Spark's
+# double->decimal cast stringifies through the shortest-repr
+# Double.toString path, e.g. 1.2345678901234568e18 ->
+# 1234567890123456800, while DuckDB converts the exact binary value ->
+# 1234567890123456768), a false MISMATCH on any result carrying floats
+# >9e15.
+FLOAT_HUGE = 9e18
 
 
 def spark_witness_exprs(schema):
@@ -69,7 +77,9 @@ def spark_witness_exprs(schema):
         elif isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
             d = c.cast("double")
             scaled = F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("string")
-            ipart = F.round(d, 0).cast("decimal(38,0)").cast("string")
+            # int64, not DECIMAL(38,0): exact binary conversion on both
+            # engines up to FLOAT_HUGE (see the lane-constant comment)
+            ipart = F.round(d, 0).cast("long").cast("string")
             canon = (
                 F.when(F.isnan(d), F.lit("f:nan"))
                 .when(d == F.lit(float("inf")), F.lit("f:inf"))
@@ -140,7 +150,7 @@ def _duck_canon(name: str, type_str: str) -> str:
             f"WHEN abs({d}) >= {FLOAT_HUGE:g} THEN 'f:huge:' || "
             f"CAST(CAST(sign({d}) AS INTEGER) AS VARCHAR) "
             f"WHEN abs({d}) >= {FLOAT_BIG:g} THEN 'f:big:' || "
-            f"CAST(CAST(round({d}, 0) AS DECIMAL(38,0)) AS VARCHAR) "
+            f"CAST(CAST(round({d}, 0) AS BIGINT) AS VARCHAR) "
             f"ELSE 'f:' || CAST(CAST(floor({d} * 1e6 + 0.5) AS BIGINT)"
             f" AS VARCHAR) END"
         )
