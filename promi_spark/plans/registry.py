@@ -628,9 +628,11 @@ def _dsir_select(ctx, df, k: int, key: str = "doc_id",
         buckets=buckets, smoothing=float(smoothing), seed=seed,
     )
     # release the operator's persisted gram stream at flow teardown
-    # (same contract as the NearDupDedup segment's gram/sig caches)
-    if getattr(sel, "gram_cache", None) is not None:
-        ctx.defer(sel.gram_cache.unpersist)
+    # (same contract as the NearDupDedup segment's gram/sig caches);
+    # tolerate minimal driver contexts without a defer hook
+    defer = getattr(ctx, "defer", None)
+    if defer is not None and getattr(sel, "gram_cache", None) is not None:
+        defer(sel.gram_cache.unpersist)
     picked = sel.select(key)
     return raw_df.join(picked, key, "left_semi")
 
