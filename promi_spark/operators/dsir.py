@@ -278,8 +278,12 @@ def dsir_select(
     # materializes the cache, so the scoring pass is a pure cache
     # read. Released via the result's ``.gram_cache`` handle (same
     # contract as minhash_dedup).
-    raw_grams = gram_stream(raw, keys, text_col).withColumn(
-        "bucket", dsir_bucket(F.col("g"), buckets, seed)
+    # project the gram STRING away before the persist (column pruning
+    # does not push through a persist boundary): both consumers read
+    # only (*keys, bucket), and caching `g` would store every unigram
+    # and bigram string — ~2-3x the corpus text bytes — for nothing
+    raw_grams = gram_stream(raw, keys, text_col).select(
+        *keys, dsir_bucket(F.col("g"), buckets, seed)
     ).persist()
     ct = {
         r["bucket"]: r["ct"]

@@ -19,6 +19,8 @@ vectorized across the pair matrix). See :func:`cosine_near_dups`.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,8 +32,18 @@ def _as_double(col: Column) -> Column:
 def _sql_double(x: float) -> str:
     """SQL double literal with exact round-trip value: Python float
     repr is shortest-round-trip, and Spark's parser reads it back to
-    the identical IEEE double."""
-    return repr(float(x)) + "D"
+    the identical IEEE double. Non-finite values render as explicit
+    casts — ``repr`` would yield ``nanD``/``infD``, which the SQL
+    parser rejects, whereas the old per-element ``F.lit(float('nan'))``
+    built a valid NaN literal (a caller passing a NaN-poisoned query
+    vector or centroid must keep getting NaN scores, not a
+    ParseException at build time)."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _lit_vec(vals) -> Column:

@@ -179,6 +179,42 @@ def test_simhash_hamming_zero_for_identical(spark):
     assert all(len(s) == 16 for s in sigs.values())  # 64 bits = 16 hex
 
 
+def test_md5_bit_decode_parity(spark):
+    """The production two-long md5 decode in simhash_bits_df must agree
+    bit-for-bit with the per-digit _md5_bit specification form (the
+    engine-portable contract the DuckDB oracle replays) on every bit of
+    a batch of real token hashes."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import _md5_bit
+
+    toks = spark.createDataFrame(
+        [(w,) for w in ["alpha", "beta", "Gamma!", "", "42", "x" * 50]],
+        "tok string",
+    ).withColumn("m", F.md5("tok"))
+    spec = F.array(*[_md5_bit(F.col("m"), i) for i in range(64)])
+    fast = toks.selectExpr(
+        "tok",
+        "cast(conv(substring(m, 1, 8), 16, 10) as bigint) AS hi",
+        "cast(conv(substring(m, 9, 8), 16, 10) as bigint) AS lo",
+        "m",
+    ).selectExpr(
+        "tok",
+        "array("
+        + ",".join(
+            f"(shiftright({'hi' if i < 32 else 'lo'}, "
+            f"{4 * (7 - (i // 4 if i < 32 else i // 4 - 8)) + i % 4}) & 1)"
+            for i in range(64)
+        )
+        + ") AS bits",
+    )
+    spec_rows = {
+        r["tok"]: r["b"] for r in toks.select("tok", spec.alias("b")).collect()
+    }
+    for r in fast.collect():
+        assert r["bits"] == spec_rows[r["tok"]], r["tok"]
+
+
 def test_cosine_bounds_and_self_similarity(spark):
     from promi_spark.operators.similarity import cosine_topk
     from pyspark.sql import functions as F

@@ -32,19 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def count_py4j(spark) -> int:
-    """Cumulative py4j command count on the gateway (structural driver-
-    latency proxy: every command is one serialized socket round trip)."""
-    gw = spark.sparkContext._gateway
-    try:
-        pool = gw._gateway_client.deque
-    except AttributeError:
-        return -1
-    # CallbackConnection objects count bytes, not commands; fall back to
-    # instrumenting send_command at the client level instead.
-    return -1
-
-
 def main() -> int:
     args = sys.argv[1:]
     json_out = None

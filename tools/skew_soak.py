@@ -204,7 +204,12 @@ def mllib_probe(budget: float) -> dict:
     ks_abs = os.path.join(REPO, ks_out)
     if os.path.exists(ks_abs):
         os.remove(ks_abs)
-    if not os.path.isdir(ks_dir):
+    if not os.path.exists(os.path.join(ks_dir, "lineitem.parquet")):
+        # completion marker, not bare isdir: make_key_slice mkdirs the
+        # target before writing tables, so an interrupted build would
+        # otherwise permanently satisfy the existence check and poison
+        # every later run with a partial slice (same guard soak.py's
+        # lazy path uses)
         # soak.py only materializes this slice lazily when a full-data
         # oracle times out during the boiler regime — running
         # `--regime special` alone (or a boiler run with no oracle
@@ -228,7 +233,9 @@ def mllib_probe(budget: float) -> dict:
             [sys.executable, "-c", build], cwd=REPO,
             env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "16g"},
         )
-        if proc.returncode != 0 or not os.path.isdir(ks_dir):
+        if proc.returncode != 0 or not os.path.exists(
+            os.path.join(ks_dir, "lineitem.parquet")
+        ):
             out["keyslice"] = {
                 "err": "keyslice build failed rc=%s" % proc.returncode
             }
