@@ -704,6 +704,21 @@ def minhash_dedup_incremental(
     return out
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort explicit release of a ``localCheckpoint`` leaf's
+    cached RDD blocks (r14 ADVICE): without this the blocks are freed
+    only when the driver GCs the reference and the ContextCleaner's
+    periodic GC runs — long-lived sessions running many dedup passes
+    accumulate checkpoint storage in the meantime. The analyzed plan of
+    a checkpointed Dataset is a ``LogicalRDD`` whose ``rdd`` accessor
+    is the locally-checkpointed RDD; unpersist it directly. Any JVM
+    shape change degrades to the old GC-time release, never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_components(
     pairs: DataFrame, max_iter: int = 30, checkpoint_every: int = 5
 ) -> DataFrame:
@@ -802,6 +817,12 @@ def dedup_components(
                 new_labels.unpersist()
                 raise
             labels.unpersist()
+            # right after a checkpoint rotation the outgoing `labels`
+            # is itself a localCheckpoint leaf — unpersist() above
+            # no-ops on those, so release the checkpoint blocks
+            # explicitly too (same trade as the unpersist: the new
+            # round's labels are already materialized)
+            _release_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -819,12 +840,16 @@ def dedup_components(
                 "(pair-graph diameter exceeds max_iter); raise max_iter"
             )
     finally:
-        # sym is a localCheckpoint leaf — its blocks are released by
-        # the ContextCleaner once unreferenced, no unpersist needed
+        # sym's checkpoint blocks (the full symmetric pair graph — the
+        # LARGEST relation this loop pins) are released explicitly the
+        # moment the loop is over (r14 ADVICE: GC + ContextCleaner
+        # timing could otherwise hold them for the life of a long
+        # session); on the failure path the current round's labels must
+        # not stay pinned either
+        _release_checkpoint(sym)
         if not converged:
-            # any failure path (action error, non-convergence) must not
-            # leave the current round's labels pinned in the session
             labels.unpersist()
+            _release_checkpoint(labels)
     # Truncate the final lineage before handing the labels out: the
     # round-over-round plan references the previous round's labels
     # TWICE per round (the nbr join and the left join), so the
@@ -943,6 +968,7 @@ def dedup_components_stars(
 
     n_rounds = 0
     stable = False
+    first_edges = edges
     try:
         for _ in range(max_iter):
             n_rounds += 1
@@ -958,7 +984,17 @@ def dedup_components_stars(
                 .union(edges.exceptAll(new_edges))
                 .isEmpty()
             )
-            edges = new_edges
+            # superseded round's checkpoint blocks: released explicitly
+            # instead of waiting for driver GC + ContextCleaner (r14
+            # ADVICE on the sibling loop); the convergence check above
+            # already consumed the old relation. NEVER the round-0
+            # input leaf — the lazily-persisted `nodes` relation still
+            # reads it at its first materialization (releasing it
+            # raised CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the final
+            # labels join; a checkpoint leaf cannot recompute).
+            superseded, edges = edges, new_edges
+            if superseded is not first_edges:
+                _release_checkpoint(superseded)
             if not changed:
                 stable = True
                 break

@@ -30,10 +30,15 @@ Scale shape (100 TB raw corpus):
 - scoring folds through ONE exchange (the per-document sum), and
   selection is a global top-k (TakeOrdered per-partition heaps —
   never a full sort).
-The raw corpus is scanned twice (once to estimate its bucket
-distribution, once to score) — both scans are narrow; persist the
-bucketed gram stream between them only when the scan dominates the
-gram pipeline (it rarely does: the explode is ~2x the token stream).
+``dsir_select`` runs ONE gram pass over the raw corpus: the keyed
+bucketed gram stream — (keys, bucket) only, never the gram strings —
+is persisted and feeds both the raw bucket-count estimate and the
+scoring join (the tokenize + md5-coin pipeline is the dominant term;
+the cache spills to executor disk at scale, which still beats paying
+it twice). The persisted relation rides on the result as
+``.gram_cache`` — long-lived sessions must release it (see the
+``dsir_select`` docstring). The standalone ``dsir_weights`` /
+``dsir_scores`` APIs still scan the raw corpus once each.
 
 No counterpart in the reference (``/root/reference/src`` has no
 importance-sampling machinery); this extends the training-data
@@ -258,7 +263,22 @@ def dsir_select(
     ``target == raw`` degenerates to every ``logw ~ 0`` — selection
     becomes a uniform sample, the same law as ``weighted_sample`` with
     constant weight (pinned in tests). Global top-k plans as
-    TakeOrdered (per-partition heaps), never a full sort."""
+    TakeOrdered (per-partition heaps), never a full sort.
+
+    Cache contract (the :func:`minhash_dedup` ``gram_cache`` pattern):
+    the raw corpus' (keys, bucket) gram stream is persisted so the
+    bucket-count estimate and the scoring join share one tokenize +
+    md5-coin pass, and the handle rides on the result as
+    ``.gram_cache``. Long-lived sessions MUST release it once the
+    selection's action completes::
+
+        sel = dsir_select(raw, target, k)
+        sel.write.parquet(...)
+        sel.gram_cache.unpersist()
+
+    (it is a plain Python attribute — LOST on any further DataFrame
+    transformation, so capture it before chaining). The registered
+    flow op defers exactly this unpersist to its teardown hook."""
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
     _validate_geometry(buckets, smoothing)

@@ -988,6 +988,90 @@ def ivf_topk(
     )
 
 
+def _cluster_gram_pairs(
+    id_field, dim: int, threshold: float, block_bytes: int = 32 << 20
+):
+    """Per-cluster pair kernel for :func:`semantic_dedup`'s ``gram``
+    verify path: one pandas group = one cluster's (k, v, nrm) rows;
+    emit (a, b, __raw) for every a < b pair whose raw cosine clears
+    ``threshold`` minus a one-ulp-scale safety margin (the EXACT
+    ``round(.., 6) >= threshold`` cut happens JVM-side on ``__raw``, so
+    the margin only prunes pairs no rounding could rescue).
+
+    Bit-exactness with the pair-join form: the similarity accumulates
+    dimension-by-dimension across the (block x n_c) matrix in the
+    fold's IEEE order (0.0 seed, dims left to right — the
+    :func:`pair_dot_udf` argument, one level up: whole cluster instead
+    of whole batch), then divides by the ``nrm_a * nrm_b`` product —
+    identical operations in identical order to
+    ``dot(a.v, b.v) / (a.nrm * b.nrm)`` per pair. NaN-poisoned vectors
+    yield NaN similarities that fail the threshold filter exactly as
+    the JVM expression's do; a ZERO norm in a cluster with pairs
+    raises, mirroring the session's ANSI divide-by-zero on the join
+    form's per-pair denominator.
+
+    Memory is bounded by processing the pair matrix in row blocks of
+    ``block_bytes`` (default 32 MB of float64 accumulator per task)
+    regardless of cluster size; the full n_c x dim vector block of one
+    cluster must still fit a task, which the n_clusters ~
+    N / target_cluster_size sizing rule guarantees with orders of
+    magnitude to spare."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=id_field),
+            "b": pd.Series(dtype=id_field),
+            "__raw": pd.Series(dtype="float64"),
+        }
+    )
+    margin = threshold - 1e-6
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("k")
+        ids = pdf["k"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        if np.any(nrm == 0.0):
+            # the join form divides nrm_a * nrm_b per pair under the
+            # session's ANSI mode, which raises on a zero denominator —
+            # a zero-norm vector in a >= 2-vector cluster must fail the
+            # same way here, not silently emit ±Inf similarities
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] semantic_dedup: zero-norm vector in a "
+                "cluster with pairs (cosine denominator is zero)"
+            )
+        bs = max(2, block_bytes // (8 * n))
+        outs = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, n - 1, bs):
+                hi = min(lo + bs, n)
+                acc = np.zeros((hi - lo, n))
+                for i in range(V.shape[1]):
+                    acc += np.multiply.outer(V[lo:hi, i], V[:, i])
+                sims = acc / np.multiply.outer(nrm[lo:hi], nrm)
+                iu, ju = np.nonzero(sims >= margin)
+                upper = ju > (iu + lo)  # a < b pairs only
+                iu, ju = iu[upper], ju[upper]
+                if len(iu):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "a": ids[iu + lo],
+                                "b": ids[ju],
+                                "__raw": sims[iu, ju],
+                            }
+                        )
+                    )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return kernel
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -999,6 +1083,7 @@ def semantic_dedup(
     init: str = "rng_sample",
     n_iter: int = 10,
     target_cluster_size: int = 250,
+    verify: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
     coarse k-means partition of the embedding space, exact cosine
@@ -1026,7 +1111,29 @@ def semantic_dedup(
     seeded quantizer the oracle uses (reference near-dup semantics:
     ``dedup.rs`` pair contracts — the embedding-space analog of
     MinHash pair generation).
+
+    ``verify`` picks the within-cluster pair kernel (identical pair
+    sets and bit-identical ``cosine_sim`` either way):
+
+    - ``'gram'`` (the ``'auto'`` default for integer ids): ONE
+      applyInPandas group per cluster computes the cluster's pair
+      similarities as a blocked gram matrix — dims accumulated in the
+      fold's IEEE order, so values match the join form bit for bit —
+      and only above-threshold pairs leave Python. The corpus crosses
+      the wire ONCE (one exchange on ``cluster``); the r14-measured
+      pair join materialized each vector once per candidate PAIR
+      through the join plus an Arrow round trip per pair row (~3.4x
+      slower at sf0.1, and pair-proportional instead of
+      corpus-proportional shuffle at scale). Trade: one cluster = one
+      task (no AQE splitting of a pathologically hot cell — the
+      n_clusters ~ N/target_cluster_size rule is what bounds cell
+      size), and the ordering guarantee needs ids whose Python/numpy
+      sort matches Spark's (integers; other id types auto-fall back).
+    - ``'join'``: the r6-r14 pair join + Arrow pair-dot verify —
+      AQE-splittable, any orderable id type.
     """
+    if verify not in ("auto", "gram", "join"):
+        raise ValueError(f"unknown semantic_dedup verify: {verify!r}")
     if n_clusters == "auto":
         n_clusters = max(1, -(-df.count() // target_cluster_size))
     cent = centroids or ivf_centroids(
@@ -1042,6 +1149,34 @@ def semantic_dedup(
         )
         .withColumn("nrm", l2_norm(F.col("v")))
     )
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    integral_id = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    if verify == "gram" and not integral_id:
+        raise ValueError(
+            "semantic_dedup verify='gram' needs integer ids (Python and "
+            "Spark must sort them identically); use verify='join'"
+        )
+    if verify != "join" and integral_id and cent:
+        kernel = _cluster_gram_pairs(
+            "int64", len(cent[0]), float(threshold)
+        )
+        raw = assigned.groupBy("cluster").applyInPandas(
+            kernel,
+            schema=(
+                f"a {id_type.simpleString()}, "
+                f"b {id_type.simpleString()}, __raw double"
+            ),
+        )
+        # the EXACT cut stays a JVM expression on the bit-identical raw
+        # similarity — the kernel's margin pre-filter only drops pairs
+        # that cannot round back above the threshold
+        return raw.select(
+            "a", "b", F.round(F.col("__raw"), 6).alias("cosine_sim")
+        ).filter(F.col("cosine_sim") >= threshold)
     a, b = assigned.alias("a"), assigned.alias("b")
     # the verify dot runs in the Arrow kernel (bit-identical to the
     # fold; centroid width = vector width) — the interpreted fold was

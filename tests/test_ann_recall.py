@@ -39,15 +39,22 @@ SF01 = "/root/testdata/sf0.1"
 
 @pytest.fixture(scope="module")
 def planted_report(spark):
+    # pq_configs trimmed to the one config the PQ fidelity spot-check
+    # replays — no floor test reads report["pq"], and the full 4-config
+    # codebook sweep (the CLI tool's default) cost ~60 s of the
+    # suite's driver budget (r14 VERDICT item 2)
     sf = make_planted(spark)
     return measure(spark, sf, stride=20, ivf_nprobes=(1, 2, 4),
-                   lsh_bits=(4, 8), fidelity_queries=2)
+                   lsh_bits=(4, 8), fidelity_queries=2,
+                   pq_configs=((4, 64),))
 
 
 @pytest.fixture(scope="module")
 def organic_report(spark):
+    # only the ivf nprobe=4 + auto-geometry floors read this report:
+    # no lsh/pq section, no fidelity replay (same trim rationale)
     return measure(spark, SF01, stride=20, ivf_nprobes=(4,),
-                   lsh_bits=(4,), fidelity_queries=0)
+                   lsh_bits=(), fidelity_queries=0, pq_configs=())
 
 
 def test_ivf_recall_floor_on_clustered_data(planted_report):

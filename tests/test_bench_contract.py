@@ -22,12 +22,25 @@ def _fake_detail() -> dict:
         "unit": "sec",
         "queries": queries,
         "queries_warm": queries,
+        "queries_pass3": queries,
+        "queries_min3": queries,
+        "min3_total": round(sum(queries.values()), 3),
+        "min3_compact": [123.456 for _ in HEADLINE],
+        "canary": {
+            "start": 123.456,
+            "mid": 123.456,
+            "end": 123.456,
+            "steal_pct": 99.99,
+        },
         "warm_total": round(sum(queries.values()), 3),
         "headline2": {
             "queries2": queries2,
             "queries2_warm": queries2,
+            "queries2_rep3": queries2,
+            "queries2_min3": queries2,
             "value2": round(sum(queries2.values()), 3),
             "warm2_total": round(sum(queries2.values()), 3),
+            "min3_total2": round(sum(queries2.values()), 3),
         },
         "index_serving": {
             "ivf": {"build": 1234.567, "serve": 1234.567},
@@ -47,9 +60,11 @@ def _fake_detail() -> dict:
 def test_stdout_line_parses_and_fits_tail_window():
     line = stdout_line(_fake_detail())
     assert "\n" not in line
-    # 1700 leaves headroom for query-name growth before the 2000-char
-    # driver tail window truncates the head again
-    assert len(line) < 1700, len(line)
+    # 1900 leaves headroom before the 2000-char driver tail window
+    # truncates the head again (the r15 min3/canary additions spent
+    # most of the old 1700 budget; real timings are shorter than the
+    # 123.456 worst case used here)
+    assert len(line) < 1900, len(line)
     obj = json.loads(line)
     assert obj["metric"] == "headline_queries_total"
     assert set(obj["queries"]) == set(HEADLINE)
@@ -58,6 +73,12 @@ def test_stdout_line_parses_and_fits_tail_window():
     assert obj["unit"] == "sec"
     assert obj["detail"] == "BENCH_SELF.json"
     assert obj["streaming_rps"]["stateful_dfg"] == 60592
+    # r15 noise-defense additions (r14 VERDICT item 1): min-of-3 totals,
+    # the compact per-query min-of-3 array (HEADLINE order), canary
+    assert obj["min3_total"] == round(123.456 * len(HEADLINE), 3)
+    assert obj["min3"] == [123.456] * len(HEADLINE)
+    assert obj["min3_total2"] == round(123.456 * len(HEADLINE2), 3)
+    assert obj["canary"]["steal_pct"] == 99.99
     # ANN serving split: both phases of both index kinds ride the line
     assert obj["index_serving"]["ivf"]["serve"] == 1234.567
     assert obj["index_serving"]["ivfpq"]["build"] == 1234.567

@@ -115,8 +115,11 @@ def test_trace_clustering_voronoi(event_log):
 def test_trace_clustering_lloyd_refinement(event_log):
     from promi_spark.operators.mining import trace_clustering
 
+    # one Lloyd step suffices for the monotonicity property (each step
+    # must not increase cost); n_iter=2 nested one more lazy join round
+    # into every action for ~20 s more of the suite's driver budget
     v0 = trace_clustering(event_log, k=4, n_iter=0)
-    v2 = trace_clustering(event_log, k=4, n_iter=2)
+    v2 = trace_clustering(event_log, k=4, n_iter=1)
     cost0 = v0.agg(F.sum("dist2")).first()[0]
     cost2 = v2.agg(F.sum("dist2")).first()[0]
     # Lloyd steps never increase total within-cluster squared distance

@@ -143,10 +143,13 @@ def test_lsh_verify_after_pair_distinct(spark, sf):
 
 
 def test_semantic_dedup_cluster_bucketed_join(spark, sf):
-    """semantic_dedup's verify join is bucketed by the cluster key
-    (hashpartitioning on cluster feeds the self-join) and — unlike the
-    banded LSH paths — needs NO distinct stage: one cluster per vector
-    means pairs are unique by construction."""
+    """semantic_dedup's verify is bucketed by the cluster key and —
+    unlike the banded LSH paths — needs NO distinct stage: one cluster
+    per vector means pairs are unique by construction. r15: the default
+    verify is the per-cluster gram kernel (FlatMapGroupsInPandas keyed
+    on cluster — the corpus shuffles ONCE, never the pair set); the
+    r6-r14 pair join stays available as verify='join' with its old
+    cluster-keyed equi-join shape."""
     from promi_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -154,12 +157,23 @@ def test_semantic_dedup_cluster_bucketed_join(spark, sf):
         semantic_dedup(emb, threshold=0.35, n_clusters=8,
                        init="lowest_ids", n_iter=0)
     )
+    # one group per cluster, one exchange on cluster, no pair join and
+    # no distinct agg anywhere
+    assert "FlatMapGroupsInPandas" in plan
+    assert re.search(r"hashpartitioning\(cluster", plan)
+    assert "Join" not in plan
+    assert not re.search(r"Functions: \[\]", plan)  # no distinct agg
+
+    plan_j = explain(
+        semantic_dedup(emb, threshold=0.35, n_clusters=8,
+                       init="lowest_ids", n_iter=0, verify="join")
+    )
     # equi-join keyed on cluster (broadcast at this sf; a shuffle join
     # hash-partitioned on cluster at scale — either way the join is
     # bucket-bounded, never all-pairs)
-    assert re.search(r"Left keys \[1\]: \[cluster", plan)
-    assert re.search(r"Right keys \[1\]: \[cluster", plan)
-    assert not re.search(r"Functions: \[\]", plan)  # no distinct agg
+    assert re.search(r"Left keys \[1\]: \[cluster", plan_j)
+    assert re.search(r"Right keys \[1\]: \[cluster", plan_j)
+    assert not re.search(r"Functions: \[\]", plan_j)  # no distinct agg
 
 
 def test_trace_filter_single_window_shuffle(spark, sf):
@@ -476,21 +490,40 @@ def test_registry_wide_no_cartesian_no_interpreted_python(spark):
     This is the standing form of the judge's manual audit: a new
     operator that regresses into a cartesian or an interpreted UDF
     fails here even without a dedicated plan test."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from promi_spark.operators import multimodal as mm
     from promi_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    violations = []
-    for name, (fn, _sql) in QUERIES.items():
+    # the media fixture's exists-guard is not concurrency-safe on first
+    # build — warm it once before the parallel sweep
+    mm.media_fixture(spark)
+
+    def check(item) -> list[str]:
+        name, (fn, _sql) = item
         plan = explain(fn(spark, sf))
+        v = []
         if "CartesianProduct" in plan:
-            violations.append(f"{name}: CartesianProduct")
+            v.append(f"{name}: CartesianProduct")
         if "BatchEvalPython" in plan:
-            violations.append(f"{name}: BatchEvalPython")
+            v.append(f"{name}: BatchEvalPython")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
-            violations.append(f"{name}: undocumented BroadcastNestedLoopJoin")
+            v.append(f"{name}: undocumented BroadcastNestedLoopJoin")
         if (
             unpartitioned_windows(plan)
             and name not in WINDOW_UNPARTITIONED_BOUNDED
         ):
-            violations.append(f"{name}: unpartitioned Window")
+            v.append(f"{name}: unpartitioned Window")
+        return v
+
+    # query BUILD + Catalyst analysis is driver/py4j-bound, not
+    # executor-bound — a small thread pool overlaps the round trips
+    # (each query's own side effects write query-unique /tmp paths, so
+    # distinct queries are safe to build concurrently); sequential this
+    # sweep cost 70 s of the suite's driver budget (r14 VERDICT item 2)
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        violations = [
+            v for vs in pool.map(check, QUERIES.items()) for v in vs
+        ]
     assert not violations, violations

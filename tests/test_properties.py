@@ -497,7 +497,11 @@ def test_simhash_and_lsh_share_the_megabucket_guard(spark):
     from promi_spark.operators.dedup import simhash_candidates
     from promi_spark.operators.similarity import lsh_near_dups
 
-    n_dup = 2000
+    # 600 identical docs is still a mega-bucket by orders of magnitude
+    # (179,700 within-class pairs vs 16 bands); the 2000-doc version
+    # proved the same m(m-1)/2 property for ~40 s more of the suite's
+    # driver budget (r14 VERDICT item 2)
+    n_dup = 600
     docs = spark.range(n_dup + 3).select(
         F.col("id").alias("doc_id"),
         F.when(

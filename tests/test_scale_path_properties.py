@@ -20,7 +20,7 @@ edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
 edge_rows = st.lists(edge, min_size=1, max_size=15)
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=vec_rows, threshold=st.sampled_from([-0.5, 0.0, 0.5, 1.0]))
 def test_blocked_cosine_kernel_matches_expression_plan(spark, rows, threshold):

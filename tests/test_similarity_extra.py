@@ -138,6 +138,67 @@ def test_semantic_dedup_subset_of_exact_with_high_recall(spark, sf_dir):
     assert clustered == again
 
 
+def test_semantic_dedup_gram_kernel_matches_join_verify(spark, sf_dir):
+    """r15: the default per-cluster gram-matrix verify must equal the
+    r6-r14 pair-join + Arrow-dot verify EXACTLY — pair set AND rounded
+    similarities — including on tie-prone dyadic vectors (exact .5
+    rounding digits), NaN-poisoned rows, duplicate vectors, and under a
+    forced multi-row-block kernel path."""
+    from promi_spark.operators import similarity as S
+    from promi_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def run(df, **kw):
+        return {
+            (r["a"], r["b"]): r["cosine_sim"]
+            for r in semantic_dedup(
+                df, n_clusters=4, init="lowest_ids", n_iter=0, **kw
+            ).collect()
+        }
+
+    assert run(emb, threshold=0.3) == run(emb, threshold=0.3, verify="join")
+
+    rows = [
+        (0, [0.5, 0.5, 0.25, 0.0]),
+        (1, [0.5, 0.5, 0.25, 0.0]),      # duplicate: cosine exactly 1.0
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (4, [float("nan"), 1.0, 0.0, 0.0]),
+        (5, [-0.5, 0.25, 0.125, 2.0]),
+        (6, [2.0, -1.0, 0.5, 0.25]),
+        (7, [0.5, 0.5, 0.25, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.0, 0.5, 1.0):
+        assert run(df, threshold=thr) == run(df, threshold=thr, verify="join")
+
+    # multi-block kernel path (3-row blocks) is value-identical too
+    orig = S._cluster_gram_pairs
+    S._cluster_gram_pairs = lambda idf, dim, thr, block_bytes=0: orig(
+        idf, dim, thr, block_bytes=8 * len(rows) * 3
+    )
+    try:
+        blocked = run(df, threshold=0.0)
+    finally:
+        S._cluster_gram_pairs = orig
+    assert blocked == run(df, threshold=0.0, verify="join")
+
+    # zero-norm vectors raise on BOTH paths (the session's ANSI
+    # divide-by-zero contract on the cosine denominator)
+    import pytest
+
+    zdf = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for kw in ({}, {"verify": "join"}):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            semantic_dedup(
+                zdf, threshold=0.0, n_clusters=1,
+                init="lowest_ids", n_iter=0, **kw
+            ).collect()
+
+
 def test_winnow_shared_fingerprints(spark):
     """Documents sharing a long substring share fingerprints; unrelated
     documents (different alphabets) share none."""

@@ -94,6 +94,7 @@ def measure(
     ivf_nprobes: tuple = (1, 2, 4, 8),
     lsh_bits: tuple = (4, 6, 8),
     fidelity_queries: int = 3,
+    pq_configs: tuple = ((4, 16), (4, 64), (8, 64), (16, 64)),
 ) -> dict:
     """Compute the recall@k report dict (see module docstring)."""
     import numpy as np
@@ -229,11 +230,12 @@ def measure(
     from promi_spark.operators import pq as pqm
 
     Vr = Vraw[order]  # same id sort as ids / V
-    d2_raw = ((Vr[:, None, :] - Vr[None, :, :]) ** 2).sum(2)
-    np.fill_diagonal(d2_raw, np.inf)
+    if pq_configs:
+        d2_raw = ((Vr[:, None, :] - Vr[None, :, :]) ** 2).sum(2)
+        np.fill_diagonal(d2_raw, np.inf)
     report["pq"] = {}
     pq_books_cache = {}
-    for m_sub, n_codes in ((4, 16), (4, 64), (8, 64), (16, 64)):
+    for m_sub, n_codes in pq_configs:
         books = pqm.pq_codebooks(
             emb, dim=dim, m_subspaces=m_sub, n_codes=n_codes,
             init="kmeans", n_iter=10, seed=42,
@@ -302,14 +304,19 @@ def measure(
             f"ivf fidelity: operator {op_ids} != replay {replay} (q={ids[qi]})"
         )
     # PQ fidelity: the real pq_topk (round-6 ADC, asc, id tie-break)
-    # against the numpy replay over the operator's own codes/books
-    books = pq_books_cache[(4, 64)]
-    enc = {
-        r["vec_id"]: [r[f"code_{m}"] for m in range(4)]
-        for r in pqm.pq_encode(emb, books).collect()
-    }
-    code_arr = np.array([enc[int(i)] for i in ids])
-    for qi in q_idx[:nspot]:
+    # against the numpy replay over the operator's own codes/books —
+    # skipped when no fidelity queries were requested or the (4, 64)
+    # books were not trained this run (pq_configs trimmed)
+    if nspot and (4, 64) in pq_books_cache:
+        books = pq_books_cache[(4, 64)]
+        enc = {
+            r["vec_id"]: [r[f"code_{m}"] for m in range(4)]
+            for r in pqm.pq_encode(emb, books).collect()
+        }
+        code_arr = np.array([enc[int(i)] for i in ids])
+    else:
+        books = None
+    for qi in q_idx[: nspot if books is not None else 0]:
         qvec = [float(x) for x in Vr[qi]]
         op = pqm.pq_topk(
             emb.filter(F.col("vec_id") != int(ids[qi])), books, qvec, k=k
