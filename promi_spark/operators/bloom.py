@@ -214,9 +214,28 @@ def write_bloom_index(
     from promi_spark.operators.similarity import _hadoop_write_text
 
     if m_bits is None or k is None:
-        n = n_items if n_items is not None else df.select(col).distinct().count()
-        m_bits, k = bloom_params(n, fp_rate)
-    bloom_build(df, col, m_bits, k).write.mode("overwrite").parquet(path)
+        # the sizing count and the build both consume the full value
+        # relation — persist it so the reference corpus' gram pipeline
+        # (tokenize + n-gram explode + distinct upstream of this call)
+        # runs ONCE, not once per pass; at 100 TB the second pass was a
+        # whole reference-corpus scan. The distinct() stays for raw
+        # callers; over an already-distinct input it collapses to the
+        # cache read + one exchange of the (small) value relation.
+        vals = df.persist()
+        try:
+            n = (
+                n_items
+                if n_items is not None
+                else vals.select(col).distinct().count()
+            )
+            m_bits, k = bloom_params(n, fp_rate)
+            bloom_build(vals, col, m_bits, k).write.mode(
+                "overwrite"
+            ).parquet(path)
+        finally:
+            vals.unpersist()
+    else:
+        bloom_build(df, col, m_bits, k).write.mode("overwrite").parquet(path)
     meta = {
         "m_bits": m_bits,
         "k": k,

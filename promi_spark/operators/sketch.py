@@ -67,14 +67,18 @@ def mg_update(counts: dict, batch_counts, capacity: int) -> dict:
     return counts
 
 
-def mg_candidates(
-    df: DataFrame, col: str, capacity: int
+def _mg_summaries(
+    df: DataFrame, col: str, capacity: int, with_rows: bool = False
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries, unioned: ``(item, est)``
     where ``est`` lower-bounds the partition count by at most
     ``n_p / capacity``. Null items are ignored (they cannot equi-join
-    in the verify pass; count them separately if needed). The union is
-    a superset of every item with global count ``> n / capacity``."""
+    in the verify pass; count them separately if needed). With
+    ``with_rows`` each partition ALSO emits one ``(NULL, n_p)`` row
+    carrying its exact non-null row count — nulls were filtered before
+    the sketch, so the sentinel cannot collide with a real item; this
+    lets :func:`heavy_hitters` derive the exact stream size from the
+    sketch pass instead of a separate full count() scan."""
     if capacity < 1:
         raise ValueError("mg_candidates: capacity must be >= 1")
     field = df.schema[col]
@@ -90,10 +94,14 @@ def mg_candidates(
         import pandas as pd
 
         counts: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             counts = mg_update(
                 counts, pdf["item"].value_counts().items(), capacity
             )
+        if with_rows and n_rows:
+            yield pd.DataFrame({"item": [None], "est": [n_rows]})
         if counts:
             yield pd.DataFrame(
                 {"item": list(counts), "est": list(counts.values())}
@@ -102,6 +110,17 @@ def mg_candidates(
     return src.filter(F.col("item").isNotNull()).mapInPandas(
         summarize, out_schema
     )
+
+
+def mg_candidates(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: ``(item, est)``
+    where ``est`` lower-bounds the partition count by at most
+    ``n_p / capacity``. Null items are ignored (they cannot equi-join
+    in the verify pass; count them separately if needed). The union is
+    a superset of every item with global count ``> n / capacity``."""
+    return _mg_summaries(df, col, capacity, with_rows=False)
 
 
 def heavy_hitters(
@@ -123,7 +142,16 @@ def heavy_hitters(
       owns ``capacity > n / min_count``.
     - ``min_frac``: fractional — threshold ``ceil(n * min_frac)``,
       capacity ``ceil(1 / min_frac) + 1`` (scale-invariant sketch
-      memory). The one count() action computes ``n``.
+      memory, known WITHOUT ``n``). r15: ``n`` itself now rides out of
+      the sketch pass as exact per-partition row counts (sentinel rows
+      of :func:`_mg_summaries`), so the stream is scanned exactly
+      TWICE (sketch + verify) instead of three times — the separate
+      full count() scan is gone; at 100 TB that is a whole corpus pass.
+      The tiny summary relation (<= partitions x capacity rows) is
+      persisted for its two readers and rides on the result as
+      ``.cands_cache`` (``None`` on the min_count path) — long-lived
+      sessions should ``unpersist()`` it once their action completes;
+      identical re-invocations share one CacheManager entry.
     """
     if (min_count is None) == (min_frac is None):
         raise ValueError(
@@ -138,19 +166,41 @@ def heavy_hitters(
     if min_frac is not None:
         if not 0 < min_frac < 1:
             raise ValueError("heavy_hitters: min_frac must be in (0, 1)")
-        n = df.filter(nn).count()
-        min_count = int(math.ceil(n * min_frac))
         capacity = int(math.ceil(1.0 / min_frac)) + 1
-    elif capacity is None:
-        n = df.filter(nn).count()
-        capacity = n // min_count + 1
-    cands = mg_candidates(df, col, capacity).select(
-        F.col("item").alias(col)
-    ).distinct()
-    return (
+        # the sketch pass is persisted (<= partitions x capacity rows —
+        # the same relation the verify join broadcasts, so it is
+        # driver/executor-sized by design) and serves BOTH the exact
+        # stream size (one tiny aggregate over the sentinel rows,
+        # materializing the cache) and the candidate set the verify
+        # join broadcasts. The handle rides on the result as
+        # ``.cands_cache`` (minhash_dedup's gram_cache convention):
+        # long-lived sessions release it once their action completes;
+        # identical re-invocations share one CacheManager entry.
+        summ = _mg_summaries(df, col, capacity, with_rows=True).persist()
+        n = (
+            summ.filter(F.col("item").isNull()).agg(F.sum("est")).first()[0]
+            or 0
+        )
+        min_count = int(math.ceil(n * min_frac))
+        cands = (
+            summ.filter(F.col("item").isNotNull())
+            .select(F.col("item").alias(col))
+            .distinct()
+        )
+    else:
+        if capacity is None:
+            n = df.filter(nn).count()
+            capacity = n // min_count + 1
+        summ = None
+        cands = mg_candidates(df, col, capacity).select(
+            F.col("item").alias(col)
+        ).distinct()
+    out = (
         df.filter(nn)
         .join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= F.lit(int(min_count)))
     )
+    out.cands_cache = summ
+    return out

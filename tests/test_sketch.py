@@ -225,3 +225,43 @@ def test_heavy_hitters_min_count_validated_on_both_paths(spark, zipf_items):
         heavy_hitters(zipf_items, "item", min_count=0, capacity=64)
     with pytest.raises(ValueError, match="min_count"):
         heavy_hitters(zipf_items, "item", min_count=-3, capacity=64)
+
+
+def test_mg_summary_sentinel_rows_carry_exact_stream_size(spark):
+    """r15: the min_frac path derives the exact stream size from the
+    sketch pass's per-partition NULL-sentinel rows instead of a
+    separate full count() scan — the sum of sentinel counts must equal
+    the exact non-null row count, candidates must be unchanged, and
+    the heavy_hitters output must still equal GROUP BY ... HAVING."""
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.sketch import _mg_summaries, heavy_hitters
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 23).cast("string")))
+        .alias("item")
+    ).repartition(5)
+    exact_n = df.filter(F.col("item").isNotNull()).count()
+
+    rows = _mg_summaries(df, "item", capacity=8, with_rows=True).collect()
+    assert sum(r["est"] for r in rows if r["item"] is None) == exact_n
+    # sentinel rows do not change the candidate summaries
+    plain = _mg_summaries(df, "item", capacity=8, with_rows=False).collect()
+    assert sorted(
+        (r["item"], r["est"]) for r in rows if r["item"] is not None
+    ) == sorted((r["item"], r["est"]) for r in plain)
+
+    got = {
+        (r["item"], r["n_occurrences"])
+        for r in heavy_hitters(df, "item", min_frac=0.03).collect()
+    }
+    want = {
+        (r["item"], r["n"])
+        for r in df.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= exact_n * 0.03)
+        .collect()
+    }
+    assert got == want and got
