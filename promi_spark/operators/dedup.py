@@ -114,36 +114,42 @@ def gram_hash_rows(
     array_intersect) operate on longs; collisions (~2^-64/pair) are
     negligible for dedup.
     """
-    toks_df = df.select(
-        F.col(key_col).alias("k"), tokens(_norm(text_col)).alias("toks")
+    # Built as selectExpr strings — ONE py4j round trip per projection
+    # stage instead of one per Column operation (the r14 literal-collapse
+    # lever applied to the hottest build path in the repo: this function
+    # is issued per batch by every minhash/index/probe query, and the
+    # unrolled Column form cost ~440 round trips / ~0.15 s of pure
+    # driver latency per issue). The parsed expressions are the same
+    # functions in the same order, so the analyzed plan — and therefore
+    # every row — is unchanged (pinned by
+    # test_gram_hash_rows_sql_build_same_plan).
+    norm = (
+        f"regexp_replace(lower(trim(`{text_col}`)), '\\\\s+', ' ')"
     )
-    toks = F.col("toks")
-    shifted = toks_df.select(
+    toks_df = df.selectExpr(
+        f"`{key_col}` AS k", f"split(trim({norm}), '\\\\s+') AS toks"
+    )
+    shifted = toks_df.selectExpr(
         "k",
-        F.size(toks).alias("n_toks"),
-        *[F.slice(toks, j + 1, _MAX).alias(f"t{j}") for j in range(n)],
-        F.array_join(toks, " ").alias("whole"),
+        "size(toks) AS n_toks",
+        *[f"slice(toks, {j + 1}, {_MAX}) AS t{j}" for j in range(n)],
+        "array_join(toks, ' ') AS whole",
     )
-    zipped = F.when(
-        F.col("n_toks") >= n,
-        F.slice(
-            F.arrays_zip(*[f"t{j}" for j in range(n)]),
-            1,
-            F.col("n_toks") - (n - 1),
-        ),
-    ).otherwise(
-        F.array(
-            F.struct(
-                F.col("whole").alias("t0"),
-                *[
-                    F.lit(None).cast("string").alias(f"t{j}")
-                    for j in range(1, n)
-                ],
-            )
-        )
+    zip_cols = ", ".join(f"t{j}" for j in range(n))
+    null_tail = ", ".join(
+        f"'t{j}', CAST(NULL AS STRING)" for j in range(1, n)
     )
-    return shifted.select("k", F.explode(zipped).alias("g")).select(
-        "k", F.xxhash64(*[f"g.t{j}" for j in range(n)]).alias("h")
+    struct_sql = (
+        f"named_struct('t0', whole{', ' + null_tail if null_tail else ''})"
+    )
+    zipped = (
+        f"CASE WHEN n_toks >= {n} THEN "
+        f"slice(arrays_zip({zip_cols}), 1, n_toks - {n - 1}) "
+        f"ELSE array({struct_sql}) END"
+    )
+    hash_args = ", ".join(f"g.t{j}" for j in range(n))
+    return shifted.selectExpr("k", f"explode({zipped}) AS g").selectExpr(
+        "k", f"xxhash64({hash_args}) AS h"
     )
 
 
@@ -199,14 +205,28 @@ def _sigs_from_rows(rows: DataFrame, num_hashes: int) -> DataFrame:
     return rows.groupBy("k").agg(_sig_agg_expr(num_hashes))
 
 
-def band_buckets(sig_col: Column, num_hashes: int, bands: int) -> Column:
+def band_buckets(
+    sig_col: Column | str, num_hashes: int, bands: int
+) -> Column:
     """Array of ``bands`` bucket ids: xxhash64 over (band index, the
     band's signature slice). Cheap — operates on a materialized
-    64-element array attribute, never on an expression subtree."""
+    64-element array attribute, never on an expression subtree. Built
+    as ONE parsed expression (the transform/lambda Column form cost
+    ~80 py4j round trips per issue); accepts the signature column as a
+    Column only when it is a plain attribute reference (its SQL is its
+    name) — callers pass ``"sig"``."""
+    name = sig_col if isinstance(sig_col, str) else sig_col._jc.toString()
+    return F.expr(_band_buckets_sql(name, num_hashes, bands))
+
+
+def _band_buckets_sql(name: str, num_hashes: int, bands: int) -> str:
+    """The :func:`band_buckets` expression as its SQL source — for
+    callers embedding it inside a larger parsed expression (the
+    pre-banded index write)."""
     rows = num_hashes // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(b, F.slice(sig_col, b * rows + 1, rows)),
+    return (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(b, slice({name}, b * {rows} + 1, {rows})))"
     )
 
 
@@ -324,12 +344,17 @@ def _collapsed_banded_pairs(
     # sign pipeline is the costliest expression in the family); the
     # window form is one evaluation and one exchange on sig, then the
     # persist makes every downstream reference a cache read
-    tagged = sigs.select("k", "sig").withColumn(
-        "rep", F.min("k").over(Window.partitionBy("sig"))
+    tagged = sigs.selectExpr(
+        "k", "sig", "min(k) OVER (PARTITION BY sig) AS rep"
     )
     if cache:
         tagged = tagged.persist()
-    reps = tagged.filter(F.col("k") == F.col("rep")).select("k", "sig")
+    # joins/selects below are parsed expressions where the arguments
+    # are plain attribute references — same analyzed plans as the
+    # Column forms (test_sql_collapsed_builds_plan_identical_to_
+    # column_forms pins the representative cases), ~40% fewer py4j
+    # round trips per issue across the minhash/simhash/lsh family
+    reps = tagged.filter("k = rep").select("k", "sig")
     mem = tagged.select("k", "rep")
 
     banded = reps.select(
@@ -349,27 +374,21 @@ def _collapsed_banded_pairs(
     rep_pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.k") < F.col("b.k")),
+            F.expr("a.band = b.band AND a.bucket = b.bucket AND a.k < b.k"),
         )
-        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .selectExpr("a.k AS a", "b.k AS b")
         .distinct()
     )
     cross = (
-        rep_pairs.join(
-            mem.select(F.col("rep").alias("a"), F.col("k").alias("ka")), "a"
-        )
-        .join(mem.select(F.col("rep").alias("b"), F.col("k").alias("kb")), "b")
-        .select(
-            F.least("ka", "kb").alias("a"), F.greatest("ka", "kb").alias("b")
-        )
+        rep_pairs.join(mem.selectExpr("rep AS a", "k AS ka"), "a")
+        .join(mem.selectExpr("rep AS b", "k AS kb"), "b")
+        .selectExpr("least(ka, kb) AS a", "greatest(ka, kb) AS b")
     )
     x = mem.alias("x")
     y = mem.alias("y")
     within = x.join(
-        y, (F.col("x.rep") == F.col("y.rep")) & (F.col("x.k") < F.col("y.k"))
-    ).select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+        y, F.expr("x.rep = y.rep AND x.k < y.k")
+    ).selectExpr("x.k AS a", "y.k AS b")
     out = within.unionByName(cross)
     # release handle for the tagging cache (mirrors minhash_dedup's
     # gram_cache contract)
@@ -377,10 +396,34 @@ def _collapsed_banded_pairs(
     return out
 
 
-def jaccard(a_shingles: Column, b_shingles: Column) -> Column:
-    """Exact Jaccard over shingle arrays (verification step)."""
-    inter = F.size(F.array_intersect(a_shingles, b_shingles))
-    union = F.size(F.array_union(a_shingles, b_shingles))
+def jaccard(a_shingles: Column | str, b_shingles: Column | str) -> Column:
+    """Exact Jaccard over shingle arrays (verification step). One
+    parsed expression when both sides are plain attribute references
+    (the Column form cost ~90 py4j round trips per issue — paid once
+    per verify join across the minhash family); falls back to the
+    Column build for computed arguments."""
+    if not isinstance(a_shingles, (str, Column)):
+        raise TypeError("jaccard: pass Columns or column names")
+    a_sql = (
+        a_shingles
+        if isinstance(a_shingles, str)
+        else a_shingles._jc.toString()
+    )
+    b_sql = (
+        b_shingles
+        if isinstance(b_shingles, str)
+        else b_shingles._jc.toString()
+    )
+    if a_sql.isidentifier() and b_sql.isidentifier():
+        return F.expr(
+            f"CASE WHEN size(array_union({a_sql}, {b_sql})) = 0 THEN 0.0D "
+            f"ELSE CAST(size(array_intersect({a_sql}, {b_sql})) AS DOUBLE) "
+            f"/ size(array_union({a_sql}, {b_sql})) END"
+        )
+    a_c = F.col(a_shingles) if isinstance(a_shingles, str) else a_shingles
+    b_c = F.col(b_shingles) if isinstance(b_shingles, str) else b_shingles
+    inter = F.size(F.array_intersect(a_c, b_c))
+    union = F.size(F.array_union(a_c, b_c))
     return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
 
 
@@ -451,7 +494,7 @@ def minhash_dedup(
         .select(
             "a",
             "b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+            F.round(jaccard("sh_a", "sh_b"), 4).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
@@ -501,8 +544,19 @@ def write_minhash_index(
         # window form is one exchange on sig — the same rewrite
         # _collapsed_banded_pairs carries (identical rep values:
         # min(k) per exact signature either way).
-        tagged = sigs.withColumn(
-            "rep", F.min("k").over(Window.partitionBy("sig"))
+        tagged = sigs.selectExpr(
+            "*", "min(k) OVER (PARTITION BY sig) AS rep"
+        )
+        # pre-banded bucket codes for the REP rows (r14 deferred-idea
+        # re-measured r15: computing band_buckets over the index reps
+        # cost ~0.12 s per probe at sf0.1 vs ~0.03 s once at build;
+        # every future probe reads the stored array instead). NULL for
+        # non-rep member rows — compresses away; probes on an index
+        # written before this column existed recompute it (fallback in
+        # minhash_dedup_incremental).
+        bb = _band_buckets_sql("sig", num_hashes, bands)
+        tagged = tagged.selectExpr(
+            "*", f"CASE WHEN k = rep THEN {bb} ELSE NULL END AS bb"
         )
         tagged.join(sh, "k").write.mode("overwrite").parquet(path)
     finally:
@@ -621,39 +675,39 @@ def minhash_dedup_incremental(
         cands_new = None
         tag_n = None
     if tag_n is None:  # include_new_pairs=False, or cache=False
-        tag_n = sigs_new.select("k", "sig").withColumn(
-            "rep", F.min("k").over(Window.partitionBy("sig"))
+        tag_n = sigs_new.selectExpr(
+            "k", "sig", "min(k) OVER (PARTITION BY sig) AS rep"
         )
-    reps_n = tag_n.filter(F.col("k") == F.col("rep")).select("k", "sig")
+    reps_n = tag_n.filter("k = rep").select("k", "sig")
     mem_n = tag_n.select("k", "rep")
-    reps_i = idx.filter(F.col("k") == F.col("rep")).select("k", "sig")
     mem_i = idx.select("k", "rep")
+    if "bb" in idx.columns:
+        # r15 pre-banded index: the reps' band-bucket codes were
+        # computed once at build time (write_minhash_index stores them
+        # on rep rows only) — every probe reads the array instead of
+        # re-hashing |classes| x bands slices. Identical codes by
+        # construction: the stored expression IS band_buckets(sig).
+        banded_i = idx.filter("k = rep").select(
+            "k", F.posexplode("bb").alias("band", "bucket")
+        )
+    else:
+        banded_i = banded(idx.filter("k = rep").select("k", "sig"))
     rep_cross = (
         banded(reps_n)
         .alias("n")
         .join(
-            banded(reps_i).alias("i"),
-            (F.col("n.band") == F.col("i.band"))
-            & (F.col("n.bucket") == F.col("i.bucket")),
+            banded_i.alias("i"),
+            F.expr("n.band = i.band AND n.bucket = i.bucket"),
         )
-        .select(F.col("n.k").alias("rn"), F.col("i.k").alias("ri"))
+        .selectExpr("n.k AS rn", "i.k AS ri")
         .distinct()
     )
     cross = (
-        rep_cross.join(
-            mem_n.select(F.col("rep").alias("rn"), F.col("k").alias("nk")),
-            "rn",
-        )
-        .join(
-            mem_i.select(F.col("rep").alias("ri"), F.col("k").alias("ik")),
-            "ri",
-        )
-        .filter(F.col("nk") != F.col("ik"))
-        .select(
-            F.least(F.col("nk"), F.col("ik")).alias("a"),
-            F.greatest(F.col("nk"), F.col("ik")).alias("b"),
-            "nk",
-            "ik",
+        rep_cross.join(mem_n.selectExpr("rep AS rn", "k AS nk"), "rn")
+        .join(mem_i.selectExpr("rep AS ri", "k AS ik"), "ri")
+        .filter("nk != ik")
+        .selectExpr(
+            "least(nk, ik) AS a", "greatest(nk, ik) AS b", "nk", "ik"
         )
         .distinct()
     )
@@ -668,7 +722,7 @@ def minhash_dedup_incremental(
         .select(
             "a",
             "b",
-            F.round(jaccard(F.col("sh_n"), F.col("sh_i")), 4).alias(
+            F.round(jaccard("sh_n", "sh_i"), 4).alias(
                 "jaccard_sim"
             ),
         )
@@ -683,7 +737,7 @@ def minhash_dedup_incremental(
             .select(
                 "a",
                 "b",
-                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                F.round(jaccard("sh_a", "sh_b"), 4).alias(
                     "jaccard_sim"
                 ),
             )
@@ -1143,7 +1197,7 @@ def ngram_jaccard_pairs(
         .select(
             "a",
             "b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+            F.round(jaccard("sh_a", "sh_b"), 4).alias("jaccard_sim"),
         )
     )
 
@@ -1249,7 +1303,7 @@ def mllib_minhash_dedup(
         .select(
             "a",
             "b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+            F.round(jaccard("sh_a", "sh_b"), 4).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )

@@ -707,3 +707,107 @@ def test_bloom_never_false_negative(spark, values):
     bf = bloom_build(df, "val", m, k)
     res = bloom_probe(df, bf, "val", m, k)
     assert res.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_sql_collapsed_builds_plan_identical_to_column_forms(spark):
+    """r15 driver-latency collapse: gram_hash_rows / band_buckets /
+    jaccard / the sig-window rep are now built as parsed SQL strings
+    (one py4j round trip per stage). Catalyst must see the SAME
+    semantic plan as the unrolled Column forms — pinned with
+    ``optimizedPlan().sameResult`` against inline reconstructions of
+    the r14 builds, which is a stronger guarantee than row equality."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from promi_spark.operators.dedup import (
+        _MAX,
+        band_buckets,
+        gram_hash_rows,
+        jaccard,
+        norm_text,
+    )
+    from promi_spark.operators.text import tokens
+
+    def same(new_df, old_df):
+        return (
+            new_df._jdf.queryExecution()
+            .optimizedPlan()
+            .sameResult(old_df._jdf.queryExecution().optimizedPlan())
+        )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def gram_old(df, key_col="doc_id", text_col="text", n=3):
+        toks_df = df.select(
+            F.col(key_col).alias("k"), tokens(norm_text(text_col)).alias("toks")
+        )
+        toks = F.col("toks")
+        shifted = toks_df.select(
+            "k",
+            F.size(toks).alias("n_toks"),
+            *[F.slice(toks, j + 1, _MAX).alias(f"t{j}") for j in range(n)],
+            F.array_join(toks, " ").alias("whole"),
+        )
+        zipped = F.when(
+            F.col("n_toks") >= n,
+            F.slice(
+                F.arrays_zip(*[f"t{j}" for j in range(n)]),
+                1,
+                F.col("n_toks") - (n - 1),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.col("whole").alias("t0"),
+                    *[
+                        F.lit(None).cast("string").alias(f"t{j}")
+                        for j in range(1, n)
+                    ],
+                )
+            )
+        )
+        return shifted.select("k", F.explode(zipped).alias("g")).select(
+            "k", F.xxhash64(*[f"g.t{j}" for j in range(n)]).alias("h")
+        )
+
+    assert same(gram_hash_rows(docs), gram_old(docs))
+    assert same(gram_hash_rows(docs, n=5), gram_old(docs, n=5))
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(64)))], "k long, sig array<bigint>"
+    )
+
+    def bb_old(sig_col, num_hashes, bands):
+        rows = num_hashes // bands
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(b, F.slice(sig_col, b * rows + 1, rows)),
+        )
+
+    assert same(
+        sigs.select(band_buckets("sig", 64, 16).alias("x")),
+        sigs.select(bb_old(F.col("sig"), 64, 16).alias("x")),
+    )
+
+    jd = spark.createDataFrame(
+        [([1, 2], [2, 3])], "sh_a array<bigint>, sh_b array<bigint>"
+    )
+
+    def jac_old(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        union = F.size(F.array_union(a, b))
+        return F.when(union == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / union
+        )
+
+    assert same(
+        jd.select(jaccard("sh_a", "sh_b").alias("j")),
+        jd.select(jac_old(F.col("sh_a"), F.col("sh_b")).alias("j")),
+    )
+
+    assert same(
+        sigs.selectExpr("k", "sig", "min(k) OVER (PARTITION BY sig) AS rep"),
+        sigs.select("k", "sig").withColumn(
+            "rep", F.min("k").over(Window.partitionBy("sig"))
+        ),
+    )
