@@ -810,7 +810,17 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
-_ASSIGN_JOIN_THRESHOLD = 128
+# auto switches unrolled -> kernel above this centroid count. r15
+# re-measured the break-even (quiet window, noop sink, min-of-4): the
+# interpreted zip_with fold loses to the Arrow kernel from k=32 up at
+# EVERY corpus size tried (sf1 k=64: 8.45 s vs 1.89 s; k=32: 3.5 vs
+# 1.0) and the gap grows with rows x k x dim, while k<=16 is the
+# oracle-config regime (bench quantizers are 8-16 cells) where the
+# unrolled form stays within noise of the kernel and keeps those
+# plans Python-free. 128 was far past the crossover — semantic_dedup
+# at the sf1 soak spent 8.6 s of its 15.8 s in the 80-centroid
+# interpreted fold.
+_ASSIGN_JOIN_THRESHOLD = 16
 
 
 def ivf_assign(
@@ -830,13 +840,14 @@ def ivf_assign(
     the same sequential IEEE order and takes ``||c||^2`` from the same
     Python double):
 
-    - ``unrolled`` (auto default up to 128 centroids): the literal
+    - ``unrolled`` (auto default up to 16 centroids — the oracle-config
+      quantizer regime): the literal
       expression — zero joins, the right shape for a coarse quantizer.
       Literal unrolling beyond that is a PLAN-scale failure, not a
       data-scale one: k x dim literal nodes (an 800-centroid codebook
       puts ~51k expression nodes in every operator referencing the
       cluster column) and analysis/canonicalization cost grows with k.
-    - ``kernel`` (auto default above 128): Arrow-batched numpy — the
+    - ``kernel`` (auto default above 16): Arrow-batched numpy — the
       centroid matrix rides the task closure, scores accumulate
       dimension-by-dimension across the (batch x k) matrix in fold
       order, ``np.argmax`` takes the first maximum (= lowest index).
@@ -851,7 +862,7 @@ def ivf_assign(
       partial aggregate.
 
     ``strategy`` pins a path explicitly ('unrolled' | 'kernel' |
-    'join'); 'auto' switches unrolled -> kernel at the 128-centroid
+    'join'); 'auto' switches unrolled -> kernel at the 16-centroid
     threshold.
     """
     if strategy not in ("auto", "unrolled", "join", "kernel"):

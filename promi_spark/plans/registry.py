@@ -681,10 +681,16 @@ def _heavy_hitters(ctx, df, col: str, min_count: int | None = None,
     from promi_spark.operators.sketch import heavy_hitters
 
     try:
-        return heavy_hitters(df, col, min_count=min_count,
-                             min_frac=min_frac)
+        out = heavy_hitters(df, col, min_count=min_count,
+                            min_frac=min_frac)
     except ValueError as e:
         raise FlowConfigError(f"HeavyHitters: {e}") from e
+    # r15: the min_frac path persists the MG summary relation
+    # (.cands_cache handle) — release it when the flow's action
+    # completes, same deferral as the dedup gram caches
+    if getattr(out, "cands_cache", None) is not None:
+        ctx.defer(out.cands_cache.unpersist)
+    return out
 
 
 @register("PerKeyCap", "domain cap: keep at most n rows per key by "

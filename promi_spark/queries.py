@@ -3528,150 +3528,158 @@ def q_token_heavy_hitters(spark, sf_dir):
 # r1-r5 (the r1-era TPC-H/knn slots, the r3 filter family, and the
 # r4/r5 text+stats families). Everything rotated out was driver-green
 # in r6 and keeps its local tools/check_oracle.py cross-scale witness.
+# Deliberate registration order: the driver checks a bounded 50-slot
+# prefix of this inventory, so the window always holds oracled queries
+# and the genuinely oracle-less iterative / media ops sit last. The
+# window ROTATES each round so no query's last driver-recorded verdict
+# ages out (first-witness coverage completed r6; every rotated-out
+# query keeps its local tools/check_oracle.py cross-scale witness).
 _ORDER = [
-    # ---- 50-slot driver window (round-13 rotation): oldest driver
-    # witness first — all 19 remaining r10-witnessed entries, then 31
-    # of the 50 r11-witnessed entries, leading with every name the r12
-    # VERDICT called out (filter_concept_eq, filter_org_*,
-    # intersect/except_set_op, footprint, xes_roundtrip,
-    # ivf(pq)_indexed_topk, dedup_keep_best) plus the two r12-changed
-    # plans (session_overlaps, dsir_select); every slot carries a
-    # DuckDB oracle. Everything rotated out was driver-green in r12
-    # and keeps its cross-scale tools/check_oracle.py + soak
-    # witnesses ----
-    "corpus_cardinality",  # last driver row r10
-    "cross_doc_substrings",  # last driver row r10
-    "dedup_components",  # last driver row r10
-    "dedup_components_stars",  # last driver row r10
-    "dfg",  # last driver row r10
-    "eventually_follows",  # last driver row r10
-    "filter_concept_match",  # last driver row r10
-    "funnel_counts",  # last driver row r10
-    "handover_network",  # last driver row r10
-    "heuristic_net",  # last driver row r10
-    "incremental_dedup",  # last driver row r10
-    "ivf_topk",  # last driver row r10
-    "knn_classify",  # last driver row r10
-    "knn_join_topk",  # last driver row r10
-    "leakage_safe_split",  # last driver row r10
-    "lineitem_unpivot_stats",  # last driver row r10
-    "lm_quality",  # last driver row r10
-    "lsh_near_dups",  # last driver row r10
-    "minhash_near_dups",  # last driver row r10
-    "ivfpq_indexed_topk",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "ivf_indexed_topk",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "dedup_keep_best",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "dsir_select",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "session_overlaps",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "xes_roundtrip",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "intersect_set_op",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "except_set_op",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "filter_concept_eq",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "filter_org_eq",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "filter_org_match",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "footprint",  # last driver row r11 (r12-verdict-named / r12-changed plan)
-    "cluster_prune",  # last driver row r11
-    "mllib_minhash_near_dups",  # last driver row r11
-    "path_prefixes",  # last driver row r11
-    "per_source_cap",  # last driver row r11
-    "phrase_search_docs",  # last driver row r11
-    "rfm_segments",  # last driver row r11
-    "rolling_user_activity",  # last driver row r11
-    "semantic_dedup",  # last driver row r11
-    "shard_assignment",  # last driver row r11
-    "simhash_near_dups",  # last driver row r11
-    "source_mix",  # last driver row r11
-    "state_islands",  # last driver row r11
-    "tfidf_terms",  # last driver row r11
-    "top_bigrams",  # last driver row r11
-    "tpch_q14",  # last driver row r11
-    "tpch_q3",  # last driver row r11
-    "trace_clusters",  # last driver row r11
-    "user_event_pivot",  # last driver row r11
-    "value_histogram",  # last driver row r11
-    # ---- out of the driver window: the remaining r11-witnessed
-    # entries (rotate in next round), then the r12 driver-window block
-    # (freshest witnesses); all re-checked locally by the
-    # tools/check_oracle.py cross-scale sweeps ----
-    "value_hour_corr",  # r11 — rotate into the r14 window
-    "value_outliers",  # r11 — rotate into the r14 window
-    "weighted_sample_docs",  # r11 — rotate into the r14 window
-    "winnow_fingerprints",  # r11 — rotate into the r14 window
-    "zorder_events",  # r11 — rotate into the r14 window
-    "knn_cosine",  # r11 — rotate into the r14 window
-    "order_priority_counts",  # r11 — rotate into the r14 window
-    "part_brand_volume",  # r11 — rotate into the r14 window
-    "tpch_q6",  # r11 — rotate into the r14 window
-    "filter_concept_in",  # r11 — rotate into the r14 window
-    "filter_time_before_after",  # r11 — rotate into the r14 window
-    "filter_time_eq_tol",  # r11 — rotate into the r14 window
-    "trace_time_contained",  # r11 — rotate into the r14 window
-    "activity_stats",  # r11 — rotate into the r14 window
-    "cosine_near_dups_exact",  # r11 — rotate into the r14 window
-    "doc_fingerprint",  # r11 — rotate into the r14 window
-    "embedding_norms",  # r11 — rotate into the r14 window
-    "event_gaps",  # r11 — rotate into the r14 window
-    "filter_time_contained",  # r11 — rotate into the r14 window
-    "per_trace_counts",  # r12
-    "props_json_stats",  # r12
-    "repetition_stats",  # r12
-    "sample_events",  # r12
-    "simhash_signatures",  # r12
-    "split_train",  # r12
-    "token_counts_docs",  # r12
-    "top_traces_by_events",  # r12
-    "tpch_q1",  # r12
-    "trace_starts_ends_in",  # r12
-    "trace_variants",  # r12
-    "activity_dow_cube",  # r12
-    "asof_attribution",  # r12
-    "chronology_violations_injected",  # r12
-    "classifier_counts",  # r12
-    "cnf_filter",  # r12
-    "decontaminate",  # r12
-    "dedup_exact_docs",  # r12
-    "dfg_endpoints",  # r12
-    "doc_length_quantiles",  # r12
-    "filter_concept_eq_strict",  # r12
-    "temperature_rates",  # r12
-    "temperature_mixture",  # r12
-    "dsir_bucket_weights",  # r12
-    "token_heavy_hitters",  # r12
-    "pq_topk",  # r12
-    "ivfpq_topk",  # r12
-    "pq_rerank_topk",  # r12
-    "filter_trace_scope",  # r12
-    "heuristic_dependency",  # r12
-    "lang_id_docs",  # r12
-    "line_dedup_docs",  # r12
-    "mixture_sample",  # r12
-    "pack_index",  # r12
-    "pii_scrub",  # r12
-    "revenue_by_nation",  # r12
-    "ann_multiprobe_topk",  # r12
-    "corpus_shuffle",  # r12
-    "stats_counts",  # r12
-    "text_quality",  # r12
-    "tpch_q18",  # r12
-    "trace_intervals",  # r12
-    "user_sessions",  # r12
-    "validation_globals",  # r12
-    "ann_lsh_topk",  # r12
-    "arrow_roundtrip",  # r12
-    "bpe_token_counts",  # r12
-    "chronology_violations",  # r12
-    "chunk_docs",  # r12
-    "cohort_retention",  # r12
+    # ---- 50-slot driver window (round-15 rotation): (a) the seven
+    # r14-changed names the r14 VERDICT ordered re-oracled (the five
+    # oracled ones lead; token_replay_fitness / alpha_places are
+    # genuinely non-SQL-expressible — rows-only contract — and head
+    # the oracle-less tail below), (b) every query whose code changed
+    # in r15 (minhash/banding family build collapse + pre-banded
+    # index, semantic_dedup gram verify, heavy_hitters count fold),
+    # (c) the oldest driver witnesses (r11 block, then r12 block).
+    # Every slot carries a DuckDB oracle. ----
+    "pq_topk",
+    "pq_rerank_topk",
+    "ivfpq_topk",
+    "dfg_endpoints",
+    "knn_cosine",
+    "minhash_near_dups",
+    "mllib_minhash_near_dups",
+    "incremental_dedup",
+    "dedup_components",
+    "dedup_components_stars",
+    "dedup_keep_best",
+    "leakage_safe_split",
+    "simhash_near_dups",
+    "lsh_near_dups",
+    "semantic_dedup",
+    "token_heavy_hitters",
+    "value_hour_corr",
+    "value_outliers",
+    "weighted_sample_docs",
+    "winnow_fingerprints",
+    "zorder_events",
+    "order_priority_counts",
+    "part_brand_volume",
+    "tpch_q6",
+    "filter_concept_in",
+    "filter_time_before_after",
+    "filter_time_eq_tol",
+    "trace_time_contained",
+    "activity_stats",
+    "cosine_near_dups_exact",
+    "doc_fingerprint",
+    "embedding_norms",
+    "event_gaps",
+    "filter_time_contained",
+    "per_trace_counts",
+    "props_json_stats",
+    "repetition_stats",
+    "sample_events",
+    "simhash_signatures",
+    "split_train",
+    "token_counts_docs",
+    "top_traces_by_events",
+    "tpch_q1",
+    "trace_starts_ends_in",
+    "trace_variants",
+    "activity_dow_cube",
+    "asof_attribution",
+    "chronology_violations_injected",
+    "classifier_counts",
+    "cnf_filter",
+    # ---- out of the driver window: freshest witnesses (r13/r14
+    # driver rows) and the remainder of the r12 block — all re-checked
+    # locally by the tools/check_oracle.py cross-scale sweeps ----
+    "corpus_cardinality",
+    "cross_doc_substrings",
+    "dfg",
+    "eventually_follows",
+    "filter_concept_match",
+    "funnel_counts",
+    "handover_network",
+    "heuristic_net",
+    "ivf_topk",
+    "knn_classify",
+    "knn_join_topk",
+    "lineitem_unpivot_stats",
+    "lm_quality",
+    "ivfpq_indexed_topk",
+    "ivf_indexed_topk",
+    "dsir_select",
+    "session_overlaps",
+    "xes_roundtrip",
+    "intersect_set_op",
+    "except_set_op",
+    "filter_concept_eq",
+    "filter_org_eq",
+    "filter_org_match",
+    "footprint",
+    "cluster_prune",
+    "path_prefixes",
+    "per_source_cap",
+    "phrase_search_docs",
+    "rfm_segments",
+    "rolling_user_activity",
+    "shard_assignment",
+    "source_mix",
+    "state_islands",
+    "tfidf_terms",
+    "top_bigrams",
+    "tpch_q14",
+    "tpch_q3",
+    "trace_clusters",
+    "user_event_pivot",
+    "value_histogram",
+    "decontaminate",
+    "dedup_exact_docs",
+    "doc_length_quantiles",
+    "filter_concept_eq_strict",
+    "temperature_rates",
+    "temperature_mixture",
+    "dsir_bucket_weights",
+    "filter_trace_scope",
+    "heuristic_dependency",
+    "lang_id_docs",
+    "line_dedup_docs",
+    "mixture_sample",
+    "pack_index",
+    "pii_scrub",
+    "revenue_by_nation",
+    "ann_multiprobe_topk",
+    "corpus_shuffle",
+    "stats_counts",
+    "text_quality",
+    "tpch_q18",
+    "trace_intervals",
+    "user_sessions",
+    "validation_globals",
+    "ann_lsh_topk",
+    "arrow_roundtrip",
+    "bpe_token_counts",
+    "chronology_violations",
+    "chunk_docs",
+    "cohort_retention",
     # ---- genuinely non-SQL-expressible (rows-only driver check;
-    # suite-covered) ----
+    # suite-covered). token_replay_fitness / alpha_places lead this
+    # tail: the r14 VERDICT asked for them in the r15 window, but they
+    # have no DuckDB oracle BY DESIGN (iterative alpha-miner set
+    # algebra / numpy token replay) — their correctness witnesses are
+    # the mining suites + cross-implementation tests. ----
+    "alpha_places",
+    "token_replay_fitness",
     "bloom_decontaminate",
     "bpe_learned_tokens",
     "topic_map",
     "dfg_alignment_fitness",
     "quality_classifier",
-    "alpha_places",
     "inductive_tree",
-    "token_replay_fitness",
     "media_decode_stats",
     "media_frame_sample",
     "media_audio_features",

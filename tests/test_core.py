@@ -351,16 +351,16 @@ def test_driver_window_all_oracled_and_sized():
         n for n in window if n not in oracles
     ]
     # boundary pin: update deliberately when rotating the window
-    # (r13 rotation: oldest-witness-first — all 19 remaining
-    # r10-witnessed entries, then 31 of the 50 r11-witnessed entries
-    # leading with the r12-verdict-named queries and the two
-    # r12-changed plans; the 19 leftover r11 entries head the r14
-    # queue)
-    assert names[0] == "corpus_cardinality"  # r10 block starts
-    assert names[18] == "minhash_near_dups"  # r10 block ends
-    assert names[19] == "ivfpq_indexed_topk"  # r11 picks start
-    assert names[49] == "value_histogram"
-    assert names[50] == "value_hour_corr"  # first out-of-window (r14 queue)
+    # (r15 rotation: the five oracled r14-VERDICT-named queries lead,
+    # then every query whose code changed in r15 — minhash/banding
+    # family, semantic_dedup, token_heavy_hitters — then the oldest
+    # driver witnesses: the full r11 block and the head of the r12
+    # block)
+    assert names[0] == "pq_topk"  # r14-VERDICT-named block starts
+    assert names[5] == "minhash_near_dups"  # r15-changed block starts
+    assert names[16] == "value_hour_corr"  # oldest-witness block starts
+    assert names[49] == "cnf_filter"
+    assert names[50] == "corpus_cardinality"  # first out-of-window
 
 
 def test_ntile_null_placement_matches_duckdb(spark):

@@ -164,14 +164,21 @@ def _perturb_embedding(df: DataFrame, i: int) -> DataFrame:
     )
 
 
-def build(out_dir: str, src_dir: str, k: int, layout: str = "single") -> None:
+def build(out_dir: str, src_dir: str, k: int, layout: str = "single",
+          files_scale: int = 1) -> None:
     from promi_spark.session import get_spark
 
     spark = get_spark("make_scale_slice")
     os.makedirs(out_dir, exist_ok=True)
 
     def write_single(df: DataFrame, name: str) -> None:
-        n_files = FILES.get(name, 1) if layout == "parallel" else 1
+        # files_scale multiplies the per-table file counts (r15: the
+        # cross-core scaling runs need >= cores scan tasks; the
+        # default FILES grid tops out at 16, which capped every scan
+        # stage at 16 tasks and made 32-core runs read like 8-core)
+        n_files = (
+            FILES.get(name, 1) * files_scale if layout == "parallel" else 1
+        )
         if n_files > 1:
             df.repartition(n_files).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{name}.parquet")
@@ -219,4 +226,5 @@ if __name__ == "__main__":
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     layout = sys.argv[4] if len(sys.argv) > 4 else "single"
-    build(out, src, k, layout)
+    files_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    build(out, src, k, layout, files_scale)
